@@ -1,0 +1,66 @@
+"""Engine configuration.
+
+The reference derives its physical knobs from host memory at runtime
+(``src/config.py:136-164``: chunk sizes 100k..5M rows, strategy enum) and hard-codes
+merge cutovers (10k / 1M rows, ``src/database/postgres.py:216-219,386-390``).
+On Spark those adaptive choices are Catalyst/AQE's job; what remains configurable
+is the *layout* of the lake table (bucket count), the salting factor used to split
+hot keys across tasks, and the merge kernel strategy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Knobs for the CDC ingest engine.
+
+    n_buckets
+        Number of hash buckets the lake table is clustered into on
+        ``xxhash64(conv_id, turn_idx)``. Merge cost is proportional to *touched*
+        buckets only (copy-on-write at bucket granularity), so at 100 TB this is
+        raised (e.g. 2**14) so a bucket's state fits comfortably in one executor's
+        memory; at test scale 32 keeps file counts small. Buckets are independent,
+        so throughput scales with executors up to ``n_buckets`` parallel merges.
+    salt_factor
+        Sub-splits of a bucket for the grouped merge. Salting is on
+        ``xxhash64(conv_id, turn_idx, salt_seed)`` — the FULL key, never conv_id
+        alone — so one hot conversation spreads over ``salt_factor`` tasks while
+        every (conv_id, turn_idx) key still lands in exactly one task (merge
+        correctness requires per-key locality, not per-conversation locality).
+    merge_strategy
+        ``"pandas"``: groupBy(bucket, salt).applyInPandas Arrow-vectorized merge
+        kernel (no per-row Python). ``"native"``: pure DataFrame window merge,
+        entirely JVM-side / whole-stage-codegen. Both produce identical results;
+        both are benchmarked.
+    shuffle_partitions
+        Default for spark.sql.shuffle.partitions in sessions we create.
+    """
+
+    n_buckets: int = 32
+    salt_factor: int = 4
+    salt_seed: int = 1337
+    merge_strategy: str = "pandas"
+    shuffle_partitions: int = 32
+    # Audit column stamped on merged rows (reference: data_atualizacao =
+    # CURRENT_TIMESTAMP, src/database/postgres.py:284,415,460). Excluded from
+    # replay-equality checks, like the reference excludes audit cols from PKs.
+    audit_col: str = "_updated_at"
+    write_audit_col: bool = False
+
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    lsn_col: str = "lsn"
+    op_col: str = "op"
+    ts_col: str = "ts"
+
+    extra_spark_conf: dict = field(default_factory=dict)
+
+
+# Internal/meta column names used in the physical lake layout.
+BUCKET_COL = "__bucket"
+SALT_COL = "__salt"
+LSN_META_COL = "__lsn"
+DELETED_COL = "__deleted"
+META_COLS = (LSN_META_COL, DELETED_COL)

@@ -1,0 +1,50 @@
+"""Last-writer-wins dedup — the core window operator of the engine (SURVEY W1).
+
+Reference analogue: within-batch dedup before merge,
+``ROW_NUMBER() OVER (PARTITION BY pk ORDER BY batch_row_num DESC) rn ... WHERE
+rn = 1`` (``src/database/postgres.py:478-501``) and ``DISTINCT ON (pk)``
+(``src/database/postgres.py:421-436``). We standardize on the deterministic
+ROW_NUMBER form with a total order so results are identical across partitionings,
+parallelism levels, and reruns.
+
+Scale notes: ``Window.partitionBy(key)`` shuffles by the FULL key
+(conv_id, turn_idx) — a hot conversation does not concentrate on one task because
+each of its turns hashes independently. No additional salting is needed for this
+operator; skew handling matters at the merge, where grouping is by bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+LWW_ROW_NUMBER_COL = "__rn"
+
+
+def lww_order_cols(lsn_col: str = "lsn", ts_col: str = "ts", text_col: str = "text"):
+    """The engine-wide deterministic total order: LSN is authoritative (WAL
+    position); ts, op, text break ties among deliberately duplicated LSNs so
+    every execution picks the same winner."""
+    return [
+        F.col(lsn_col).desc(),
+        F.col(ts_col).desc(),
+        F.col("op").desc(),
+        F.coalesce(F.col(text_col), F.lit("")).desc(),
+    ]
+
+
+def lww_dedup(
+    changes: DataFrame,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Keep exactly one event per key: the last writer under the total order."""
+    w = Window.partitionBy(*key_cols).orderBy(*lww_order_cols(lsn_col, ts_col))
+    return (
+        changes.withColumn(LWW_ROW_NUMBER_COL, F.row_number().over(w))
+        .filter(F.col(LWW_ROW_NUMBER_COL) == 1)
+        .drop(LWW_ROW_NUMBER_COL)
+    )

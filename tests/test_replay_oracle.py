@@ -1,0 +1,84 @@
+"""Replay equivalence — the engine's core invariant (SURVEY §5.2).
+
+Generate a deterministic change stream, apply it epoch-by-epoch through the
+engine, and compare the final lake state to the single-threaded oracle fold:
+per-turn text equality under orderBy(conv_id, turn_idx), plus full-row
+equality of every payload column.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from cnpj_data_pipeline_spark import EngineConfig, IngestJob, LakeTable
+from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
+from cnpj_data_pipeline_spark.oracle import final_state
+
+
+def _engine_final(spark, tmp_table, changes, n_epochs, cfg) -> pd.DataFrame:
+    job = IngestJob(tmp_table, cfg)
+    job.run_batches(spark, epoch_batches(changes, n_epochs))
+    table = LakeTable.load(tmp_table)
+    out = (
+        table.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def _assert_matches_oracle(engine_df: pd.DataFrame, changes_pdf: pd.DataFrame):
+    golden = final_state(changes_pdf)
+    assert list(engine_df.columns) == list(golden.columns), (
+        engine_df.columns,
+        golden.columns,
+    )
+    pd.testing.assert_frame_equal(engine_df, golden, check_dtype=False)
+
+
+@pytest.mark.parametrize("strategy", ["pandas", "native"])
+def test_replay_matches_oracle(spark, tmp_table, strategy):
+    cfg = EngineConfig(n_buckets=16, salt_factor=2, merge_strategy=strategy)
+    changes = gen_changes(
+        spark,
+        n_events=8_000,
+        n_convs=300,
+        turns_per_conv=10,
+        n_epochs=4,
+        dup_ratio=0.05,
+        late_ratio=0.05,
+        skew=1.5,
+    )
+    changes_pdf = changes.toPandas()
+    engine_df = _engine_final(spark, tmp_table, changes, 4, cfg)
+    _assert_matches_oracle(engine_df, changes_pdf)
+
+
+def test_strategies_bit_identical(spark, tmp_path):
+    """pandas and native kernels must be indistinguishable."""
+    changes = gen_changes(spark, n_events=4_000, n_convs=150, n_epochs=3, skew=2.0)
+    outs = []
+    for strat in ("pandas", "native"):
+        cfg = EngineConfig(n_buckets=8, merge_strategy=strat)
+        path = str(tmp_path / f"lake_{strat}")
+        outs.append(_engine_final(spark, path, changes, 3, cfg))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_idempotent_reapply(spark, tmp_table):
+    """Re-applying an already-committed epoch changes nothing (SURVEY §5.5)."""
+    cfg = EngineConfig(n_buckets=8)
+    changes = gen_changes(spark, n_events=2_000, n_convs=100, n_epochs=2)
+    job = IngestJob(tmp_table, cfg)
+    job.run_batches(spark, epoch_batches(changes, 2))
+    table = LakeTable.load(tmp_table)
+    before = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    sid_before = table.current_snapshot_id()
+
+    m = job.run_batches(spark, epoch_batches(changes, 2))
+    assert all(x["skipped"] for x in m)
+    assert table.current_snapshot_id() == sid_before
+    after = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(before, after)
