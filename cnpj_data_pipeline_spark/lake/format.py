@@ -356,17 +356,23 @@ class LakeTable:
         return sid
 
     def _write_snapshot(self, snap: dict) -> None:
+        # tmp + atomic rename: a crash between snapshot write and pointer swap
+        # leaves an orphan manifest that the retry of the same id safely
+        # overwrites (single-writer protocol; visibility is ONLY the pointer).
         path = self._snapshot_path(snap["snapshot_id"])
-        # O_EXCL put-if-absent: two concurrent writers cannot both claim the id.
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(snap, f)
-                f.flush()
-                os.fsync(f.fileno())
-        except BaseException:
-            os.unlink(path)
-            raise
+        cur = (
+            self.current_snapshot_id() if os.path.exists(self._pointer_path()) else -1
+        )
+        if snap["snapshot_id"] <= cur:
+            raise RuntimeError(
+                f"snapshot {snap['snapshot_id']} already committed (current={cur})"
+            )
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     def _swap_pointer(self, sid: int) -> None:
         tmp = self._pointer_path() + ".tmp"

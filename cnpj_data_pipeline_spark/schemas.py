@@ -69,13 +69,30 @@ def union_schema(base: T.StructType, other: T.StructType) -> T.StructType:
     extra trailing CSV columns (``column_{i}``, src/processor.py:518)."""
     by_name = {f.name: f for f in base.fields}
     out = list(base.fields)
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    fractional = (T.FloatType, T.DoubleType)
     for f in other.fields:
         cur = by_name.get(f.name)
+        if isinstance(f.dataType, T.NullType):
+            # an all-NULL batch column carries no type evidence: existing
+            # columns keep their type; a brand-new column waits for the first
+            # typed value before it can evolve the schema.
+            continue
         if cur is None:
             out.append(T.StructField(f.name, f.dataType, True))
         elif cur.dataType != f.dataType:
-            raise ValueError(
-                f"non-additive schema change for column {f.name!r}: "
-                f"{cur.dataType} -> {f.dataType}"
+            # tolerate numeric representation drift from upstream producers
+            # (e.g. Arrow/pandas inferring long for an int column); the table's
+            # declared type stays authoritative and the batch is cast to it.
+            both_integral = isinstance(cur.dataType, integral) and isinstance(
+                f.dataType, integral
             )
+            both_fractional = isinstance(cur.dataType, fractional) and isinstance(
+                f.dataType, fractional
+            )
+            if not (both_integral or both_fractional):
+                raise ValueError(
+                    f"non-additive schema change for column {f.name!r}: "
+                    f"{cur.dataType} -> {f.dataType}"
+                )
     return T.StructType(out)

@@ -1,0 +1,148 @@
+"""Lake format: atomic commit, crash injection at every step boundary,
+time travel, watermarks, vacuum (SURVEY §5.1, §7.5 hard part 3)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from cnpj_data_pipeline_spark import EngineConfig, IngestJob, LakeTable
+from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
+from cnpj_data_pipeline_spark.lake.format import LakeTable as LT
+from cnpj_data_pipeline_spark.operators.merge import apply_changes
+from cnpj_data_pipeline_spark.oracle import final_state
+
+
+def _mk(spark, tmp_table, n_events=2_000, n_epochs=2, **kw):
+    cfg = EngineConfig(n_buckets=8)
+    ch = gen_changes(spark, n_events=n_events, n_convs=80, n_epochs=n_epochs, **kw)
+    return cfg, ch
+
+
+def test_crash_before_pointer_swap_is_invisible_and_retryable(spark, tmp_table, monkeypatch):
+    cfg, ch = _mk(spark, tmp_table)
+    job = IngestJob(tmp_table, cfg)
+    batches = list(epoch_batches(ch, 2))
+    job.run_batches(spark, batches[:1])
+    table = LakeTable.load(tmp_table)
+    sid0 = table.current_snapshot_id()
+    before = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+
+    # crash exactly between snapshot-manifest write and pointer swap
+    real_swap = LT._swap_pointer
+
+    def boom(self, sid):
+        raise OSError("injected crash before pointer swap")
+
+    monkeypatch.setattr(LT, "_swap_pointer", boom)
+    with pytest.raises(OSError):
+        apply_changes(spark, table, batches[1][1], epoch=1, cfg=cfg)
+    monkeypatch.setattr(LT, "_swap_pointer", real_swap)
+
+    # nothing visible changed
+    assert table.current_snapshot_id() == sid0
+    assert 1 not in table.applied_epochs()
+    after_crash = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(before, after_crash)
+
+    # retry succeeds and converges to the oracle
+    apply_changes(spark, table, batches[1][1], epoch=1, cfg=cfg)
+    final = table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    golden = final_state(ch.toPandas())
+    pd.testing.assert_frame_equal(final, golden, check_dtype=False)
+
+
+def test_crash_before_snapshot_write_is_invisible(spark, tmp_table, monkeypatch):
+    cfg, ch = _mk(spark, tmp_table)
+    job = IngestJob(tmp_table, cfg)
+    batches = list(epoch_batches(ch, 2))
+    job.run_batches(spark, batches[:1])
+    table = LakeTable.load(tmp_table)
+    sid0 = table.current_snapshot_id()
+
+    def boom(self, snap):
+        raise OSError("injected crash before snapshot write")
+
+    monkeypatch.setattr(LT, "_write_snapshot", boom)
+    with pytest.raises(OSError):
+        apply_changes(spark, table, batches[1][1], epoch=1, cfg=cfg)
+    monkeypatch.undo()
+
+    assert table.current_snapshot_id() == sid0
+    # staged orphan data files may exist but are unreachable
+    apply_changes(spark, table, batches[1][1], epoch=1, cfg=cfg)
+    golden = final_state(ch.toPandas())
+    final = table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(final, golden, check_dtype=False)
+
+
+def test_time_travel_and_lineage(spark, tmp_table):
+    cfg, ch = _mk(spark, tmp_table, n_events=3_000, n_epochs=3)
+    job = IngestJob(tmp_table, cfg)
+    job.run_batches(spark, epoch_batches(ch, 3))
+    table = LakeTable.load(tmp_table)
+
+    snaps = table.snapshots()
+    assert [s["op"] for s in snaps] == ["create", "merge", "merge", "merge"]
+    assert [s["epoch"] for s in snaps] == [None, 0, 1, 2]
+
+    # snapshot after epoch 0 equals oracle of epoch-0 events only
+    pdf = ch.toPandas()
+    golden0 = final_state(pdf[pdf["epoch"] == 0])
+    got0 = (
+        table.read(spark, snapshot_id=snaps[1]["snapshot_id"])
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got0, golden0, check_dtype=False)
+
+    lin = table.lineage_df(spark).toPandas()
+    assert set(lin["epoch"].dropna()) == {0, 1, 2}
+    assert (lin["rows_applied"] >= 0).all()
+
+    # per-bucket watermarks monotone across snapshots
+    w1 = table.watermarks(snaps[1]["snapshot_id"])
+    w3 = table.watermarks(snaps[3]["snapshot_id"])
+    for b, lsn in w1.items():
+        if lsn is not None and w3.get(b) is not None:
+            assert w3[b] >= lsn
+
+
+def test_vacuum_tombstones(spark, tmp_table):
+    cfg = EngineConfig(n_buckets=4)
+    ch = gen_changes(
+        spark, n_events=1_500, n_convs=60, n_epochs=1, delete_ratio=0.3, update_ratio=0.2
+    )
+    job = IngestJob(tmp_table, cfg)
+    job.run_batches(spark, epoch_batches(ch, 1))
+    table = LakeTable.load(tmp_table)
+
+    visible_before = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    with_tombs = table.read(spark, include_tombstones=True).count()
+    assert with_tombs > len(visible_before)
+
+    max_lsn = max(v for v in table.watermarks().values() if v is not None)
+    table.vacuum_tombstones(spark, lsn_horizon=max_lsn + 1)
+
+    after = table.read(spark, include_tombstones=True)
+    assert after.count() == len(visible_before)  # all tombstones gone
+    visible_after = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(visible_before, visible_after)
+    # watermarks survive the vacuum (resume safety)
+    assert max(v for v in table.watermarks().values() if v is not None) == max_lsn
+
+
+def test_orphan_staging_invisible(spark, tmp_table):
+    cfg, ch = _mk(spark, tmp_table, n_epochs=1)
+    job = IngestJob(tmp_table, cfg)
+    job.run_batches(spark, epoch_batches(ch, 1))
+    table = LakeTable.load(tmp_table)
+    n = table.read(spark).count()
+    junk = os.path.join(tmp_table, "data", "snap-999", "__bucket=0")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert LakeTable.load(tmp_table).read(spark).count() == n

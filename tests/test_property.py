@@ -1,0 +1,73 @@
+"""Property-based replay (SURVEY §5.6): random op sequences — I/U/D, duplicate
+LSNs, late events, arbitrary epoch slicing — must always converge to the oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cnpj_data_pipeline_spark import EngineConfig, LakeTable
+from cnpj_data_pipeline_spark.operators.merge import apply_changes
+from cnpj_data_pipeline_spark.oracle import final_state
+from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 5),            # conv
+        st.integers(0, 3),            # turn
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 30),           # lsn (collisions likely)
+        st.one_of(st.none(), st.text(alphabet="abç;", max_size=6)),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _to_pdf(events):
+    rows = []
+    for i, (conv, turn, op, lsn, text) in enumerate(events):
+        rows.append(
+            {
+                "conv_id": f"c{conv:08d}",
+                "turn_idx": turn,
+                "role": "user",
+                "text": None if op == "D" else (text or f"t{i}"),
+                "tool": None,
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=lsn),
+                "op": op,
+                "lsn": lsn,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(events=_events, split=st.integers(0, 39), strategy=st.sampled_from(["pandas", "native"]))
+def test_random_streams_match_oracle(spark, tmp_path_factory, events, split, strategy):
+    pdf = _to_pdf(events)
+    golden = final_state(pdf, payload_cols=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+    lake = str(tmp_path_factory.mktemp("prop") / "lake")
+    cfg = EngineConfig(n_buckets=4, salt_factor=2, merge_strategy=strategy)
+    table = LakeTable.create(lake, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], 4)
+
+    cut = min(split, len(pdf))
+    for e, part in enumerate((pdf.iloc[:cut], pdf.iloc[cut:])):
+        if len(part) == 0:
+            continue
+        df = spark.createDataFrame(part)
+        apply_changes(spark, table, df, epoch=e, cfg=cfg)
+
+    got = (
+        table.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
