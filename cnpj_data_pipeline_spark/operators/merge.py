@@ -138,8 +138,11 @@ def apply_changes(
     ch = _align(ch, evolved, extra=["op", "lsn"])
     ch = ch.withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets))
 
-    # -- within-batch LWW dedup (reference ROW_NUMBER rn=1 step)
-    ch = lww_dedup(ch, key_cols=key_cols)
+    # NOTE: no separate within-batch LWW pass here. The merge kernel below
+    # applies the same total order across state ∪ changes, so batch-internal
+    # duplicates resolve identically — pre-deduplicating would add a full
+    # extra shuffle (window by key) for no semantic gain. The standalone
+    # operator remains available as operators.dedup.lww_dedup (W1).
 
     # -- touched buckets (bounded by n_buckets; tiny driver-side list)
     touched = sorted(

@@ -1,0 +1,251 @@
+"""CDC queries over the driver's test tables, each paired with a DuckDB oracle.
+
+The change stream is DERIVED deterministically from the shared ``events``
+parquet table (no external data): every event becomes an I/U/D envelope over
+the transcript key space, so the Spark pipeline and the SQL oracle see the
+exact same input. The flagship ``q_cdc_replay`` runs the REAL engine (bucketed
+lake table, salted applyInPandas merge, atomic snapshot commits) and must
+reproduce the pure-SQL LWW fold bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cnpj_data_pipeline_spark.config import EngineConfig
+from cnpj_data_pipeline_spark.lake.format import LakeTable
+from cnpj_data_pipeline_spark.operators.merge import apply_changes
+from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+# ---------------------------------------------------------------------------
+# the derived change envelope (SURVEY §1.3 CHANGE schema) — Spark and SQL twins
+# ---------------------------------------------------------------------------
+
+N_EPOCHS = 4  # fixed epoch count at any sf (integer arithmetic, oracle-exact)
+
+
+def changes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    max_id = ev.agg(F.max("event_id")).collect()[0][0]
+    turn = (F.col("event_id") % 32).cast("int")
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "purchase", "U")
+        .otherwise("I")
+    )
+    return ev.select(
+        F.concat(F.lit("c"), F.lpad((F.col("user_id") % 200).cast("string"), 8, "0")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.when(turn % 4 == 0, "user")
+        .when(turn % 4 == 1, "assistant")
+        .when(turn % 4 == 2, "tool")
+        .otherwise("system")
+        .alias("role"),
+        F.when(F.col("event_type") == "error", F.lit(None).cast("string"))
+        .otherwise(F.concat(F.col("event_type"), F.lit(":"), F.coalesce(F.col("props"), F.lit(""))))
+        .alias("text"),
+        F.when(F.col("event_type") == "click", "browser")
+        .when(F.col("event_type") == "view", "search")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("tool"),
+        F.col("ts"),
+        op.alias("op"),
+        F.col("event_id").cast("long").alias("lsn"),
+        F.expr(f"CAST((event_id * {N_EPOCHS}) DIV {max_id + 1} AS INT)").alias("epoch"),
+    )
+
+
+CHANGES_CTE = f"""
+changes AS (
+  SELECT 'c' || lpad(CAST(user_id % 200 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(event_id % 32 AS INTEGER) AS turn_idx,
+         CASE CAST(event_id % 32 AS INTEGER) % 4
+              WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'tool' ELSE 'system' END AS role,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE event_type || ':' || coalesce(props, '') END AS text,
+         CASE WHEN event_type = 'click' THEN 'browser'
+              WHEN event_type = 'view' THEN 'search'
+              ELSE NULL END AS tool,
+         ts,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type = 'purchase' THEN 'U'
+              ELSE 'I' END AS op,
+         CAST(event_id AS BIGINT) AS lsn,
+         CAST((event_id * {N_EPOCHS}) // ((SELECT max(event_id) FROM events) + 1) AS INTEGER) AS epoch
+  FROM events
+)
+"""
+
+# winners under the engine-wide LWW total order (W1)
+WINNERS_CTE = """
+winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY lsn DESC, ts DESC, op DESC, coalesce(text, '') DESC
+    ) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+"""
+
+
+def _winners(ch: DataFrame) -> DataFrame:
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("lsn").desc(),
+        F.col("ts").desc(),
+        F.col("op").desc(),
+        F.coalesce(F.col("text"), F.lit("")).desc(),
+    )
+    return ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_changes_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/P1/F-family: scan + projection into the typed change envelope."""
+    return changes_from_events(spark, sf_dir)
+
+
+def q_lww_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: one winner per key under the deterministic total order."""
+    return _winners(changes_from_events(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn"
+    )
+
+
+def q_final_state_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replay result expressed declaratively (winners minus tombstones) —
+    the Catalyst-native strategy of the merge."""
+    return (
+        _winners(changes_from_events(spark, sf_dir))
+        .filter(F.col("op") != "D")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: full engine replay — epoch-sliced ingest through the bucketed
+    lake table (salted applyInPandas merge, atomic snapshot commits, lineage),
+    then read back. Must equal q_final_state_sql's pure-SQL fold."""
+    ch = changes_from_events(spark, sf_dir)
+    n_epochs = ch.agg(F.max("epoch")).collect()[0][0] + 1
+    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    table = LakeTable.create(
+        os.path.join(root, "lake"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    for e in range(n_epochs):
+        apply_changes(spark, table, ch.filter(F.col("epoch") == e), epoch=e, cfg=cfg)
+    return table.read(spark)
+
+
+def q_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keys whose final event is a delete — the retained-tombstone set."""
+    return (
+        _winners(changes_from_events(spark, sf_dir))
+        .filter(F.col("op") == "D")
+        .select("conv_id", "turn_idx", "lsn")
+    )
+
+
+def q_epoch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4: per change-batch counters (the reference's progress stats,
+    main.py:134-207, as one distributed agg)."""
+    return (
+        changes_from_events(spark, sf_dir)
+        .groupBy("epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("conv_id", "turn_idx").alias("n_keys"),
+            F.min("lsn").alias("min_lsn"),
+            F.max("lsn").alias("max_lsn"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
+        )
+    )
+
+
+def q_partition_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition offset checkpoint shape (lsn watermark per partition) —
+    the lineage row the engine commits with every snapshot."""
+    ch = changes_from_events(spark, sf_dir)
+    return (
+        ch.withColumn("partition_id", (F.col("lsn") % 16).cast("int"))
+        .groupBy("partition_id")
+        .agg(F.max("lsn").alias("max_lsn"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: keys first appearing in the second half of the WAL (anti-join
+    against the first half = ON CONFLICT DO NOTHING candidates)."""
+    ch = changes_from_events(spark, sf_dir)
+    half = ch.agg((F.floor(F.max("lsn") / 2)).cast("long")).collect()[0][0]
+    early = ch.filter(F.col("lsn") < half).select("conv_id", "turn_idx").distinct()
+    late = ch.filter(F.col("lsn") >= half).select("conv_id", "turn_idx").distinct()
+    return late.join(early, ["conv_id", "turn_idx"], "left_anti")
+
+
+QUERIES = {
+    "q_changes_envelope": q_changes_envelope,
+    "q_lww_dedup": q_lww_dedup,
+    "q_final_state_sql": q_final_state_sql,
+    "q_cdc_replay": q_cdc_replay,
+    "q_tombstones": q_tombstones,
+    "q_epoch_stats": q_epoch_stats,
+    "q_partition_watermarks": q_partition_watermarks,
+    "q_insert_if_absent": q_insert_if_absent,
+}
+
+_FINAL_STATE_SQL = f"""
+WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM winners WHERE op <> 'D'
+"""
+
+ORACLES = {
+    "q_changes_envelope": f"WITH {CHANGES_CTE.strip()} SELECT * FROM changes",
+    "q_lww_dedup": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+        SELECT conv_id, turn_idx, role, text, tool, ts, op, lsn FROM winners
+    """,
+    "q_final_state_sql": _FINAL_STATE_SQL,
+    "q_cdc_replay": _FINAL_STATE_SQL,
+    "q_tombstones": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+        SELECT conv_id, turn_idx, lsn FROM winners WHERE op = 'D'
+    """,
+    "q_epoch_stats": f"""
+        WITH {CHANGES_CTE.strip()}
+        SELECT epoch,
+               count(*) AS n_events,
+               count(DISTINCT conv_id || '|' || CAST(turn_idx AS VARCHAR)) AS n_keys,
+               min(lsn) AS min_lsn,
+               max(lsn) AS max_lsn,
+               CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+        FROM changes GROUP BY epoch
+    """,
+    "q_partition_watermarks": f"""
+        WITH {CHANGES_CTE.strip()}
+        SELECT CAST(lsn % 16 AS INTEGER) AS partition_id,
+               max(lsn) AS max_lsn,
+               count(*) AS n_events
+        FROM changes GROUP BY 1
+    """,
+    "q_insert_if_absent": f"""
+        WITH {CHANGES_CTE.strip()},
+        half AS (SELECT CAST(floor(max(lsn) / 2) AS BIGINT) h FROM changes),
+        early AS (SELECT DISTINCT conv_id, turn_idx FROM changes, half WHERE lsn < h),
+        late AS (SELECT DISTINCT conv_id, turn_idx FROM changes, half WHERE lsn >= h)
+        SELECT l.conv_id, l.turn_idx FROM late l
+        LEFT JOIN early e USING (conv_id, turn_idx)
+        WHERE e.conv_id IS NULL
+    """,
+}

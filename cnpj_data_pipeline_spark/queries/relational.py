@@ -1,0 +1,262 @@
+"""Relational/analytics queries over the TPC-H-ish test tables + the
+reference-fidelity transform pipeline, each with a DuckDB oracle.
+
+Numeric discipline for cross-engine equality: every SUM over doubles goes
+through DECIMAL(18,6) per-row casts (exact, order-independent accumulation);
+averages are computed as exact-decimal-sum cast to double divided by count
+(one IEEE division — deterministic); no bare double SUMs anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cnpj_data_pipeline_spark.functions.transforms import (
+    clean_code,
+    decimal_comma_to_double,
+    normalize_description,
+    strip_accents,
+    zero_date_to_null,
+)
+from cnpj_data_pipeline_spark.operators.antijoin import enrich_reference_codes
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → filter → hash agg (map-side partials free)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec(F.col("l_discount"))).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (O-family): revenue top-10 customers."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    agg = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("revenue"),
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+
+
+def q_region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star query: orders → customer → nation → region rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("revenue"),
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window lag/gap sessionization of the event stream (30-min gap)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_reference_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F6 fidelity pipeline over synthesized reference-quirk strings:
+    decimal-comma parse, zero-date parse, code pad, upper/trim/accent-fold."""
+    part = _t(spark, sf_dir, "part")
+    raw = part.select(
+        "p_partkey",
+        F.concat((F.col("p_size") % 100).cast("string"), F.lit(","), F.lit("50")).alias("amount_str"),
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("0"))
+        .when(F.col("p_partkey") % 5 == 1, F.lit("00000000"))
+        .otherwise(
+            F.concat(
+                F.lit("2020"),
+                F.lpad(((F.col("p_partkey") % 12) + 1).cast("string"), 2, "0"),
+                F.lpad(((F.col("p_partkey") % 28) + 1).cast("string"), 2, "0"),
+            )
+        )
+        .alias("date_str"),
+        (F.col("p_partkey") % 100).cast("string").alias("code_str"),
+        F.concat(F.lit("  descrição número "), (F.col("p_partkey") % 7).cast("string"), F.lit(" ")).alias("desc_str"),
+    )
+    return raw.select(
+        "p_partkey",
+        decimal_comma_to_double("amount_str").alias("amount"),
+        zero_date_to_null("date_str").alias("event_date"),
+        clean_code("code_str", width=2).alias("code"),
+        strip_accents(normalize_description(F.col("desc_str"))).alias("descricao"),
+    )
+
+
+def q_code_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+U1: official nation codes enriched with the missing external codes
+    (trim/pad/upper/accent-fold + left_anti + unionByName)."""
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    official = nation.select(
+        F.col("n_nationkey").cast("string").alias("codigo"),
+        F.col("n_name").alias("descricao"),
+    )
+    external = cust.select(
+        (F.col("c_nationkey") + 15).cast("string").alias("codigo"),
+        F.concat(F.lit("país "), F.col("c_nationkey").cast("string")).alias("descricao"),
+    ).distinct()
+    return enrich_reference_codes(official, external, code_width=2)
+
+
+QUERIES = {
+    "q_pricing_summary": q_pricing_summary,
+    "q_top_customers": q_top_customers,
+    "q_region_sales": q_region_sales,
+    "q_sessionize": q_sessionize,
+    "q_reference_transforms": q_reference_transforms,
+    "q_code_enrichment": q_code_enrichment,
+}
+
+ORACLES = {
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_top_customers": """
+        WITH agg AS (
+          SELECT c_custkey, c_name, count(*) AS n_orders,
+                 CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_custkey, c_name
+        )
+        SELECT * FROM (
+          SELECT *, CAST(row_number() OVER (ORDER BY revenue DESC, c_custkey ASC) AS INTEGER) AS rank
+          FROM agg
+        ) WHERE rank <= 10
+    """,
+    "q_region_sales": """
+        SELECT r_name, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q_sessionize": """
+        WITH flagged AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        )
+        SELECT user_id,
+               CAST(sum(new_session) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM flagged GROUP BY user_id
+    """,
+    "q_reference_transforms": """
+        WITH raw AS (
+          SELECT p_partkey,
+                 CAST(p_size % 100 AS VARCHAR) || ',' || '50' AS amount_str,
+                 CASE WHEN p_partkey % 5 = 0 THEN '0'
+                      WHEN p_partkey % 5 = 1 THEN '00000000'
+                      ELSE '2020' || lpad(CAST((p_partkey % 12) + 1 AS VARCHAR), 2, '0')
+                                  || lpad(CAST((p_partkey % 28) + 1 AS VARCHAR), 2, '0')
+                 END AS date_str,
+                 CAST(p_partkey % 100 AS VARCHAR) AS code_str,
+                 '  descrição número ' || CAST(p_partkey % 7 AS VARCHAR) || ' ' AS desc_str
+          FROM part
+        )
+        SELECT p_partkey,
+               try_cast(replace(amount_str, ',', '.') AS DOUBLE) AS amount,
+               CASE WHEN date_str IN ('0', '00000000', '') THEN NULL
+                    ELSE CAST(try_strptime(date_str, '%Y%m%d') AS DATE) END AS event_date,
+               CASE WHEN regexp_matches(trim(code_str), '^[0-9]{1}$')
+                    THEN lpad(trim(code_str), 2, '0') ELSE trim(code_str) END AS code,
+               strip_accents(
+                 CASE WHEN upper(trim(desc_str)) IS NULL OR upper(trim(desc_str)) = ''
+                      THEN 'DESCRIÇÃO INDISPONÍVEL' ELSE upper(trim(desc_str)) END
+               ) AS descricao
+        FROM raw
+    """,
+    "q_code_enrichment": """
+        WITH official AS (
+          SELECT CAST(n_nationkey AS VARCHAR) AS codigo, n_name AS descricao FROM nation
+        ),
+        external AS (
+          SELECT DISTINCT CAST(c_nationkey + 15 AS VARCHAR) AS codigo,
+                 'país ' || CAST(c_nationkey AS VARCHAR) AS descricao
+          FROM customer
+        ),
+        cleaned AS (
+          SELECT CASE WHEN regexp_matches(trim(codigo), '^[0-9]{1}$')
+                      THEN lpad(trim(codigo), 2, '0') ELSE trim(codigo) END AS codigo,
+                 strip_accents(
+                   CASE WHEN upper(trim(descricao)) IS NULL OR upper(trim(descricao)) = ''
+                        THEN 'DESCRIÇÃO INDISPONÍVEL' ELSE upper(trim(descricao)) END
+                 ) AS descricao
+          FROM external
+          WHERE codigo IS NOT NULL AND codigo <> ''
+        )
+        SELECT codigo, descricao FROM official
+        UNION ALL
+        SELECT c.codigo, c.descricao FROM cleaned c
+        LEFT JOIN official o ON c.codigo = o.codigo
+        WHERE o.codigo IS NULL
+    """,
+}

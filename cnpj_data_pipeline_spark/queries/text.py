@@ -1,0 +1,387 @@
+"""Text-analysis / dedup operators over the ``documents`` table (training-data
+pipeline ops): token stats, quality scoring, language-ID heuristic,
+fingerprinting, exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash.
+
+Cross-engine determinism: every hash is either md5 (identical in Spark and
+DuckDB) or integer arithmetic over a *shingle dictionary id* assigned by
+row_number over the sorted distinct shingles — the same deterministic mapping
+in both engines, avoiding engine-specific string hash functions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+STOP_EN = ["the", "a", "of", "to", "and", "in", "is", "it"]
+STOP_ES = ["el", "la", "de", "que", "y", "en", "un", "es"]
+STOP_FR = ["le", "la", "de", "et", "un", "en", "est", "que"]
+
+N_HASHES = 8
+MERSENNE = (1 << 31) - 1
+HASH_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393, 2654435789, 2246822579, 3266489939]
+HASH_B = [1779033703, 3144134277, 1013904242, 2773480762, 1359893119, 2600822924, 528734635, 1541459225]
+SIMHASH_BITS = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _tokens(col="text"):
+    return F.split(F.col(col), " ")
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens + char length."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]+$"))).alias("n_word_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (F.length("text") == F.col("n_chars")).alias("chars_consistent"),
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, mean token length, stopword ratio, distinct-
+    token ratio — the composite rounded to 6dp for cross-engine equality."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOP_EN)))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n
+    mean_tok_len = (F.length("text") - (n - 1)) / n  # total chars minus spaces
+    score = (
+        F.least(n / F.lit(400.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.4
+        + F.least(stop_hits / F.lit(8.0), F.lit(1.0)) * 0.2
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        stop_hits.alias("stopword_hits"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: CJK chars → zh, else stopword-hit argmax over
+    {en, es, fr} with deterministic tie-break order en > es > fr."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    en = F.size(F.filter(toks, lambda t: t.isin(*STOP_EN)))
+    es = F.size(F.filter(toks, lambda t: t.isin(*STOP_ES)))
+    fr = F.size(F.filter(toks, lambda t: t.isin(*STOP_FR)))
+    pred = (
+        F.when(F.col("text").rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+        .when((en >= es) & (en >= fr) & (en > 0), "en")
+        .when((es >= fr) & (es > 0), "es")
+        .when(fr > 0, "fr")
+        .otherwise("und")
+    )
+    return d.select(
+        "doc_id", "lang",
+        en.alias("hits_en"), es.alias("hits_es"), fr.alias("hits_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the normalized text and over the
+    leading-3-token prefix (the dedup key used by q_dedup_exact)."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    prefix = F.concat_ws(" ", F.slice(toks, 1, 3))
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp_full"),
+        F.md5(prefix).alias("fp_prefix3"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by fingerprint: keep min doc_id per group, report group size."""
+    fp = q_doc_fingerprint(spark, sf_dir)
+    return fp.groupBy("fp_prefix3").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+def _shingles(col="text", k: int = 3):
+    """Word k-shingles: positions 0..n-k of consecutive-token joins."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.when(n >= k,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        )
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-3-gram Jaccard >= 0.35: explode
+    distinct shingles, self-join on shingle (co-occurrence count = |∩|),
+    |∪| = |A|+|B|-|∩|. Scale path: the join key IS the shingle, so only
+    docs sharing a shingle ever meet (no quadratic blowup)."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a", "doc_b", "n_inter",
+            (F.col("n_inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter"))).alias("jac"),
+        )
+    )
+    return j.filter(F.col("jac") >= 0.35).select(
+        "doc_a", "doc_b", "n_inter", F.round("jac", 6).alias("jaccard")
+    )
+
+
+def _shingle_dict(spark: SparkSession, sf_dir: str):
+    """(doc_id, shingle) pairs + deterministic dense ids over sorted distinct
+    shingles — the cross-engine-stable hash basis."""
+    d = _docs(spark, sf_dir)
+    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    dict_w = Window.orderBy("shingle")
+    ids = sh.select("shingle").distinct().withColumn(
+        "sid", F.row_number().over(dict_w).cast("long")
+    )
+    return sh.join(ids, "shingle")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash: sig_h = min over shingles of (a_h * sid + b_h) mod p (Carter-
+    Wegman), p = 2^31-1 — pure integer arithmetic on dictionary ids."""
+    sh = _shingle_dict(spark, sf_dir)
+    aggs = [
+        F.min((F.col("sid") * HASH_A[h] + HASH_B[h]) % MERSENNE).alias(f"mh_{h}")
+        for h in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: band the 8-hash signature into 4 bands of 2,
+    bucket-join on (band, h1, h2), verify candidates with estimated Jaccard
+    (signature agreement) >= 0.5. Only same-bucket docs ever meet — the
+    100TB-scale path for near-dedup."""
+    sig = q_minhash_signatures(spark, sf_dir)
+    bands = []
+    for band in range(N_HASHES // 2):
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.col(f"mh_{2 * band}").alias("h1"),
+                F.col(f"mh_{2 * band + 1}").alias("h2"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.h1") == F.col("b.h1"))
+            & (F.col("a.h2") == F.col("b.h2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh_{h}") == F.col(f"sb.mh_{h}"), 1).otherwise(0)
+        for h in range(N_HASHES)
+    )
+    verified = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", (agree / F.lit(N_HASHES)).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+    return verified.select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint (16-bit) over shingle dictionary ids: bit j of
+    h(sid) votes +1/-1; fingerprint bit j = sign of the vote sum."""
+    sh = _shingle_dict(spark, sf_dir)
+    hashed = sh.withColumn("h", (F.col("sid") * HASH_A[0] + HASH_B[0]) % MERSENNE)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+QUERIES = {
+    "q_doc_token_stats": q_doc_token_stats,
+    "q_doc_quality": q_doc_quality,
+    "q_lang_id": q_lang_id,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_dedup_exact": q_dedup_exact,
+    "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_minhash_signatures": q_minhash_signatures,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_simhash": q_simhash,
+}
+
+_STOP_EN_SQL = "(" + ",".join(f"'{w}'" for w in STOP_EN) + ")"
+_STOP_ES_SQL = "(" + ",".join(f"'{w}'" for w in STOP_ES) + ")"
+_STOP_FR_SQL = "(" + ",".join(f"'{w}'" for w in STOP_FR) + ")"
+
+_TOKS = "string_split(text, ' ')"
+
+_SHINGLES_CTE = f"""
+shingled AS (
+  SELECT doc_id,
+         CASE WHEN len({_TOKS}) >= 3 THEN
+           list_distinct(list_transform(range(1, len({_TOKS}) - 1),
+             i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))
+         ELSE [array_to_string({_TOKS}, ' ')] END AS shingles
+  FROM documents
+),
+pairs AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
+dict AS (
+  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
+  FROM (SELECT DISTINCT shingle FROM pairs)
+),
+doc_sids AS (SELECT p.doc_id, d.sid FROM pairs p JOIN dict d USING (shingle))
+"""
+
+_MH_COLS = ",\n".join(
+    f"min((sid * {HASH_A[h]} + {HASH_B[h]}) % {MERSENNE}) AS mh_{h}"
+    for h in range(N_HASHES)
+)
+
+_SIG_SQL = f"""
+WITH {_SHINGLES_CTE.strip()},
+sig AS (SELECT doc_id, {_MH_COLS} FROM doc_sids GROUP BY doc_id)
+"""
+
+ORACLES = {
+    "q_doc_token_stats": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter({_TOKS}, t -> regexp_matches(t, '^[a-z]+$'))) AS INTEGER) AS n_word_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_measured,
+               length(text) = n_chars AS chars_consistent
+        FROM documents
+    """,
+    "q_doc_quality": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               round((length(text) - (len({_TOKS}) - 1)) / CAST(len({_TOKS}) AS DOUBLE), 6) AS mean_token_len,
+               CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_EN_SQL})) AS INTEGER) AS stopword_hits,
+               round(len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE), 6) AS distinct_ratio,
+               round(
+                 least(len({_TOKS}) / 400.0, 1.0) * 0.4
+                 + (len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE)) * 0.4
+                 + least(len(list_filter({_TOKS}, t -> t IN {_STOP_EN_SQL})) / 8.0, 1.0) * 0.2
+               , 6) AS quality_score
+        FROM documents
+    """,
+    "q_lang_id": f"""
+        SELECT doc_id, lang,
+               CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_EN_SQL})) AS INTEGER) AS hits_en,
+               CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_ES_SQL})) AS INTEGER) AS hits_es,
+               CAST(len(list_filter({_TOKS}, t -> t IN {_STOP_FR_SQL})) AS INTEGER) AS hits_fr,
+               CASE WHEN regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') THEN 'zh'
+                    WHEN len(list_filter({_TOKS}, t -> t IN {_STOP_EN_SQL})) >= len(list_filter({_TOKS}, t -> t IN {_STOP_ES_SQL}))
+                         AND len(list_filter({_TOKS}, t -> t IN {_STOP_EN_SQL})) >= len(list_filter({_TOKS}, t -> t IN {_STOP_FR_SQL}))
+                         AND len(list_filter({_TOKS}, t -> t IN {_STOP_EN_SQL})) > 0 THEN 'en'
+                    WHEN len(list_filter({_TOKS}, t -> t IN {_STOP_ES_SQL})) >= len(list_filter({_TOKS}, t -> t IN {_STOP_FR_SQL}))
+                         AND len(list_filter({_TOKS}, t -> t IN {_STOP_ES_SQL})) > 0 THEN 'es'
+                    WHEN len(list_filter({_TOKS}, t -> t IN {_STOP_FR_SQL})) > 0 THEN 'fr'
+                    ELSE 'und' END AS lang_pred
+        FROM documents
+    """,
+    "q_doc_fingerprint": f"""
+        SELECT doc_id,
+               md5(lower(trim(text))) AS fp_full,
+               md5(array_to_string({_TOKS}[1:3], ' ')) AS fp_prefix3
+        FROM documents
+    """,
+    "q_dedup_exact": f"""
+        SELECT md5(array_to_string({_TOKS}[1:3], ' ')) AS fp_prefix3,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS group_size
+        FROM documents GROUP BY 1
+    """,
+    "q_ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES_CTE.strip()},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM doc_sids GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM doc_sids a JOIN doc_sids b
+            ON a.sid = b.sid AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_inter,
+               round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.35
+    """,
+    "q_minhash_signatures": _SIG_SQL + "SELECT * FROM sig",
+    "q_minhash_lsh_pairs": _SIG_SQL + f""",
+        banded AS (
+          {" UNION ALL ".join(
+            f"SELECT doc_id, {band} AS band, mh_{2*band} AS h1, mh_{2*band+1} AS h2 FROM sig"
+            for band in range(N_HASHES // 2)
+          )}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(({" + ".join(f"CASE WHEN sa.mh_{h} = sb.mh_{h} THEN 1 ELSE 0 END" for h in range(N_HASHES))}) / {N_HASHES}.0, 6) AS est_jaccard
+        FROM cand
+        JOIN sig sa ON doc_a = sa.doc_id
+        JOIN sig sb ON doc_b = sb.doc_id
+        WHERE ({" + ".join(f"CASE WHEN sa.mh_{h} = sb.mh_{h} THEN 1 ELSE 0 END" for h in range(N_HASHES))}) / {N_HASHES}.0 >= 0.5
+    """,
+    "q_simhash": f"""
+        WITH {_SHINGLES_CTE.strip()},
+        hashed AS (SELECT doc_id, (sid * {HASH_A[0]} + {HASH_B[0]}) % {MERSENNE} AS h FROM doc_sids),
+        votes AS (
+          SELECT doc_id,
+                 {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}" for j in range(SIMHASH_BITS))}
+          FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST({" + ".join(f"CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+        FROM votes
+    """,
+}

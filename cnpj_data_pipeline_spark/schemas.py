@@ -90,7 +90,11 @@ def union_schema(base: T.StructType, other: T.StructType) -> T.StructType:
             both_fractional = isinstance(cur.dataType, fractional) and isinstance(
                 f.dataType, fractional
             )
-            if not (both_integral or both_fractional):
+            ts_types = (T.TimestampType, T.TimestampNTZType)
+            both_ts = isinstance(cur.dataType, ts_types) and isinstance(
+                f.dataType, ts_types
+            )
+            if not (both_integral or both_fractional or both_ts):
                 raise ValueError(
                     f"non-additive schema change for column {f.name!r}: "
                     f"{cur.dataType} -> {f.dataType}"
