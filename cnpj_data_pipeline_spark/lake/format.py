@@ -30,10 +30,19 @@ Physical layout::
     <root>/meta/_current          # contents: "<N>"
 
 Rows are clustered into ``n_buckets`` hash buckets on
-``xxhash64(conv_id, turn_idx)``; a merge rewrites only touched buckets
-(copy-on-write at bucket granularity), so merge cost is proportional to the
-touched fraction of the table — the property that keeps this viable at 10^10
-rows. Tombstones (``__op = 'D'``) are retained so late events with lower LSN
+``xxhash64(conv_id, turn_idx)``. Two write paths (Iceberg CoW-vs-MoR trade):
+
+* **merge-on-read (default)** — each epoch appends its LWW winners as delta
+  files to the touched buckets (cost O(batch), independent of table size —
+  the property that keeps ingest viable at 10^10 rows where every batch
+  touches every bucket). A per-bucket ``merged`` flag records whether the
+  bucket holds exactly one winner per key; readers run the LWW window only
+  over unmerged buckets. ``compact()`` rewrites multi-generation buckets back
+  to one winner per key, bounding read cost.
+* **copy-on-write** — a merge rewrites touched buckets to final state
+  (cheap reads, O(table) writes when batches touch all buckets).
+
+Tombstones (``__op = 'D'``) are retained so late events with lower LSN
 than an applied delete lose deterministically; ``vacuum()`` drops tombstones
 below a caller-supplied LSN horizon.
 
@@ -221,16 +230,46 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot. Old files written before a schema
-        evolution are read with the evolved schema (missing columns → NULL)."""
+        evolution are read with the evolved schema (missing columns → NULL).
+
+        Merge-on-read: buckets whose ``merged`` flag is false hold multiple
+        versions per key (delta generations); the LWW window resolves the
+        winner at read time, but ONLY over those buckets — compacted/merged
+        buckets take the window-free fast path and the two sides are unioned.
+        Keys never span buckets, so the split is safe."""
         snap = self.snapshot(snapshot_id)
         phys = T.StructType(
             list(schema_from_json(snap["schema"]).fields) + PHYSICAL_META_FIELDS
         )
-        files = self._bucket_files(snap, buckets)
-        if not files:
-            df = spark.createDataFrame([], phys)
-        else:
-            df = spark.read.schema(phys).parquet(*files)
+        sel = None if buckets is None else {int(b) for b in buckets}
+        merged_b, unmerged_b = [], []
+        for b, info in snap["buckets"].items():
+            if sel is not None and int(b) not in sel:
+                continue
+            (merged_b if info.get("merged", True) else unmerged_b).append(int(b))
+
+        def _scan(bs: list[int]) -> DataFrame:
+            files = self._bucket_files(snap, bs)
+            if not files:
+                return spark.createDataFrame([], phys)
+            return spark.read.schema(phys).parquet(*files)
+
+        df = _scan(merged_b)
+        if unmerged_b:
+            from cnpj_data_pipeline_spark.operators.dedup import lww_order_cols
+
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*snap["key_cols"]).orderBy(
+                *lww_order_cols(lsn_col=LSN_META_COL, op_col=OP_META_COL)
+            )
+            winners = (
+                _scan(unmerged_b)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            df = df.unionByName(winners)
         if not include_tombstones:
             df = df.filter(F.col(OP_META_COL) != "D")
         if not include_meta:
@@ -307,23 +346,49 @@ class LakeTable:
         epoch: int | None,
         bucket_updates: dict[int, dict],
         new_schema: T.StructType | None = None,
+        mode: str = "replace",
+        merged: bool = True,
     ) -> int:
         """Atomically publish a new snapshot: carry forward untouched buckets,
-        replace touched ones, append lineage, then swap the pointer. The swap is
-        the single visibility point (crash before it = clean no-op)."""
+        replace (CoW/compact) or append to (MoR delta) touched ones, append
+        lineage, then swap the pointer. The swap is the single visibility point
+        (crash before it = clean no-op).
+
+        ``merged``: whether the updated buckets hold exactly one winner row per
+        key afterwards. Appending to a bucket that already has files always
+        clears the flag (multiple generations)."""
         cur = self.snapshot()
         sid = cur["snapshot_id"] + 1
         buckets = dict(cur["buckets"])
         lineage = []
         for b, info in sorted(bucket_updates.items()):
-            prev = buckets.get(str(b), {"max_lsn": None})
+            prev = buckets.get(
+                str(b), {"max_lsn": None, "files": [], "rows": 0, "merged": True}
+            )
             max_lsn = info.get("max_lsn")
-            if max_lsn is None:
-                max_lsn = prev.get("max_lsn")
+            if mode == "append":
+                files = list(prev.get("files", [])) + list(info["files"])
+                rows = prev.get("rows", 0) + info["rows"]
+                pmax = prev.get("max_lsn")
+                if max_lsn is None or (pmax is not None and pmax > max_lsn):
+                    max_lsn = pmax
+                gens = prev.get("gens", 1 if prev.get("files") else 0) + (
+                    1 if info["files"] else 0
+                )
+                is_merged = gens <= 1
+            else:
+                files = info["files"]
+                rows = info["rows"]
+                if max_lsn is None:
+                    max_lsn = prev.get("max_lsn")
+                gens = 1 if files else 0
+                is_merged = merged
             buckets[str(b)] = {
-                "files": info["files"],
-                "rows": info["rows"],
+                "files": files,
+                "rows": rows,
                 "max_lsn": max_lsn,
+                "merged": bool(is_merged),
+                "gens": gens,
             }
             lineage.append(
                 {
@@ -384,34 +449,125 @@ class LakeTable:
 
     # ---------------- maintenance ----------------
 
-    def vacuum_tombstones(self, spark: SparkSession, lsn_horizon: int) -> int:
-        """Physically drop tombstones whose LSN is below the horizon (no late
-        event with a lower LSN can still arrive). Rewrites every bucket that
-        holds an old-enough tombstone; commits a 'vacuum' snapshot."""
+    def _rewrite_buckets(
+        self,
+        spark: SparkSession,
+        victims: list[int],
+        op: str,
+        salt_factor: int = 4,
+        lsn_horizon: int | None = None,
+    ) -> int:
+        """Shared kernel for compact/vacuum: read the victims' physical rows,
+        resolve the per-key LWW winner (single shuffle: repartition on
+        (bucket, salt-of-key), window over (bucket, salt, key) reuses that
+        partitioning), optionally drop tombstone winners below the LSN horizon,
+        rewrite the buckets as single-generation state, commit."""
+        from pyspark.sql import Window
+
+        from cnpj_data_pipeline_spark.config import SALT_COL
+        from cnpj_data_pipeline_spark.operators.dedup import lww_order_cols
+
         snap = self.snapshot()
-        phys = self.physical_schema()
-        victims = []
-        for b, info in snap["buckets"].items():
-            for rel in info["files"]:
-                fp = os.path.join(self.root, rel)
-                md = _pq.ParquetFile(fp).metadata
-                # cheap check: only rewrite buckets whose files might hold tombstones
-                victims.append(int(b))
-                break
+        key_cols = snap["key_cols"]
+        df = self.read_state_for_merge(spark, victims, self.schema())
+        df = df.withColumn(
+            SALT_COL,
+            F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(salt_factor)).cast(
+                "int"
+            ),
+        )
+        n_parts = max(
+            1,
+            min(
+                len(victims) * salt_factor,
+                2 * spark.sparkContext.defaultParallelism,
+            ),
+        )
+        parted = df.repartition(n_parts, F.col(BUCKET_COL), F.col(SALT_COL))
+        w = Window.partitionBy(BUCKET_COL, SALT_COL, *key_cols).orderBy(
+            *lww_order_cols(lsn_col=LSN_META_COL, op_col=OP_META_COL)
+        )
+        winners = (
+            parted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", SALT_COL)
+        )
+        if lsn_horizon is not None:
+            winners = winners.filter(
+                ~(
+                    (F.col(OP_META_COL) == "D")
+                    & (F.col(LSN_META_COL) < lsn_horizon)
+                )
+            )
+        sid = self.current_snapshot_id() + 1
+        stage = self.staging_dir(sid)
+        winners.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+        updates = self.collect_staged(sid)
+        for b in victims:
+            updates.setdefault(b, {"files": [], "rows": 0, "max_lsn": None})
+            # keep the watermark even if the bucket emptied (resume safety)
+            if updates[b].get("max_lsn") is None:
+                updates[b]["max_lsn"] = snap["buckets"][str(b)]["max_lsn"]
+        return self.commit(
+            op=op, epoch=None, bucket_updates=updates, mode="replace", merged=True
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: Iterable[int] | None = None,
+        salt_factor: int = 4,
+    ) -> int:
+        """Rewrite multi-generation (unmerged) buckets back to one winner row
+        per key — the MoR maintenance op that bounds read amplification.
+        Tombstones survive compaction (vacuum owns their removal)."""
+        snap = self.snapshot()
+        if buckets is None:
+            victims = [
+                int(b)
+                for b, info in snap["buckets"].items()
+                if not info.get("merged", True)
+            ]
+        else:
+            victims = [int(b) for b in buckets]
         victims = sorted(set(victims))
         if not victims:
             return self.current_snapshot_id()
-        df = self.read_state_for_merge(spark, victims, self.schema())
-        kept = df.filter(
-            ~((F.col(OP_META_COL) == "D") & (F.col(LSN_META_COL) < lsn_horizon))
+        return self._rewrite_buckets(spark, victims, op="compact", salt_factor=salt_factor)
+
+    def compact_if_needed(
+        self, spark: SparkSession, max_gens_per_bucket: int, salt_factor: int = 4
+    ) -> int | None:
+        """Compact only the buckets whose delta-generation count crossed the
+        threshold; returns the new snapshot id or None if nothing to do."""
+        snap = self.snapshot()
+        victims = [
+            int(b)
+            for b, info in snap["buckets"].items()
+            if not info.get("merged", True)
+            and info.get("gens", len(info["files"])) >= max_gens_per_bucket
+        ]
+        if not victims:
+            return None
+        return self._rewrite_buckets(
+            spark, sorted(victims), op="compact", salt_factor=salt_factor
         )
-        sid = self.current_snapshot_id() + 1
-        stage = self.staging_dir(sid)
-        kept.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
-        updates = self.collect_staged(sid)
-        for b in victims:
-            updates.setdefault(b, {"files": [], "rows": 0, "max_lsn": snap["buckets"][str(b)]["max_lsn"]})
-            # keep the watermark even if the bucket emptied
-            if updates[b].get("max_lsn") is None:
-                updates[b]["max_lsn"] = snap["buckets"][str(b)]["max_lsn"]
-        return self.commit(op="vacuum", epoch=None, bucket_updates=updates)
+
+    def vacuum_tombstones(
+        self, spark: SparkSession, lsn_horizon: int, salt_factor: int = 4
+    ) -> int:
+        """Physically drop tombstones whose LSN is below the horizon (no late
+        event with a lower LSN can still arrive). Implemented as a compaction
+        with a horizon filter so multi-generation buckets stay correct (a bare
+        tombstone filter would resurrect the older versions underneath)."""
+        snap = self.snapshot()
+        victims = sorted(int(b) for b, info in snap["buckets"].items() if info["files"])
+        if not victims:
+            return self.current_snapshot_id()
+        return self._rewrite_buckets(
+            spark,
+            victims,
+            op="vacuum",
+            salt_factor=salt_factor,
+            lsn_horizon=lsn_horizon,
+        )

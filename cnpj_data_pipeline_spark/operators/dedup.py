@@ -23,14 +23,19 @@ from pyspark.sql import functions as F
 LWW_ROW_NUMBER_COL = "__rn"
 
 
-def lww_order_cols(lsn_col: str = "lsn", ts_col: str = "ts", text_col: str = "text"):
+def lww_order_cols(
+    lsn_col: str = "lsn",
+    ts_col: str = "ts",
+    text_col: str = "text",
+    op_col: str = "op",
+):
     """The engine-wide deterministic total order: LSN is authoritative (WAL
     position); ts, op, text break ties among deliberately duplicated LSNs so
     every execution picks the same winner."""
     return [
         F.col(lsn_col).desc(),
         F.col(ts_col).desc(),
-        F.col("op").desc(),
+        F.col(op_col).desc(),
         F.coalesce(F.col(text_col), F.lit("")).desc(),
     ]
 

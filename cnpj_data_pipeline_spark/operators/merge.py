@@ -56,7 +56,7 @@ from cnpj_data_pipeline_spark.lake.format import (
     bucket_expr,
 )
 from cnpj_data_pipeline_spark.config import LSN_META_COL
-from cnpj_data_pipeline_spark.operators.dedup import lww_dedup
+from cnpj_data_pipeline_spark.operators.dedup import lww_order_cols
 from cnpj_data_pipeline_spark.schemas import union_schema
 
 ENVELOPE_COLS = ("op", "lsn", "epoch")
@@ -81,6 +81,15 @@ def _align(df: DataFrame, schema: T.StructType, extra: Sequence[str]) -> DataFra
     return df.select(*cols)
 
 
+
+def _merge_partitions(spark: SparkSession, n_buckets: int, salt_factor: int) -> int:
+    """Partition count for the merge shuffle: enough tasks to keep every core
+    busy (~2 waves), but never more than the number of (bucket, salt) groups —
+    and not thousands of tiny tasks whose serial driver dispatch (~5 ms each)
+    would dominate small batches. On a 1000-executor cluster defaultParallelism
+    drives this up; n_buckets * salt_factor is the hard cap."""
+    return max(1, min(n_buckets * salt_factor, 2 * spark.sparkContext.defaultParallelism))
+
 def _merge_kernel(key_cols: list[str]):
     """Arrow-vectorized per-group merge: sort by the engine total order, keep
     the first row per key. Pure pandas column ops — no Python row loop."""
@@ -104,11 +113,19 @@ def apply_changes(
     changes: DataFrame,
     epoch: int,
     cfg: EngineConfig | None = None,
+    batch_rows_hint: int | None = None,
 ) -> dict:
     """Apply one change batch (epoch) to the lake table with exactly-once,
     LWW, schema-evolution and skew-safe semantics. Returns metrics."""
     cfg = cfg or EngineConfig()
     t0 = time.monotonic()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.monotonic()
+        phases[name] = round(now - _last[0], 3)
+        _last[0] = now
 
     if epoch in table.applied_epochs():
         # Idempotent replay guard — the reference's processed-files skip
@@ -144,10 +161,101 @@ def apply_changes(
     # extra shuffle (window by key) for no semantic gain. The standalone
     # operator remains available as operators.dedup.lww_dedup (W1).
 
-    # -- touched buckets (bounded by n_buckets; tiny driver-side list)
-    touched = sorted(
-        r[0] for r in ch.select(BUCKET_COL).distinct().collect()
-    )
+    _mark("plan")
+
+    if cfg.write_mode == "mor":
+        # MERGE-ON-READ fast path: no state read at all. LWW-dedup the batch
+        # (batch losers can never be global winners — the total order is the
+        # same one readers apply), append the winners as delta files to their
+        # buckets, commit. Per-epoch cost is O(batch) regardless of table
+        # size — the property that keeps ingest linear at 10^10 events where
+        # every batch touches every bucket and CoW would be quadratic.
+        # Single shuffle: repartition on (bucket, salt-of-full-key), then the
+        # window partitioned by (bucket, salt, key) reuses that partitioning
+        # (HashPartitioning on a subset of the window keys satisfies its
+        # ClusteredDistribution), so only a local sort is added; each output
+        # task holds exactly one (bucket, salt) group → one file per task.
+        from pyspark.sql import Window
+
+        ch = ch.withColumn(
+            SALT_COL,
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in key_cols], F.lit(cfg.salt_seed)),
+                F.lit(cfg.salt_factor),
+            ).cast("int"),
+        )
+        parted = ch.repartition(
+            _merge_partitions(spark, n_buckets, cfg.salt_factor),
+            F.col(BUCKET_COL),
+            F.col(SALT_COL),
+        )
+        w = Window.partitionBy(BUCKET_COL, SALT_COL, *key_cols).orderBy(
+            *lww_order_cols()
+        )
+        winners = (
+            parted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", SALT_COL)
+        )
+        phys = winners.select(
+            *[F.col(f.name) for f in evolved.fields],
+            F.col("lsn").alias(LSN_META_COL),
+            F.col("op").alias(OP_META_COL),
+            F.col(BUCKET_COL),
+        )
+        if cfg.write_audit_col:
+            phys = phys.withColumn(cfg.audit_col, F.current_timestamp())
+
+        next_sid = table.current_snapshot_id() + 1
+        stage = table.staging_dir(next_sid)
+        _mark("build_plan")
+        phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+        _mark("merge_write")
+        updates = table.collect_staged(next_sid)
+        _mark("collect_staged")
+        sid = table.commit(
+            op="evolve" if evolved_changed else "append",
+            epoch=epoch,
+            bucket_updates=updates,
+            new_schema=evolved if evolved_changed else None,
+            mode="append",
+        )
+        _mark("commit")
+        compacted_sid = None
+        if cfg.compact_threshold:
+            compacted_sid = table.compact_if_needed(
+                spark, cfg.compact_threshold, salt_factor=cfg.salt_factor
+            )
+            if compacted_sid is not None:
+                sid = compacted_sid
+                _mark("compact")
+        secs = time.monotonic() - t0
+        rows_applied = sum(u["rows"] for u in updates.values())
+        return {
+            "epoch": epoch,
+            "skipped": False,
+            "rows_applied": rows_applied,
+            "buckets_touched": len(updates),
+            "seconds": secs,
+            "snapshot_id": sid,
+            "schema_evolved": evolved_changed,
+            "compacted": compacted_sid is not None,
+            "phases": phases,
+        }
+
+    # -- touched buckets (bounded by n_buckets; tiny driver-side list).
+    # When the batch is large relative to the bucket count (cheap footer-level
+    # row-count hint from the WAL source), every bucket is touched with
+    # overwhelming probability ((1-1/B)^n), so skip the distinct scan — treating
+    # an actually-empty bucket as touched is correct (its state is read and
+    # rewritten unchanged), it only costs a little write amplification.
+    if batch_rows_hint is not None and batch_rows_hint >= 16 * n_buckets:
+        touched = list(range(n_buckets))
+    else:
+        touched = sorted(
+            r[0] for r in ch.select(BUCKET_COL).distinct().collect()
+        )
+    _mark("touched_scan")
     if not touched:
         sid = table.commit(op="merge", epoch=epoch, bucket_updates={})
         return {
@@ -174,18 +282,39 @@ def apply_changes(
 
     # -- per-key winner
     if cfg.merge_strategy == "native":
-        merged = lww_dedup(combined, key_cols=key_cols)
-        # bound files-per-bucket: cluster output by (bucket, salt)
-        merged = merged.withColumn(
+        # SINGLE-SHUFFLE merge: repartition once on (bucket, salt-of-full-key),
+        # then run the LWW window partitioned by (bucket, salt, key...). Because
+        # (bucket, salt) is a subset of the window's partition keys, the
+        # HashPartitioning from the explicit repartition already satisfies the
+        # window's ClusteredDistribution — EnsureRequirements inserts only a
+        # local sort, no second exchange. The explicit numPartitions also keeps
+        # AQE from coalescing the write stage below the core count, and each
+        # output task holds exactly one (bucket, salt) group, so partitionBy
+        # emits exactly one file per task (bounded file counts at scale).
+        from pyspark.sql import Window
+
+        combined = combined.withColumn(
             SALT_COL,
             F.pmod(
                 F.xxhash64(*[F.col(c) for c in key_cols], F.lit(cfg.salt_seed)),
                 F.lit(cfg.salt_factor),
             ).cast("int"),
         )
-        merged = merged.repartition(
-            max(len(touched) * cfg.salt_factor, 1), F.col(BUCKET_COL), F.col(SALT_COL)
-        ).drop(SALT_COL)
+        n_parts = min(
+            _merge_partitions(spark, n_buckets, cfg.salt_factor),
+            max(len(touched) * cfg.salt_factor, 1),
+        )
+        parted = combined.repartition(
+            n_parts, F.col(BUCKET_COL), F.col(SALT_COL)
+        )
+        w = Window.partitionBy(BUCKET_COL, SALT_COL, *key_cols).orderBy(
+            *lww_order_cols()
+        )
+        merged = (
+            parted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", SALT_COL)
+        )
     else:
         # salted grouped-map merge: group key is (bucket, salt-of-full-key) so a
         # hot bucket splits across salt_factor Arrow tasks while each
@@ -224,9 +353,12 @@ def apply_changes(
 
     next_sid = table.current_snapshot_id() + 1
     stage = table.staging_dir(next_sid)
+    _mark("build_plan")
     phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+    _mark("merge_write")
 
     updates = table.collect_staged(next_sid)
+    _mark("collect_staged")
     # a touched bucket can stage zero files only if all its rows vanished —
     # impossible under tombstone retention, but keep the manifest consistent:
     for b in touched:
@@ -238,6 +370,7 @@ def apply_changes(
         bucket_updates=updates,
         new_schema=evolved if evolved_changed else None,
     )
+    _mark("commit")
     secs = time.monotonic() - t0
     rows_applied = sum(u["rows"] for u in updates.values())
     return {
@@ -248,4 +381,5 @@ def apply_changes(
         "seconds": secs,
         "snapshot_id": sid,
         "schema_evolved": evolved_changed,
+        "phases": phases,
     }

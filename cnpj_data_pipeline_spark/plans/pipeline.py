@@ -38,15 +38,19 @@ class IngestJob:
     def run_batches(
         self, spark: SparkSession, batches, fail_after: int | None = None
     ) -> list[dict]:
-        """Apply an iterable of (epoch, DataFrame) batches in order.
+        """Apply an iterable of (epoch, DataFrame[, rows_hint]) batches in order.
 
         ``fail_after``: test hook — raise after N successful applies to
         simulate a mid-stream crash (resume tests re-run without it)."""
         table = self.ensure_table()
         metrics = []
         done = 0
-        for epoch, df in batches:
-            m = apply_changes(spark, table, df, epoch, self.cfg)
+        for batch in batches:
+            epoch, df = batch[0], batch[1]
+            hint = batch[2] if len(batch) > 2 else None
+            m = apply_changes(
+                spark, table, df, epoch, self.cfg, batch_rows_hint=hint
+            )
             m["events_per_sec"] = (
                 m["rows_applied"] / m["seconds"] if m["seconds"] > 0 else None
             )

@@ -37,7 +37,13 @@ def get_spark(
         # Timestamps are tz-naive UTC end-to-end (deterministic replay).
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.ui.enabled": "false",
-        "spark.driver.memory": "8g",
+        # local[K] runs executors inside the driver JVM; size the heap so the
+        # shuffle of a full bench epoch never GC-thrashes (the sandbox has
+        # 128 GiB; on a real cluster this is spark.executor.memory instead).
+        # -Xms pre-commits the heap: lazy heap growth made the first big
+        # shuffle 2-3x slower than steady state in measurements.
+        "spark.driver.memory": "24g",
+        "spark.driver.extraJavaOptions": "-Xms24g -XX:+AlwaysPreTouch",
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -48,11 +48,22 @@ def read_epoch(spark: SparkSession, stream_root: str, epoch: int) -> DataFrame:
     return spark.read.parquet(os.path.join(stream_root, f"epoch={epoch}"))
 
 
+def epoch_row_count(stream_root: str, epoch: int) -> int:
+    """Cheap batch-size hint from Parquet footers only (no data scan) — feeds
+    the merge's touched-bucket shortcut."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for fp in glob.glob(os.path.join(stream_root, f"epoch={epoch}", "*.parquet")):
+        total += pq.ParquetFile(fp).metadata.num_rows
+    return total
+
+
 def iter_pending(
     spark: SparkSession, stream_root: str, table: LakeTable
-) -> Iterator[tuple[int, DataFrame]]:
+) -> Iterator[tuple[int, DataFrame, int]]:
     for e in pending_epochs(stream_root, table):
-        yield e, read_epoch(spark, stream_root, e)
+        yield e, read_epoch(spark, stream_root, e), epoch_row_count(stream_root, e)
 
 
 def write_epoch(changes: DataFrame, stream_root: str, epoch: int) -> None:

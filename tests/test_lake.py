@@ -85,7 +85,8 @@ def test_time_travel_and_lineage(spark, tmp_table):
     table = LakeTable.load(tmp_table)
 
     snaps = table.snapshots()
-    assert [s["op"] for s in snaps] == ["create", "merge", "merge", "merge"]
+    assert snaps[0]["op"] == "create"
+    assert all(s["op"] in ("merge", "append") for s in snaps[1:])
     assert [s["epoch"] for s in snaps] == [None, 0, 1, 2]
 
     # snapshot after epoch 0 equals oracle of epoch-0 events only

@@ -38,9 +38,14 @@ def _assert_matches_oracle(engine_df: pd.DataFrame, changes_pdf: pd.DataFrame):
     pd.testing.assert_frame_equal(engine_df, golden, check_dtype=False)
 
 
-@pytest.mark.parametrize("strategy", ["pandas", "native"])
-def test_replay_matches_oracle(spark, tmp_table, strategy):
-    cfg = EngineConfig(n_buckets=16, salt_factor=2, merge_strategy=strategy)
+@pytest.mark.parametrize(
+    "mode,strategy",
+    [("mor", "native"), ("cow", "pandas"), ("cow", "native")],
+)
+def test_replay_matches_oracle(spark, tmp_table, mode, strategy):
+    cfg = EngineConfig(
+        n_buckets=16, salt_factor=2, merge_strategy=strategy, write_mode=mode
+    )
     changes = gen_changes(
         spark,
         n_events=8_000,
@@ -57,14 +62,43 @@ def test_replay_matches_oracle(spark, tmp_table, strategy):
 
 
 def test_strategies_bit_identical(spark, tmp_path):
-    """pandas and native kernels must be indistinguishable."""
+    """MoR, CoW-pandas and CoW-native paths must be indistinguishable."""
     changes = gen_changes(spark, n_events=4_000, n_convs=150, n_epochs=3, skew=2.0)
     outs = []
-    for strat in ("pandas", "native"):
-        cfg = EngineConfig(n_buckets=8, merge_strategy=strat)
-        path = str(tmp_path / f"lake_{strat}")
+    for mode, strat in (("mor", "native"), ("cow", "pandas"), ("cow", "native")):
+        cfg = EngineConfig(n_buckets=8, merge_strategy=strat, write_mode=mode)
+        path = str(tmp_path / f"lake_{mode}_{strat}")
         outs.append(_engine_final(spark, path, changes, 3, cfg))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path):
+    """Compaction (and the read fast path it enables) must not change what
+    readers see; tombstones survive compaction until vacuum."""
+    changes = gen_changes(
+        spark,
+        n_events=6_000,
+        n_convs=200,
+        n_epochs=6,
+        update_ratio=0.3,
+        delete_ratio=0.1,
+        late_ratio=0.05,
+    )
+    # threshold 2 → compaction actually fires mid-stream
+    cfg = EngineConfig(n_buckets=8, write_mode="mor", compact_threshold=2)
+    path = str(tmp_path / "lake_compact")
+    engine_df = _engine_final(spark, path, changes, 6, cfg)
+    _assert_matches_oracle(engine_df, changes.toPandas())
+
+    table = LakeTable.load(path)
+    snap = table.snapshot()
+    assert any(s["op"] == "compact" for s in table.snapshots())
+    # auto-compaction keeps every bucket below the generation threshold
+    assert all(
+        info.get("gens", 1) < cfg.compact_threshold + 1
+        for info in snap["buckets"].values()
+    )
 
 
 def test_idempotent_reapply(spark, tmp_table):
