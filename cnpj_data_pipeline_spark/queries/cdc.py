@@ -133,17 +133,27 @@ def q_final_state_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP: full engine replay — epoch-sliced ingest through the bucketed
-    lake table (salted applyInPandas merge, atomic snapshot commits, lineage),
-    then read back. Must equal q_final_state_sql's pure-SQL fold."""
-    ch = changes_from_events(spark, sf_dir)
-    n_epochs = ch.agg(F.max("epoch")).collect()[0][0] + 1
-    root = tempfile.mkdtemp(prefix="cdc_replay_")
+    lake table (single-shuffle LWW merge, MoR delta appends, atomic snapshot
+    commits, lineage), then read back. Must equal q_final_state_sql's
+    pure-SQL fold.
+
+    The derived WAL is staged to scratch storage ONCE (one scan of events,
+    partitioned by epoch) and each epoch is then read back from its own
+    directory — the shape a real WAL tail has, and 4x fewer source scans than
+    filtering the events table per epoch."""
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="cdc_replay_", dir=tmp_root)
+    wal = os.path.join(root, "wal")
+    changes_from_events(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "epoch"
+    ).parquet(wal)
     cfg = EngineConfig(n_buckets=16, salt_factor=2)
     table = LakeTable.create(
         os.path.join(root, "lake"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
     )
-    for e in range(n_epochs):
-        apply_changes(spark, table, ch.filter(F.col("epoch") == e), epoch=e, cfg=cfg)
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
     return table.read(spark)
 
 

@@ -131,24 +131,42 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-3-gram Jaccard >= 0.35: explode
     distinct shingles, self-join on shingle (co-occurrence count = |∩|),
     |∪| = |A|+|B|-|∩|. Scale path: the join key IS the shingle, so only
-    docs sharing a shingle ever meet (no quadratic blowup)."""
-    d = _docs(spark, sf_dir)
-    sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    docs sharing a shingle ever meet (no quadratic blowup). The join key is
+    the 31-bit shingle hash id (same deterministic id the oracle uses) — a
+    long-key shuffle instead of a string-key one. Each side carries its doc's
+    shingle count through the explode, so |A| and |B| ride along with the
+    pairs and no extra size-lookup joins are needed; the two identical join
+    inputs collapse into one ReusedExchange."""
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    # materialize the shingle ARRAY as a named column first: referencing one
+    # column from both size() and explode() keeps CollapseProject from
+    # inlining (= re-evaluating) the whole array expression per exploded row
+    sh = d.select("doc_id", _shingles().alias("arr")).select(
+        "doc_id",
+        F.size("arr").alias("sz"),
+        F.explode("arr").alias("shingle"),
+    ).select(
+        "doc_id",
+        "sz",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % MERSENNE
+        ).alias("sid"),
+    )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    j = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a", "doc_b", "n_inter",
-            (F.col("n_inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter"))).alias("jac"),
-        )
+    j = inter.select(
+        "doc_a", "doc_b", "n_inter",
+        (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias("jac"),
     )
     return j.filter(F.col("jac") >= 0.35).select(
         "doc_a", "doc_b", "n_inter", F.round("jac", 6).alias("jaccard")
@@ -156,15 +174,23 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_dict(spark: SparkSession, sf_dir: str):
-    """(doc_id, shingle) pairs + deterministic dense ids over sorted distinct
-    shingles — the cross-engine-stable hash basis."""
-    d = _docs(spark, sf_dir)
+    """(doc_id, sid) pairs with a deterministic, cross-engine-stable shingle
+    id: the leading 60 bits of md5(shingle) reduced mod 2^31-1. Fully
+    embarrassingly parallel — the earlier dense-id variant (row_number over a
+    globally sorted distinct-shingle dictionary) forced a single-task window
+    sort plus a dictionary join, which cannot scale; md5 is bit-identical in
+    Spark and DuckDB so the oracle stays exact. The mod keeps sid < 2^31 so
+    sid * a + b stays inside int64 for the Carter-Wegman hashes."""
+    # the source is a handful of small parquet files -> 1-2 scan partitions;
+    # fan the docs out first so the expensive explode+md5 runs on every core
+    # (rows-in is tiny, rows-out is ~100x — classic pre-explode repartition)
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    dict_w = Window.orderBy("shingle")
-    ids = sh.select("shingle").distinct().withColumn(
-        "sid", F.row_number().over(dict_w).cast("long")
+    return sh.withColumn(
+        "sid",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        % MERSENNE,
     )
-    return sh.join(ids, "shingle")
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,19 +210,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signature agreement) >= 0.5. Only same-bucket docs ever meet — the
     100TB-scale path for near-dedup."""
     sig = q_minhash_signatures(spark, sf_dir)
-    bands = []
-    for band in range(N_HASHES // 2):
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(band).alias("band"),
-                F.col(f"mh_{2 * band}").alias("h1"),
-                F.col(f"mh_{2 * band + 1}").alias("h2"),
-            )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+    # one-pass banding with stack() — a 4-way union would re-evaluate the
+    # signature aggregation once per band
+    stack_args = ", ".join(
+        f"{band}, mh_{2 * band}, mh_{2 * band + 1}" for band in range(N_HASHES // 2)
+    )
+    banded = sig.selectExpr(
+        "doc_id", f"stack({N_HASHES // 2}, {stack_args}) AS (band, h1, h2)"
+    )
     a, bb = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -270,11 +291,11 @@ shingled AS (
   FROM documents
 ),
 pairs AS (SELECT doc_id, unnest(shingles) AS shingle FROM shingled),
-dict AS (
-  SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS sid
-  FROM (SELECT DISTINCT shingle FROM pairs)
-),
-doc_sids AS (SELECT p.doc_id, d.sid FROM pairs p JOIN dict d USING (shingle))
+doc_sids AS (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(shingle), 1, 15) AS UBIGINT) % 2147483647 AS BIGINT) AS sid
+  FROM pairs
+)
 """
 
 _MH_COLS = ",\n".join(
