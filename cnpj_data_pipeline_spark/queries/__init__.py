@@ -4,10 +4,10 @@ ANSI-SQL oracle where the semantics are SQL-expressible."""
 
 from __future__ import annotations
 
-from cnpj_data_pipeline_spark.queries import cdc, relational, text, vector
+from cnpj_data_pipeline_spark.queries import cdc, multimodal, relational, text, vector
 
 QUERIES = {}
 ORACLES = {}
-for _m in (cdc, relational, text, vector):
+for _m in (cdc, multimodal, relational, text, vector):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

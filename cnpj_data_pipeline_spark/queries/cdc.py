@@ -157,6 +157,31 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay + the maintenance ops: aggressive auto-compaction while
+    ingesting (generation threshold 2), then a tombstone vacuum at the final
+    watermark. Readers must see exactly the same state as q_cdc_replay /
+    the SQL fold — compaction and vacuum are invisible to semantics."""
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="cdc_replay_c_", dir=tmp_root)
+    wal = os.path.join(root, "wal")
+    changes_from_events(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "epoch"
+    ).parquet(wal)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2, compact_threshold=2)
+    table = LakeTable.create(
+        os.path.join(root, "lake"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    horizon = max(
+        (v for v in table.watermarks().values() if v is not None), default=0
+    )
+    table.vacuum_tombstones(spark, lsn_horizon=horizon + 1)
+    return table.read(spark)
+
+
 def q_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keys whose final event is a delete — the retained-tombstone set."""
     return (
@@ -208,6 +233,7 @@ QUERIES = {
     "q_lww_dedup": q_lww_dedup,
     "q_final_state_sql": q_final_state_sql,
     "q_cdc_replay": q_cdc_replay,
+    "q_cdc_replay_compacted": q_cdc_replay_compacted,
     "q_tombstones": q_tombstones,
     "q_epoch_stats": q_epoch_stats,
     "q_partition_watermarks": q_partition_watermarks,
@@ -228,6 +254,7 @@ ORACLES = {
     """,
     "q_final_state_sql": _FINAL_STATE_SQL,
     "q_cdc_replay": _FINAL_STATE_SQL,
+    "q_cdc_replay_compacted": _FINAL_STATE_SQL,
     "q_tombstones": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
         SELECT conv_id, turn_idx, lsn FROM winners WHERE op = 'D'

@@ -117,6 +117,97 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cosine") >= 0.8)
 
 
+N_CELLS = 8  # IVF coarse cells; centroid seeds are vec_id in [100, 108)
+N_PROBE = 2  # cells probed per query
+
+
+def _cells(e: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: deterministic centroid seeds (a fixed id range —
+    at real scale this is a k-means fit persisted next to the index), every
+    vector assigned to its max-dot-product cell. The assignment is a
+    broadcast join against K centroids — O(N*K) embarrassingly parallel, no
+    shuffle of the big side."""
+    cents = e.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS)
+    ).select(
+        (F.col("vec_id") - 100).cast("int").alias("cell"), F.col("emb").alias("cent")
+    )
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "emb",
+        "cell",
+        F.round(_dot(F.col("emb"), F.col("cent")), 6).alias("aff"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cell")
+    )
+
+
+def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell assignment + occupancy: the partitioned-index layout (cell →
+    posting list) that turns ANN from O(Q*N) into O(Q*N*probe/K)."""
+    e = _emb(spark, sf_dir)
+    return (
+        _cells(e)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN: each query searches only its N_PROBE nearest cells'
+    posting lists (exact cosine within), instead of the full corpus — the
+    scale path validated against q_ann_topk's brute-force baseline. Join key
+    = cell, so candidate generation is a bucket join, never N^2."""
+    e = _emb(spark, sf_dir)
+    assigned = _cells(e)
+    cents = e.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS)
+    ).select(
+        (F.col("vec_id") - 100).cast("int").alias("cell"), F.col("emb").alias("cent")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    qa = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "qe",
+        "cell",
+        F.round(_dot(F.col("qe"), F.col("cent")), 6).alias("aff"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
+    probes = (
+        qa.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qe", "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("emb"))
+                / (_norm(F.col("qe")) * _norm(F.col("emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats: count + mean norm (rounded) — the grouped
     full-vector aggregation pattern (e.g. cluster quality monitoring)."""
@@ -136,6 +227,8 @@ QUERIES = {
     "q_lsh_buckets": q_lsh_buckets,
     "q_embedding_neardup": q_embedding_neardup,
     "q_label_centroid_stats": q_label_centroid_stats,
+    "q_ivf_cells": q_ivf_cells,
+    "q_ivf_ann_topk": q_ivf_ann_topk,
 }
 
 # DuckDB twins ---------------------------------------------------------------
@@ -194,5 +287,63 @@ ORACLES = {
         SELECT label, count(*) AS n_vecs,
                round(CAST(sum(CAST(round({_norm_sql("embedding")}, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_norm
         FROM embeddings GROUP BY label
+    """,
+    "q_ivf_cells": f"""
+        WITH cents AS (
+          SELECT CAST(vec_id - 100 AS INTEGER) AS cell, embedding AS cent
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CELLS}
+        ),
+        assigned AS (
+          SELECT vid AS vec_id, cell FROM (
+            SELECT e.vec_id AS vid, c.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round({_dot_sql("e.embedding", "c.cent")}, 6) DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings e, cents c
+          ) WHERE rn = 1
+        )
+        SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+        FROM assigned GROUP BY cell
+    """,
+    "q_ivf_ann_topk": f"""
+        WITH cents AS (
+          SELECT CAST(vec_id - 100 AS INTEGER) AS cell, embedding AS cent
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CELLS}
+        ),
+        assigned AS (
+          SELECT vid AS vec_id, cell FROM (
+            SELECT e.vec_id AS vid, c.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round({_dot_sql("e.embedding", "c.cent")}, 6) DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings e, cents c
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT qid AS query_id, cell FROM (
+            SELECT q.vec_id AS qid, c.cell,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_dot_sql("q.embedding", "c.cent")}, 6) DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings q, cents c WHERE q.vec_id < {N_QUERIES}
+          ) WHERE rn <= {N_PROBE}
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS cand_id,
+                 round({_dot_sql("qe.embedding", "ce.embedding")}
+                       / ({_norm_sql("qe.embedding")} * {_norm_sql("ce.embedding")}), 6) AS cosine
+          FROM probes p
+          JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+          JOIN embeddings qe ON qe.vec_id = p.query_id
+          JOIN embeddings ce ON ce.vec_id = a.vec_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+          ) AS INTEGER) AS rank FROM cand
+        ) WHERE rank <= {TOP_K}
     """,
 }
