@@ -256,18 +256,16 @@ class LakeTable:
 
         df = _scan(merged_b)
         if unmerged_b:
-            from cnpj_data_pipeline_spark.operators.dedup import lww_order_cols
+            from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
 
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(*snap["key_cols"]).orderBy(
-                *lww_order_cols(lsn_col=LSN_META_COL, op_col=OP_META_COL)
-            )
-            winners = (
-                _scan(unmerged_b)
-                .withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
+            # hash-aggregate LWW: map-side partials collapse the delta
+            # generations before the shuffle — the MoR read tax shrinks with
+            # combine, instead of shuffling every version to a sort
+            winners = lww_winners_agg(
+                _scan(unmerged_b),
+                snap["key_cols"],
+                lsn_col=LSN_META_COL,
+                op_col=OP_META_COL,
             )
             df = df.unionByName(winners)
         if not include_tombstones:
@@ -462,10 +460,8 @@ class LakeTable:
         (bucket, salt-of-key), window over (bucket, salt, key) reuses that
         partitioning), optionally drop tombstone winners below the LSN horizon,
         rewrite the buckets as single-generation state, commit."""
-        from pyspark.sql import Window
-
         from cnpj_data_pipeline_spark.config import SALT_COL
-        from cnpj_data_pipeline_spark.operators.dedup import lww_order_cols
+        from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
 
         snap = self.snapshot()
         key_cols = snap["key_cols"]
@@ -484,14 +480,12 @@ class LakeTable:
             ),
         )
         parted = df.repartition(n_parts, F.col(BUCKET_COL), F.col(SALT_COL))
-        w = Window.partitionBy(BUCKET_COL, SALT_COL, *key_cols).orderBy(
-            *lww_order_cols(lsn_col=LSN_META_COL, op_col=OP_META_COL)
-        )
-        winners = (
-            parted.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", SALT_COL)
-        )
+        winners = lww_winners_agg(
+            parted,
+            [BUCKET_COL, SALT_COL, *key_cols],
+            lsn_col=LSN_META_COL,
+            op_col=OP_META_COL,
+        ).drop(SALT_COL)
         if lsn_horizon is not None:
             winners = winners.filter(
                 ~(

@@ -56,7 +56,7 @@ from cnpj_data_pipeline_spark.lake.format import (
     bucket_expr,
 )
 from cnpj_data_pipeline_spark.config import LSN_META_COL
-from cnpj_data_pipeline_spark.operators.dedup import lww_order_cols
+from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
 from cnpj_data_pipeline_spark.schemas import union_schema
 
 ENVELOPE_COLS = ("op", "lsn", "epoch")
@@ -171,12 +171,11 @@ def apply_changes(
         # size — the property that keeps ingest linear at 10^10 events where
         # every batch touches every bucket and CoW would be quadratic.
         # Single shuffle: repartition on (bucket, salt-of-full-key), then the
-        # window partitioned by (bucket, salt, key) reuses that partitioning
-        # (HashPartitioning on a subset of the window keys satisfies its
-        # ClusteredDistribution), so only a local sort is added; each output
-        # task holds exactly one (bucket, salt) group → one file per task.
-        from pyspark.sql import Window
-
+        # LWW hash aggregate grouped by (bucket, salt, key) reuses that
+        # partitioning (HashPartitioning on a subset of the group keys
+        # satisfies its ClusteredDistribution) — no second exchange, no sort;
+        # each output task holds exactly one (bucket, salt) group → one file
+        # per task.
         ch = ch.withColumn(
             SALT_COL,
             F.pmod(
@@ -189,14 +188,9 @@ def apply_changes(
             F.col(BUCKET_COL),
             F.col(SALT_COL),
         )
-        w = Window.partitionBy(BUCKET_COL, SALT_COL, *key_cols).orderBy(
-            *lww_order_cols()
-        )
-        winners = (
-            parted.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", SALT_COL)
-        )
+        winners = lww_winners_agg(
+            parted, [BUCKET_COL, SALT_COL, *key_cols]
+        ).drop(SALT_COL)
         phys = winners.select(
             *[F.col(f.name) for f in evolved.fields],
             F.col("lsn").alias(LSN_META_COL),
@@ -307,14 +301,9 @@ def apply_changes(
         parted = combined.repartition(
             n_parts, F.col(BUCKET_COL), F.col(SALT_COL)
         )
-        w = Window.partitionBy(BUCKET_COL, SALT_COL, *key_cols).orderBy(
-            *lww_order_cols()
-        )
-        merged = (
-            parted.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", SALT_COL)
-        )
+        merged = lww_winners_agg(
+            parted, [BUCKET_COL, SALT_COL, *key_cols]
+        ).drop(SALT_COL)
     else:
         # salted grouped-map merge: group key is (bucket, salt-of-full-key) so a
         # hot bucket splits across salt_factor Arrow tasks while each
