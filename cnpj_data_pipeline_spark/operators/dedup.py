@@ -28,15 +28,20 @@ def lww_order_cols(
     ts_col: str = "ts",
     text_col: str = "text",
     op_col: str = "op",
+    tool_col: str = "tool",
 ):
     """The engine-wide deterministic total order: LSN is authoritative (WAL
-    position); ts, op, text break ties among deliberately duplicated LSNs so
-    every execution picks the same winner."""
+    position); ts, op, text, tool break ties among deliberately duplicated
+    LSNs so every execution picks the same winner. tool closes the last
+    ambiguity: two tombstones can share (key, lsn, ts) with NULL text but
+    different tool payloads — without it the winner would be
+    partitioning-dependent."""
     return [
         F.col(lsn_col).desc(),
         F.col(ts_col).desc(),
         F.col(op_col).desc(),
         F.coalesce(F.col(text_col), F.lit("")).desc(),
+        F.coalesce(F.col(tool_col), F.lit("")).desc(),
     ]
 
 
@@ -62,6 +67,7 @@ def lww_winners_agg(
     ts_col: str = "ts",
     text_col: str = "text",
     op_col: str = "op",
+    tool_col: str = "tool",
 ) -> DataFrame:
     """The same LWW winner per group, as a hash aggregate instead of a sorted
     window: ``max_by(struct(all columns), struct(lsn, ts, op, text-key))``.
@@ -83,6 +89,7 @@ def lww_winners_agg(
         F.col(ts_col),
         F.col(op_col),
         F.coalesce(F.col(text_col), F.lit("")),
+        F.coalesce(F.col(tool_col), F.lit("")),
     )
     payload = F.struct(*[F.col(c) for c in df.columns])
     return (

@@ -96,13 +96,14 @@ def _merge_kernel(key_cols: list[str]):
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         tk = pdf["text"].fillna("") if "text" in pdf.columns else ""
-        pdf = pdf.assign(__tk=tk).sort_values(
-            ["lsn", "ts", "op", "__tk"],
-            ascending=[False, False, False, False],
+        tl = pdf["tool"].fillna("") if "tool" in pdf.columns else ""
+        pdf = pdf.assign(__tk=tk, __tl=tl).sort_values(
+            ["lsn", "ts", "op", "__tk", "__tl"],
+            ascending=[False, False, False, False, False],
             kind="mergesort",
         )
         out = pdf.drop_duplicates(subset=key_cols, keep="first")
-        return out.drop(columns=["__tk"])
+        return out.drop(columns=["__tk", "__tl"])
 
     return kernel
 

@@ -87,7 +87,7 @@ winners AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (
         PARTITION BY conv_id, turn_idx
-        ORDER BY lsn DESC, ts DESC, op DESC, coalesce(text, '') DESC
+        ORDER BY lsn DESC, ts DESC, op DESC, coalesce(text, '') DESC, coalesce(tool, '') DESC
     ) AS rn
     FROM changes
   ) WHERE rn = 1
@@ -101,6 +101,7 @@ def _winners(ch: DataFrame) -> DataFrame:
         F.col("ts").desc(),
         F.col("op").desc(),
         F.coalesce(F.col("text"), F.lit("")).desc(),
+        F.coalesce(F.col("tool"), F.lit("")).desc(),
     )
     return ch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
 
