@@ -57,6 +57,11 @@ class EngineConfig:
     write_mode: str = "mor"
     # Auto-compact a bucket once it holds this many file generations.
     compact_threshold: int = 8
+    # Rate limit per maintenance pass: at most this many buckets compacted
+    # after one epoch (most-generational first; None = unbounded). Uniform
+    # workloads push every bucket over the threshold in the same epoch — an
+    # unbounded pass then rewrites the whole table in one stall.
+    compact_max_buckets: int | None = None
     shuffle_partitions: int = 32
     # Audit column stamped on merged rows (reference: data_atualizacao =
     # CURRENT_TIMESTAMP, src/database/postgres.py:284,415,460). Excluded from

@@ -219,7 +219,10 @@ def apply_changes(
         compacted_sid = None
         if cfg.compact_threshold:
             compacted_sid = table.compact_if_needed(
-                spark, cfg.compact_threshold, salt_factor=cfg.salt_factor
+                spark,
+                cfg.compact_threshold,
+                salt_factor=cfg.salt_factor,
+                max_buckets=cfg.compact_max_buckets,
             )
             if compacted_sid is not None:
                 sid = compacted_sid

@@ -101,6 +101,25 @@ def test_mor_compaction_preserves_state(spark, tmp_path):
     )
 
 
+def test_rate_limited_compaction(spark, tmp_path):
+    """compact_max_buckets bounds one maintenance pass; state is unchanged
+    and backlog drains across epochs instead of stalling one of them."""
+    changes = gen_changes(
+        spark, n_events=6_000, n_convs=200, n_epochs=6, update_ratio=0.3
+    )
+    cfg = EngineConfig(
+        n_buckets=8, write_mode="mor", compact_threshold=2, compact_max_buckets=3
+    )
+    path = str(tmp_path / "lake_ratelimit")
+    engine_df = _engine_final(spark, path, changes, 6, cfg)
+    _assert_matches_oracle(engine_df, changes.toPandas())
+    table = LakeTable.load(path)
+    compact_snaps = [s for s in table.snapshots() if s["op"] == "compact"]
+    assert compact_snaps, "compaction never fired"
+    # each pass rewrote at most max_buckets buckets
+    assert all(len(s["lineage"]) <= 3 for s in compact_snaps)
+
+
 def test_idempotent_reapply(spark, tmp_table):
     """Re-applying an already-committed epoch changes nothing (SURVEY §5.5)."""
     cfg = EngineConfig(n_buckets=8)
