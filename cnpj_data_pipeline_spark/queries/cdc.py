@@ -183,6 +183,65 @@ def q_cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_cdc_replay_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming replay: the same derived WAL drained through
+    readStream + foreachBatch (availableNow) into the same merge path.
+    Micro-batch boundaries are whatever the file source picks — the LWW
+    total order makes the final state batching-invariant, so the identical
+    SQL fold is still the oracle."""
+    from cnpj_data_pipeline_spark.schemas import CHANGE_SCHEMA
+    from cnpj_data_pipeline_spark.streaming.stream_job import stream_ingest
+
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="cdc_replay_s_", dir=tmp_root)
+    wal = os.path.join(root, "wal")
+    changes_from_events(spark, sf_dir).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(wal)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    table = LakeTable.create(
+        os.path.join(root, "lake"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    q = stream_ingest(
+        spark,
+        wal,
+        table,
+        os.path.join(root, "ckpt"),
+        schema=CHANGE_SCHEMA,
+        cfg=cfg,
+        max_files_per_trigger=3,
+    )
+    q.awaitTermination(300)
+    return table.read(spark)
+
+
+def q_cdc_replay_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution under replay: epochs 0-1 arrive WITHOUT the
+    ``tool_meta`` column, epochs 2-3 with it — the sink's schema genuinely
+    grows mid-stream; winners from old epochs read back as NULL."""
+    tmp_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="cdc_replay_e_", dir=tmp_root)
+    wal = os.path.join(root, "wal")
+    ch = changes_from_events(spark, sf_dir).withColumn(
+        "tool_meta",
+        F.when(
+            (F.col("epoch") >= 2) & F.col("tool").isNotNull(),
+            F.concat(F.col("tool"), F.lit("#"), F.col("lsn").cast("string")),
+        ),
+    )
+    ch.write.mode("overwrite").partitionBy("epoch").parquet(wal)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    table = LakeTable.create(
+        os.path.join(root, "lake"), TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        if e < 2:
+            batch = batch.drop("tool_meta")
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    return table.read(spark)
+
+
 def q_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keys whose final event is a delete — the retained-tombstone set."""
     return (
@@ -235,6 +294,8 @@ QUERIES = {
     "q_final_state_sql": q_final_state_sql,
     "q_cdc_replay": q_cdc_replay,
     "q_cdc_replay_compacted": q_cdc_replay_compacted,
+    "q_cdc_replay_streaming": q_cdc_replay_streaming,
+    "q_cdc_replay_evolve": q_cdc_replay_evolve,
     "q_tombstones": q_tombstones,
     "q_epoch_stats": q_epoch_stats,
     "q_partition_watermarks": q_partition_watermarks,
@@ -256,6 +317,28 @@ ORACLES = {
     "q_final_state_sql": _FINAL_STATE_SQL,
     "q_cdc_replay": _FINAL_STATE_SQL,
     "q_cdc_replay_compacted": _FINAL_STATE_SQL,
+    "q_cdc_replay_streaming": _FINAL_STATE_SQL,
+    "q_cdc_replay_evolve": f"""
+        WITH {CHANGES_CTE.strip()},
+        evolved AS (
+          SELECT *,
+                 CASE WHEN epoch >= 2 AND tool IS NOT NULL
+                      THEN tool || '#' || CAST(lsn AS VARCHAR) END AS tool_meta
+          FROM changes
+        ),
+        winners AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY lsn DESC, ts DESC, op DESC,
+                         coalesce(text, '') DESC, coalesce(tool, '') DESC
+            ) AS rn
+            FROM evolved
+          ) WHERE rn = 1
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts, tool_meta
+        FROM winners WHERE op <> 'D'
+    """,
     "q_tombstones": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
         SELECT conv_id, turn_idx, lsn FROM winners WHERE op = 'D'
