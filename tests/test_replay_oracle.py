@@ -101,6 +101,23 @@ def test_mor_compaction_preserves_state(spark, tmp_path):
     )
 
 
+def test_pathological_hot_key(spark, tmp_path):
+    """20% of ALL events rewritten onto a single (conv_id, turn_idx) — the
+    worst-case hot key the north rule's skew mitigation must survive. The
+    map-side max_by combine collapses the hot key's versions before the
+    shuffle; the result must still be oracle-exact."""
+    from pyspark.sql import functions as F
+
+    ch = gen_changes(spark, n_events=20_000, n_convs=300, n_epochs=4, skew=0.0)
+    hot = F.pmod(F.xxhash64("lsn", F.lit(7)), F.lit(5)) == 0
+    ch = ch.withColumn(
+        "conv_id", F.when(hot, F.lit("c_hotkey")).otherwise(F.col("conv_id"))
+    ).withColumn("turn_idx", F.when(hot, F.lit(0)).otherwise(F.col("turn_idx")))
+    cfg = EngineConfig(n_buckets=8, salt_factor=4)
+    engine_df = _engine_final(spark, str(tmp_path / "lake_hot"), ch, 4, cfg)
+    _assert_matches_oracle(engine_df, ch.toPandas())
+
+
 def test_rate_limited_compaction(spark, tmp_path):
     """compact_max_buckets bounds one maintenance pass; state is unchanged
     and backlog drains across epochs instead of stalling one of them."""
