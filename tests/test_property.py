@@ -48,13 +48,20 @@ def _to_pdf(events):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(events=_events, split=st.integers(0, 39), strategy=st.sampled_from(["pandas", "native"]))
-def test_random_streams_match_oracle(spark, tmp_path_factory, events, split, strategy):
+@given(
+    events=_events,
+    split=st.integers(0, 39),
+    path=st.sampled_from([("mor", "native"), ("cow", "pandas"), ("cow", "native")]),
+)
+def test_random_streams_match_oracle(spark, tmp_path_factory, events, split, path):
+    mode, strategy = path
     pdf = _to_pdf(events)
     golden = final_state(pdf, payload_cols=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
 
     lake = str(tmp_path_factory.mktemp("prop") / "lake")
-    cfg = EngineConfig(n_buckets=4, salt_factor=2, merge_strategy=strategy)
+    cfg = EngineConfig(
+        n_buckets=4, salt_factor=2, merge_strategy=strategy, write_mode=mode
+    )
     table = LakeTable.create(lake, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], 4)
 
     cut = min(split, len(pdf))
