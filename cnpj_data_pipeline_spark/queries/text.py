@@ -3,9 +3,10 @@ pipeline ops): token stats, quality scoring, language-ID heuristic,
 fingerprinting, exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash.
 
 Cross-engine determinism: every hash is either md5 (identical in Spark and
-DuckDB) or integer arithmetic over a *shingle dictionary id* assigned by
-row_number over the sorted distinct shingles — the same deterministic mapping
-in both engines, avoiding engine-specific string hash functions.
+DuckDB) or integer arithmetic over a *shingle id* = the leading 60 bits of
+md5(shingle) reduced mod 2^31-1 — the same deterministic, fully parallel
+mapping in both engines (no engine-specific string hashes, no global-sort
+dictionary).
 """
 
 from __future__ import annotations
@@ -173,6 +174,61 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DF_CAP = 20  # max document frequency a shingle may have and still join
+
+
+def q_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100TB-safe variant of q_ngram_jaccard_pairs: shingles whose
+    document frequency exceeds DF_CAP are dropped BEFORE the self-join. A
+    shingle shared by f docs emits f^2 candidate pairs — boilerplate
+    n-grams ('terms of service apply') make the uncapped join quadratic at
+    web scale; the cap bounds every shingle's contribution at DF_CAP^2 while
+    barely moving recall (near-dups share many rare shingles too). The
+    denominator still uses FULL shingle counts, so reported Jaccard is a
+    lower bound of the true value — capping can only drop pairs, never
+    inflate a score."""
+    d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
+    sh = d.select("doc_id", _shingles().alias("arr")).select(
+        "doc_id",
+        F.size("arr").alias("sz"),
+        F.explode("arr").alias("shingle"),
+    ).select(
+        "doc_id",
+        "sz",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % MERSENNE
+        ).alias("sid"),
+    )
+    # broadcast the HOT set (boilerplate shingles are few) and anti-join;
+    # broadcasting the rare set would ship nearly the whole dictionary
+    hot = (
+        sh.groupBy("sid")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > DF_CAP)
+        .select("sid")
+    )
+    sh = sh.join(F.broadcast(hot), "sid", "left_anti")
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = inter.select(
+        "doc_a", "doc_b", "n_inter",
+        (F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))).alias("jac"),
+    )
+    return j.filter(F.col("jac") >= 0.35).select(
+        "doc_a", "doc_b", "n_inter", F.round("jac", 6).alias("jaccard")
+    )
+
+
 def _shingle_dict(spark: SparkSession, sf_dir: str):
     """(doc_id, sid) pairs with a deterministic, cross-engine-stable shingle
     id: the leading 60 bits of md5(shingle) reduced mod 2^31-1. Fully
@@ -270,6 +326,7 @@ QUERIES = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "q_ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
@@ -363,6 +420,29 @@ ORACLES = {
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
           FROM doc_sids a JOIN doc_sids b
+            ON a.sid = b.sid AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_inter,
+               round(n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.35
+    """,
+    "q_ngram_jaccard_pairs_capped": f"""
+        WITH {_SHINGLES_CTE.strip()},
+        hot AS (
+          SELECT sid FROM doc_sids GROUP BY sid HAVING count(*) > {DF_CAP}
+        ),
+        kept AS (
+          SELECT d.doc_id, d.sid FROM doc_sids d
+          LEFT JOIN hot h ON d.sid = h.sid WHERE h.sid IS NULL
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM doc_sids GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM kept a JOIN kept b
             ON a.sid = b.sid AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
