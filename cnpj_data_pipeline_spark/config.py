@@ -81,5 +81,4 @@ class EngineConfig:
 BUCKET_COL = "__bucket"
 SALT_COL = "__salt"
 LSN_META_COL = "__lsn"
-DELETED_COL = "__deleted"
-META_COLS = (LSN_META_COL, DELETED_COL)
+

@@ -72,7 +72,6 @@ from pyspark.sql import types as T
 
 from cnpj_data_pipeline_spark.config import (
     BUCKET_COL,
-    DELETED_COL,
     LSN_META_COL,
 )
 from cnpj_data_pipeline_spark.schemas import schema_from_json, union_schema
