@@ -10,7 +10,36 @@ timestamp round-trips.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
+
+
+def _default_driver_mem() -> str:
+    """Pick a safe default heap from the HOST's available memory, overridable
+    with ``SPARK_GRAFT_DRIVER_MEM``. Library sessions (unit tests, small
+    queries) get a modest heap with fast startup; the bench harness passes a
+    large pre-touched heap via ``extra_conf`` explicitly — a hardcoded 24g
+    default would fail to boot the JVM on small hosts and pre-touch 24 GiB for
+    every tiny test session."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gib = int(line.split()[1]) / (1024 * 1024)
+                    break
+            else:
+                avail_gib = 8.0
+    except OSError:
+        avail_gib = 8.0
+    if avail_gib >= 32:
+        return "8g"
+    if avail_gib >= 8:
+        return "4g"
+    return "2g"
 
 
 def get_spark(
@@ -37,13 +66,12 @@ def get_spark(
         # Timestamps are tz-naive UTC end-to-end (deterministic replay).
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.ui.enabled": "false",
-        # local[K] runs executors inside the driver JVM; size the heap so the
-        # shuffle of a full bench epoch never GC-thrashes (the sandbox has
-        # 128 GiB; on a real cluster this is spark.executor.memory instead).
-        # -Xms pre-commits the heap: lazy heap growth made the first big
-        # shuffle 2-3x slower than steady state in measurements.
-        "spark.driver.memory": "24g",
-        "spark.driver.extraJavaOptions": "-Xms24g -XX:+AlwaysPreTouch",
+        # local[K] runs executors inside the driver JVM; on a real cluster
+        # this is spark.executor.memory instead. Default is sized from host
+        # memory (see _default_driver_mem); bench.py overrides with a large
+        # -Xms-pre-touched heap via extra_conf because lazy heap growth made
+        # the first big shuffle 2-3x slower than steady state in measurements.
+        "spark.driver.memory": _default_driver_mem(),
     }
     if extra_conf:
         conf.update(extra_conf)
