@@ -7,6 +7,16 @@ rn = 1`` (``src/database/postgres.py:478-501``) and ``DISTINCT ON (pk)``
 ROW_NUMBER form with a total order so results are identical across partitionings,
 parallelism levels, and reruns.
 
+The engine-wide total order is ``lsn DESC, ts DESC, op DESC, text DESC,
+tool DESC, role DESC`` (string keys NULL-coalesced to ''): LSN is authoritative
+(WAL position); the remaining columns close the order over the ENTIRE payload,
+so two rows colliding on every earlier key but differing anywhere still pick
+the same winner on every partitioning, parallelism level, and engine (Spark
+window, Spark hash-agg, pandas kernel, DuckDB oracle). Tie-break columns that
+a table's schema doesn't have are simply skipped — the order stays total per
+distinct payload for any schema (a keyed table with columns (k, v, lsn) orders
+by (lsn, v-ish present cols) only).
+
 Scale notes: ``Window.partitionBy(key)`` shuffles by the FULL key
 (conv_id, turn_idx) — a hot conversation does not concentrate on one task because
 each of its turns hashes independently. No additional salting is needed for this
@@ -22,27 +32,33 @@ from pyspark.sql import functions as F
 
 LWW_ROW_NUMBER_COL = "__rn"
 
+# payload tie-break columns, in priority order after (lsn, ts, op); strings
+# coalesced to '' so NULL loses deterministically in every engine
+LWW_STRING_TIEBREAKS = ("text", "tool", "role")
+
 
 def lww_order_cols(
+    present: Sequence[str] | None = None,
     lsn_col: str = "lsn",
     ts_col: str = "ts",
-    text_col: str = "text",
     op_col: str = "op",
-    tool_col: str = "tool",
+    tiebreak_cols: Sequence[str] = LWW_STRING_TIEBREAKS,
 ):
-    """The engine-wide deterministic total order: LSN is authoritative (WAL
-    position); ts, op, text, tool break ties among deliberately duplicated
-    LSNs so every execution picks the same winner. tool closes the last
-    ambiguity: two tombstones can share (key, lsn, ts) with NULL text but
-    different tool payloads — without it the winner would be
-    partitioning-dependent."""
-    return [
-        F.col(lsn_col).desc(),
-        F.col(ts_col).desc(),
-        F.col(op_col).desc(),
-        F.coalesce(F.col(text_col), F.lit("")).desc(),
-        F.coalesce(F.col(tool_col), F.lit("")).desc(),
-    ]
+    """Engine-wide deterministic total order as Window ``orderBy`` expressions.
+
+    ``present``: the DataFrame's columns — tie-break columns not present are
+    skipped (schema-agnostic; a non-transcript table still gets a valid
+    order). ``None`` means all are assumed present."""
+    has = (lambda c: True) if present is None else (lambda c: c in set(present))
+    out = [F.col(lsn_col).desc()]
+    if has(ts_col):
+        out.append(F.col(ts_col).desc())
+    if has(op_col):
+        out.append(F.col(op_col).desc())
+    for c in tiebreak_cols:
+        if has(c):
+            out.append(F.coalesce(F.col(c), F.lit("")).desc())
+    return out
 
 
 def lww_dedup(
@@ -52,7 +68,9 @@ def lww_dedup(
     ts_col: str = "ts",
 ) -> DataFrame:
     """Keep exactly one event per key: the last writer under the total order."""
-    w = Window.partitionBy(*key_cols).orderBy(*lww_order_cols(lsn_col, ts_col))
+    w = Window.partitionBy(*key_cols).orderBy(
+        *lww_order_cols(changes.columns, lsn_col, ts_col)
+    )
     return (
         changes.withColumn(LWW_ROW_NUMBER_COL, F.row_number().over(w))
         .filter(F.col(LWW_ROW_NUMBER_COL) == 1)
@@ -65,32 +83,34 @@ def lww_winners_agg(
     group_cols: Sequence[str],
     lsn_col: str = "lsn",
     ts_col: str = "ts",
-    text_col: str = "text",
     op_col: str = "op",
-    tool_col: str = "tool",
+    tiebreak_cols: Sequence[str] = LWW_STRING_TIEBREAKS,
 ) -> DataFrame:
     """The same LWW winner per group, as a hash aggregate instead of a sorted
-    window: ``max_by(struct(all columns), struct(lsn, ts, op, text-key))``.
-    Lexicographic struct max == the all-DESC row_number()==1 row (NULL order
-    keys lose in both forms). Measured ~2x faster than the window at merge
-    scale — no post-shuffle sort, and map-side partial aggregation collapses
-    duplicate keys before they ever shuffle (the map-side-combine the
-    reference gets from Postgres's DISTINCT ON, done at the right layer).
-    When the input is already hash-partitioned on a subset of ``group_cols``
-    (the merge's explicit (bucket, salt) repartition), no extra exchange is
-    inserted and the output keeps that clustering for the partitioned write.
+    window: ``max_by(struct(all columns), struct(order key))``. Lexicographic
+    struct max == the all-DESC row_number()==1 row (NULL order keys lose in
+    both forms). Measured ~2x faster than the window at merge scale — no
+    post-shuffle sort, and map-side partial aggregation collapses duplicate
+    keys before they ever shuffle (the map-side-combine the reference gets
+    from Postgres's DISTINCT ON, done at the right layer). When the input is
+    already hash-partitioned on a subset of ``group_cols`` (the merge's
+    explicit (bucket, salt) repartition), no extra exchange is inserted and
+    the output keeps that clustering for the partitioned write.
 
-    Requires the total order to be total per distinct payload: two rows that
-    tie on (lsn, ts, op, text) must be identical in the remaining columns
-    (true for transcript envelopes — role/tool are functions of key and
-    text; real WALs have unique (key, lsn) anyway)."""
-    order_key = F.struct(
-        F.col(lsn_col),
-        F.col(ts_col),
-        F.col(op_col),
-        F.coalesce(F.col(text_col), F.lit("")),
-        F.coalesce(F.col(tool_col), F.lit("")),
-    )
+    The order key includes every tie-break column PRESENT in ``df`` (ts, op,
+    text, tool, role for transcripts) so the order is total per distinct
+    payload; schemas lacking some of them still get a valid (shorter) order —
+    the read path stays schema-agnostic."""
+    present = set(df.columns)
+    keys = [F.col(lsn_col)]
+    if ts_col in present:
+        keys.append(F.col(ts_col))
+    if op_col in present:
+        keys.append(F.col(op_col))
+    for c in tiebreak_cols:
+        if c in present:
+            keys.append(F.coalesce(F.col(c), F.lit("")))
+    order_key = F.struct(*keys)
     payload = F.struct(*[F.col(c) for c in df.columns])
     return (
         df.groupBy(*[F.col(c) for c in group_cols])

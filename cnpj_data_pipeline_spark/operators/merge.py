@@ -91,19 +91,25 @@ def _merge_partitions(spark: SparkSession, n_buckets: int, salt_factor: int) -> 
     return max(1, min(n_buckets * salt_factor, 2 * spark.sparkContext.defaultParallelism))
 
 def _merge_kernel(key_cols: list[str]):
-    """Arrow-vectorized per-group merge: sort by the engine total order, keep
-    the first row per key. Pure pandas column ops — no Python row loop."""
+    """Arrow-vectorized per-group merge: sort by the engine total order
+    (lsn, ts, op, then the string tie-breaks present — text, tool, role —
+    NULL-coalesced to ''), keep the first row per key. Pure pandas column
+    ops — no Python row loop. Must stay bit-identical to
+    operators.dedup.lww_winners_agg / lww_order_cols."""
+    from cnpj_data_pipeline_spark.operators.dedup import LWW_STRING_TIEBREAKS
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        tk = pdf["text"].fillna("") if "text" in pdf.columns else ""
-        tl = pdf["tool"].fillna("") if "tool" in pdf.columns else ""
-        pdf = pdf.assign(__tk=tk, __tl=tl).sort_values(
-            ["lsn", "ts", "op", "__tk", "__tl"],
-            ascending=[False, False, False, False, False],
-            kind="mergesort",
+        sort_cols = [c for c in ("lsn", "ts", "op") if c in pdf.columns]
+        fills = {}
+        for c in LWW_STRING_TIEBREAKS:
+            if c in pdf.columns:
+                fills[f"__k_{c}"] = pdf[c].fillna("")
+                sort_cols.append(f"__k_{c}")
+        pdf = pdf.assign(**fills).sort_values(
+            sort_cols, ascending=[False] * len(sort_cols), kind="mergesort"
         )
         out = pdf.drop_duplicates(subset=key_cols, keep="first")
-        return out.drop(columns=["__tk", "__tl"])
+        return out.drop(columns=list(fills))
 
     return kernel
 

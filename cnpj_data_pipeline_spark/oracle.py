@@ -4,8 +4,8 @@ Plays the role the reference's Postgres plays for its pipeline: the independent
 referee for final table state. Applies the change envelopes in a strict
 deterministic total order and keeps the last writer per key:
 
-    ORDER BY lsn DESC, ts DESC, op DESC,
-             coalesce(text,'') DESC, coalesce(tool,'') DESC        →  row 1 wins
+    ORDER BY lsn DESC, ts DESC, op DESC, coalesce(text,'') DESC,
+             coalesce(tool,'') DESC, coalesce(role,'') DESC        →  row 1 wins
     winner.op == 'D'  →  key absent from final state
 
 This mirrors the reference's batched merge (``ROW_NUMBER() OVER (PARTITION BY pk
@@ -19,7 +19,7 @@ from __future__ import annotations
 import pandas as pd
 
 KEY = ["conv_id", "turn_idx"]
-ORDER = ["lsn", "ts", "op", "_text_key", "_tool_key"]
+ORDER = ["lsn", "ts", "op", "_text_key", "_tool_key", "_role_key"]
 
 
 def final_state(changes: pd.DataFrame, payload_cols: list[str] | None = None) -> pd.DataFrame:
@@ -31,9 +31,8 @@ def final_state(changes: pd.DataFrame, payload_cols: list[str] | None = None) ->
     df = changes.copy()
     df["_text_key"] = df["text"].fillna("") if "text" in df else ""
     df["_tool_key"] = df["tool"].fillna("") if "tool" in df else ""
-    df = df.sort_values(
-        ORDER, ascending=[False, False, False, False, False], kind="mergesort"
-    )
+    df["_role_key"] = df["role"].fillna("") if "role" in df else ""
+    df = df.sort_values(ORDER, ascending=[False] * len(ORDER), kind="mergesort")
     winners = df.drop_duplicates(subset=KEY, keep="first")
     alive = winners[winners["op"] != "D"]
     out = alive[payload_cols].sort_values(KEY, kind="mergesort").reset_index(drop=True)

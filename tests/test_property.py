@@ -78,3 +78,39 @@ def test_random_streams_match_oracle(spark, tmp_path_factory, events, split, pat
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+
+
+def test_role_only_collision_deterministic(spark, tmp_path_factory):
+    """Two rows tying on (lsn, ts, op, text, tool) but differing ONLY in role
+    must pick the same winner (max role) on every kernel/partitioning — the
+    final tie-break closing the total order over the whole payload."""
+    ts = pd.Timestamp("2026-01-01")
+    rows = []
+    for i, role in enumerate(["assistant", "user", "system", "tool"]):
+        rows.append(
+            {
+                "conv_id": "c00000001",
+                "turn_idx": 0,
+                "role": role,
+                "text": None,
+                "tool": None,
+                "ts": ts,
+                "op": "U",
+                "lsn": 7,
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    golden = final_state(
+        pdf, payload_cols=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    assert golden["role"].tolist() == ["user"]  # max() of the role strings
+
+    for strategy in ("native", "pandas"):
+        lake = str(tmp_path_factory.mktemp("rolecol") / f"lake_{strategy}")
+        cfg = EngineConfig(n_buckets=4, salt_factor=2, merge_strategy=strategy)
+        table = LakeTable.create(lake, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], 4)
+        # two epochs with the colliding rows split across them, both orders
+        apply_changes(spark, table, spark.createDataFrame(pdf.iloc[:2]), 0, cfg)
+        apply_changes(spark, table, spark.createDataFrame(pdf.iloc[2:]), 1, cfg)
+        got = table.read(spark).toPandas().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, golden, check_dtype=False)
