@@ -58,7 +58,14 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join + agg + deterministic top-k (O-family): revenue top-10 customers."""
+    """Join + agg + deterministic top-k (O-family): revenue top-10 customers.
+
+    Top-k shape: ``orderBy(...).limit(10)`` — Catalyst emits
+    TakeOrderedAndProject (parallel per-partition partial top-k, tiny driver
+    merge), NOT a global sort. A ``Window.orderBy`` with no partitionBy here
+    would funnel every aggregated customer through ONE task — a single-task
+    scale-killer at 10^8 customers. The rank column is window-ranked only
+    over the 10 surviving rows."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     agg = (
@@ -69,8 +76,9 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double").alias("revenue"),
         )
     )
+    top = agg.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return agg.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10)
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def q_region_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
