@@ -26,4 +26,9 @@ __version__ = "0.1.0"
 from cnpj_data_pipeline_spark.config import EngineConfig  # noqa: F401
 from cnpj_data_pipeline_spark.lake.format import LakeTable  # noqa: F401
 from cnpj_data_pipeline_spark.operators.merge import apply_changes  # noqa: F401
+from cnpj_data_pipeline_spark.plans.catalog import (  # noqa: F401
+    MultiTableIngestJob,
+    TableCatalog,
+    TableSpec,
+)
 from cnpj_data_pipeline_spark.plans.pipeline import IngestJob  # noqa: F401

@@ -83,12 +83,19 @@ PHYSICAL_META_FIELDS = [
 ]
 
 
-def bucket_expr(key_cols: Sequence[str], n_buckets: int):
+def bucket_expr(key_cols: Sequence[str] | None, n_buckets: int, lsn_col: str = "lsn"):
     """Stable bucket assignment on the FULL key. Hashing (conv_id, turn_idx)
     rather than conv_id alone spreads a hot conversation's turns over many
     buckets — the skew mitigation the north rule asks for, applied at the
-    storage layout level."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+    storage layout level.
+
+    Keyless (append-only) tables bucket on the LSN instead — any even spread
+    works because no per-key locality is required (there are no keys)."""
+    if key_cols:
+        cols = [F.col(c) for c in key_cols]
+    else:
+        cols = [F.col(lsn_col)]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
 
 
 def _utcnow_iso() -> str:
@@ -126,9 +133,13 @@ class LakeTable:
         cls,
         root: str,
         schema: T.StructType,
-        key_cols: Sequence[str],
+        key_cols: Sequence[str] | None,
         n_buckets: int,
     ) -> "LakeTable":
+        """``key_cols=None`` declares a KEYLESS append-only table (the
+        reference's no-PK ``socios`` path, src/database/postgres.py:213-214,
+        init-db/postgres.sql:104-119): every change row is a pure insert with
+        lineage/exactly-once, no LWW resolution, no tombstones."""
         t = cls(root)
         if os.path.exists(t._pointer_path()):
             raise FileExistsError(f"table already exists at {root}")
@@ -140,7 +151,7 @@ class LakeTable:
             "epoch": None,
             "op": "create",
             "schema": schema.json(),
-            "key_cols": list(key_cols),
+            "key_cols": list(key_cols) if key_cols is not None else None,
             "n_buckets": int(n_buckets),
             "buckets": {},
             "applied_epochs": [],
@@ -198,8 +209,9 @@ class LakeTable:
     def physical_schema(self, sid: int | None = None) -> T.StructType:
         return T.StructType(list(self.schema(sid).fields) + PHYSICAL_META_FIELDS)
 
-    def key_cols(self) -> list[str]:
-        return list(self.snapshot()["key_cols"])
+    def key_cols(self) -> list[str] | None:
+        kc = self.snapshot()["key_cols"]
+        return list(kc) if kc is not None else None
 
     def n_buckets(self) -> int:
         return int(self.snapshot()["n_buckets"])
@@ -237,8 +249,13 @@ class LakeTable:
         versions per key (delta generations); the LWW window resolves the
         winner at read time, but ONLY over those buckets — compacted/merged
         buckets take the window-free fast path and the two sides are unioned.
-        Keys never span buckets, so the split is safe."""
+        Keys never span buckets, so the split is safe.
+
+        Keyless (append-only) tables are a plain scan: every appended row is
+        visible, no LWW, and no tombstone filtering (delete semantics need a
+        key)."""
         snap = self.snapshot(snapshot_id)
+        keyless = snap["key_cols"] is None
         phys = T.StructType(
             list(schema_from_json(snap["schema"]).fields) + PHYSICAL_META_FIELDS
         )
@@ -247,7 +264,8 @@ class LakeTable:
         for b, info in snap["buckets"].items():
             if sel is not None and int(b) not in sel:
                 continue
-            (merged_b if info.get("merged", True) else unmerged_b).append(int(b))
+            is_merged = keyless or info.get("merged", True)
+            (merged_b if is_merged else unmerged_b).append(int(b))
 
         def _scan(bs: list[int]) -> DataFrame:
             files = self._bucket_files(snap, bs)
@@ -269,7 +287,7 @@ class LakeTable:
                 op_col=OP_META_COL,
             )
             df = df.unionByName(winners)
-        if not include_tombstones:
+        if not include_tombstones and not keyless:
             df = df.filter(F.col(OP_META_COL) != "D")
         if not include_meta:
             df = df.drop(LSN_META_COL, OP_META_COL)
@@ -357,6 +375,7 @@ class LakeTable:
         key afterwards. Appending to a bucket that already has files always
         clears the flag (multiple generations)."""
         cur = self.snapshot()
+        keyless = cur["key_cols"] is None
         sid = cur["snapshot_id"] + 1
         buckets = dict(cur["buckets"])
         lineage = []
@@ -374,7 +393,9 @@ class LakeTable:
                 gens = prev.get("gens", 1 if prev.get("files") else 0) + (
                     1 if info["files"] else 0
                 )
-                is_merged = gens <= 1
+                # keyless tables have no per-key versions to resolve: every
+                # generation is final state, so the bucket is always "merged"
+                is_merged = True if keyless else gens <= 1
             else:
                 files = info["files"]
                 rows = info["rows"]
@@ -466,6 +487,10 @@ class LakeTable:
 
         snap = self.snapshot()
         key_cols = snap["key_cols"]
+        if key_cols is None:
+            raise ValueError(
+                "keyless append-only tables have no LWW merge maintenance"
+            )
         df = self.read_state_for_merge(spark, victims, self.schema())
         df = df.withColumn(
             SALT_COL,
@@ -571,6 +596,8 @@ class LakeTable:
         with a horizon filter so multi-generation buckets stay correct (a bare
         tombstone filter would resurrect the older versions underneath)."""
         snap = self.snapshot()
+        if snap["key_cols"] is None:
+            return self.current_snapshot_id()  # keyless: no tombstone semantics
         victims = sorted(int(b) for b, info in snap["buckets"].items() if info["files"])
         if not victims:
             return self.current_snapshot_id()

@@ -147,7 +147,7 @@ def apply_changes(
         }
 
     snap = table.snapshot()
-    key_cols = list(snap["key_cols"])
+    key_cols = list(snap["key_cols"]) if snap["key_cols"] is not None else None
     n_buckets = int(snap["n_buckets"])
 
     # -- schema evolution (additive): table schema ∪ batch payload schema
@@ -169,6 +169,54 @@ def apply_changes(
     # operator remains available as operators.dedup.lww_dedup (W1).
 
     _mark("plan")
+
+    if key_cols is None:
+        # KEYLESS APPEND-ONLY path (the reference's no-PK table family:
+        # ``socios``/``dados_simples`` take pure executemany INSERT with no
+        # conflict clause, src/database/postgres.py:213-214 +
+        # init-db/postgres.sql:104-119). Every change row is an insert: no
+        # LWW, no state read, no tombstones — just bucket, append delta
+        # files, and commit atomically with lineage. Exactly-once comes from
+        # the same applied_epochs guard as keyed tables. One shuffle
+        # (repartition on bucket) bounds output files to one per bucket per
+        # epoch regardless of source partitioning.
+        parted = ch.repartition(
+            max(1, min(n_buckets, 2 * spark.sparkContext.defaultParallelism)),
+            F.col(BUCKET_COL),
+        )
+        phys = parted.select(
+            *[F.col(f.name) for f in evolved.fields],
+            F.col("lsn").alias(LSN_META_COL),
+            F.col("op").alias(OP_META_COL),
+            F.col(BUCKET_COL),
+        )
+        if cfg.write_audit_col:
+            phys = phys.withColumn(cfg.audit_col, F.current_timestamp())
+        next_sid = table.current_snapshot_id() + 1
+        stage = table.staging_dir(next_sid)
+        _mark("build_plan")
+        phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+        _mark("append_write")
+        updates = table.collect_staged(next_sid)
+        _mark("collect_staged")
+        sid = table.commit(
+            op="evolve" if evolved_changed else "append",
+            epoch=epoch,
+            bucket_updates=updates,
+            new_schema=evolved if evolved_changed else None,
+            mode="append",
+        )
+        _mark("commit")
+        return {
+            "epoch": epoch,
+            "skipped": False,
+            "rows_applied": sum(u["rows"] for u in updates.values()),
+            "buckets_touched": len(updates),
+            "seconds": time.monotonic() - t0,
+            "snapshot_id": sid,
+            "schema_evolved": evolved_changed,
+            "phases": phases,
+        }
 
     if cfg.write_mode == "mor":
         # MERGE-ON-READ fast path: no state read at all. LWW-dedup the batch

@@ -4,10 +4,17 @@ ANSI-SQL oracle where the semantics are SQL-expressible."""
 
 from __future__ import annotations
 
-from cnpj_data_pipeline_spark.queries import cdc, multimodal, relational, text, vector
+from cnpj_data_pipeline_spark.queries import (
+    cdc,
+    multimodal,
+    multitable,
+    relational,
+    text,
+    vector,
+)
 
 QUERIES = {}
 ORACLES = {}
-for _m in (cdc, multimodal, relational, text, vector):
+for _m in (cdc, multimodal, multitable, relational, text, vector):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)

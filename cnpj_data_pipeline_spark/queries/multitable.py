@@ -1,0 +1,223 @@
+"""Multi-table CDC replay queries: the reference's table-DAG ingest
+(refs → empresas → estabelecimentos → socios, ``src/downloader.py:85-160``)
+re-expressed as a 3-table catalog derived deterministically from the shared
+``events`` table — a keyed parent (``convs``), a keyed child
+(``turns`` = the transcript envelope), and a KEYLESS append-only log
+(``labels``, the no-PK ``socios`` path, src/database/postgres.py:213-214).
+
+Both queries run the REAL engine (one :class:`MultiTableIngestJob` replay per
+sf_dir, cached — the second query reads the already-committed lake tables)
+and are gated against pure-SQL DuckDB folds of the same derived envelopes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cnpj_data_pipeline_spark.config import EngineConfig
+from cnpj_data_pipeline_spark.lake.format import LakeTable
+from cnpj_data_pipeline_spark.plans.catalog import (
+    MultiTableIngestJob,
+    TableCatalog,
+    TableSpec,
+)
+from cnpj_data_pipeline_spark.queries.cdc import (
+    CHANGES_CTE,
+    N_EPOCHS,
+    WINNERS_CTE,
+    _events_max_id,
+    _mk_scratch,
+    changes_from_events,
+)
+from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+CONV_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("label", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+CATALOG = TableCatalog(
+    [
+        TableSpec("convs", CONV_SCHEMA, key_cols=("conv_id",)),
+        TableSpec(
+            "turns",
+            TRANSCRIPT_SCHEMA,
+            key_cols=("conv_id", "turn_idx"),
+            depends_on=("convs",),
+        ),
+        TableSpec("labels", LABEL_SCHEMA, key_cols=None, depends_on=("convs",)),
+    ]
+)
+
+
+def conv_changes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-table envelope: one conv-level op per event (LWW winner per
+    conv = the highest-LSN event touching it)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    max_id = _events_max_id(sf_dir)
+    return ev.select(
+        F.concat(
+            F.lit("c"), F.lpad((F.col("user_id") % 200).cast("string"), 8, "0")
+        ).alias("conv_id"),
+        F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string")).alias(
+            "title"
+        ),
+        F.col("ts"),
+        F.when(F.col("event_type") == "purchase", "U").otherwise("I").alias("op"),
+        F.col("event_id").cast("long").alias("lsn"),
+        F.expr(f"CAST((event_id * {N_EPOCHS}) DIV {max_id + 1} AS INT)").alias("epoch"),
+    )
+
+
+def label_changes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless append-only envelope: purchase events become label log rows
+    (all inserts — the table has no key, so no LWW and no deletes)."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    max_id = _events_max_id(sf_dir)
+    return ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(
+            F.lit("c"), F.lpad((F.col("user_id") % 200).cast("string"), 8, "0")
+        ).alias("conv_id"),
+        F.concat(F.lit("purchase:"), F.coalesce(F.col("props"), F.lit(""))).alias(
+            "label"
+        ),
+        F.col("ts"),
+        F.lit("I").alias("op"),
+        F.col("event_id").cast("long").alias("lsn"),
+        F.expr(f"CAST((event_id * {N_EPOCHS}) DIV {max_id + 1} AS INT)").alias("epoch"),
+    )
+
+
+_REPLAY_CACHE: dict[str, str] = {}  # sf_dir -> MultiTableIngestJob root
+
+
+def _multi_replay(spark: SparkSession, sf_dir: str) -> MultiTableIngestJob:
+    """Stage the three derived WALs and replay them through the engine once
+    per sf_dir; later queries read the committed lake tables."""
+    root = _REPLAY_CACHE.get(sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    if root and os.path.isdir(root):
+        return MultiTableIngestJob(os.path.join(root, "lakes"), CATALOG, cfg)
+    root = _mk_scratch("cdc_multi_")
+    wal_root = os.path.join(root, "wal")
+    for name, df in (
+        ("convs", conv_changes_from_events(spark, sf_dir)),
+        ("turns", changes_from_events(spark, sf_dir)),
+        ("labels", label_changes_from_events(spark, sf_dir)),
+    ):
+        df.write.mode("overwrite").partitionBy("epoch").parquet(
+            os.path.join(wal_root, name)
+        )
+    job = MultiTableIngestJob(os.path.join(root, "lakes"), CATALOG, cfg)
+    job.run_stream(spark, wal_root)
+    _REPLAY_CACHE[sf_dir] = root
+    return job
+
+
+def q_multi_table_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP (multi-table): replay a 3-table dependency DAG — keyed parent,
+    keyed child, keyless log — through the catalog ingest job, then join the
+    final states: per conversation, its LWW title, live turn count, and
+    appended label count."""
+    job = _multi_replay(spark, sf_dir)
+    convs = job.read(spark, "convs")
+    turns = job.read(spark, "turns")
+    labels = job.read(spark, "labels")
+    n_turns = turns.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    n_labels = labels.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_labels"))
+    return (
+        convs.select("conv_id", "title")
+        .join(n_turns, "conv_id", "left")
+        .join(n_labels, "conv_id", "left")
+        .select(
+            "conv_id",
+            "title",
+            F.coalesce(F.col("n_turns"), F.lit(0)).cast("long").alias("n_turns"),
+            F.coalesce(F.col("n_labels"), F.lit(0)).cast("long").alias("n_labels"),
+        )
+    )
+
+
+def q_append_only_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless append-only table read-back: every appended row is visible
+    (no LWW, no tombstones), with the commit LSN exposed from the row's
+    lineage meta column."""
+    job = _multi_replay(spark, sf_dir)
+    t = LakeTable.load(job.table_path("labels"))
+    return t.read(spark, include_meta=True).select(
+        "conv_id", "label", F.col("__lsn").alias("lsn"), "ts"
+    )
+
+
+CONV_CHANGES_CTE = """
+conv_changes AS (
+  SELECT 'c' || lpad(CAST(user_id % 200 AS VARCHAR), 8, '0') AS conv_id,
+         event_type || ':' || CAST(event_id AS VARCHAR) AS title,
+         ts,
+         CASE WHEN event_type = 'purchase' THEN 'U' ELSE 'I' END AS op,
+         CAST(event_id AS BIGINT) AS lsn
+  FROM events
+),
+conv_winners AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id
+        ORDER BY lsn DESC, ts DESC, op DESC, coalesce(title, '') DESC
+    ) AS rn
+    FROM conv_changes
+  ) WHERE rn = 1
+)
+"""
+
+LABELS_CTE = """
+labels AS (
+  SELECT 'c' || lpad(CAST(user_id % 200 AS VARCHAR), 8, '0') AS conv_id,
+         'purchase:' || coalesce(props, '') AS label,
+         ts,
+         CAST(event_id AS BIGINT) AS lsn
+  FROM events WHERE event_type = 'purchase'
+)
+"""
+
+QUERIES = {
+    "q_multi_table_replay": q_multi_table_replay,
+    "q_append_only_log": q_append_only_log,
+}
+
+ORACLES = {
+    "q_multi_table_replay": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
+        {CONV_CHANGES_CTE.strip()}, {LABELS_CTE.strip()},
+        alive_turns AS (
+          SELECT conv_id, count(*) AS n FROM winners WHERE op <> 'D' GROUP BY conv_id
+        ),
+        label_counts AS (
+          SELECT conv_id, count(*) AS n FROM labels GROUP BY conv_id
+        )
+        SELECT c.conv_id, c.title,
+               CAST(coalesce(t.n, 0) AS BIGINT) AS n_turns,
+               CAST(coalesce(l.n, 0) AS BIGINT) AS n_labels
+        FROM conv_winners c
+        LEFT JOIN alive_turns t ON c.conv_id = t.conv_id
+        LEFT JOIN label_counts l ON c.conv_id = l.conv_id
+    """,
+    "q_append_only_log": f"""
+        WITH {LABELS_CTE.strip()}
+        SELECT conv_id, label, lsn, ts FROM labels
+    """,
+}
