@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from cnpj_data_pipeline_spark.queries import (
     cdc,
+    csv_ingest,
     multimodal,
     multitable,
     relational,
@@ -15,6 +16,6 @@ from cnpj_data_pipeline_spark.queries import (
 
 QUERIES = {}
 ORACLES = {}
-for _m in (cdc, multimodal, multitable, relational, text, vector):
+for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
