@@ -63,7 +63,8 @@ import datetime as _dt
 import glob
 import json
 import os
-from typing import Iterable, Sequence
+import time as _time
+from typing import Callable, Iterable, Sequence
 
 import pyarrow.parquet as _pq
 from pyspark.sql import DataFrame, SparkSession
@@ -100,6 +101,28 @@ def bucket_expr(key_cols: Sequence[str] | None, n_buckets: int, lsn_col: str = "
 
 def _utcnow_iso() -> str:
     return _dt.datetime.now(_dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+
+
+# Driver-side metadata IO retry: the TableFormat claims object-store
+# readiness, and object stores throw transient errors where a local FS never
+# does. Mirrors the reference's DB-op backoff wrapper semantics
+# (src/database/postgres.py:16-57: bounded attempts, exponential sleep) for
+# the pointer/manifest reads and writes — the executors' data IO already has
+# Spark task retries; this covers the driver's commit path.
+_RETRY_ATTEMPTS = 5
+_RETRY_BASE_SLEEP = 0.05
+
+
+def _retry_io(fn: Callable, *args, **kwargs):
+    last: Exception | None = None
+    for attempt in range(_RETRY_ATTEMPTS):
+        try:
+            return fn(*args, **kwargs)
+        except OSError as e:
+            last = e
+            if attempt < _RETRY_ATTEMPTS - 1:
+                _time.sleep(_RETRY_BASE_SLEEP * (2**attempt))
+    raise last
 
 
 def _file_stats(path: str, lsn_col: str = LSN_META_COL) -> dict:
@@ -183,14 +206,21 @@ class LakeTable:
         return os.path.join(self.meta_dir, f"snapshot-{sid}.json")
 
     def current_snapshot_id(self) -> int:
-        with open(self._pointer_path()) as f:
-            return int(f.read().strip())
+        def _read() -> int:
+            with open(self._pointer_path()) as f:
+                return int(f.read().strip())
+
+        return _retry_io(_read)
 
     def snapshot(self, sid: int | None = None) -> dict:
         if sid is None:
             sid = self.current_snapshot_id()
-        with open(self._snapshot_path(sid)) as f:
-            return json.load(f)
+
+        def _read() -> dict:
+            with open(self._snapshot_path(sid)) as f:
+                return json.load(f)
+
+        return _retry_io(_read)
 
     def snapshots(self) -> list[dict]:
         """All committed snapshots reachable from the current pointer (lineage
@@ -452,20 +482,29 @@ class LakeTable:
             raise RuntimeError(
                 f"snapshot {snap['snapshot_id']} already committed (current={cur})"
             )
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        def _write() -> None:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+
+        # retry-safe: rewriting the same tmp + re-replacing is idempotent
+        _retry_io(_write)
 
     def _swap_pointer(self, sid: int) -> None:
-        tmp = self._pointer_path() + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(sid))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer_path())
+        def _write() -> None:
+            tmp = self._pointer_path() + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(str(sid))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._pointer_path())
+
+        # retry-safe: the pointer swap is the single visibility point and
+        # replacing it with the same sid twice is idempotent
+        _retry_io(_write)
 
     # ---------------- maintenance ----------------
 

@@ -76,17 +76,25 @@ def _plane_weight(dim_idx, plane):
     return ((dim_idx * 37 + plane * 101) % 19) - 9
 
 
+def _bucket_col(emb_col, first_plane: int, n_planes: int):
+    """Sign-LSH bucket id from ``n_planes`` integer hyperplanes starting at
+    ``first_plane`` (disjoint plane ranges give independent hash families —
+    the sub-split planes for hot buckets reuse this with first_plane=8)."""
+    bucket = None
+    for k in range(n_planes):
+        p = first_plane + k
+        w = F.array(*[F.lit(float(_plane_weight(i, p))) for i in range(64)])
+        bit = F.when(_dot(emb_col, w) > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketing: bucket = bits of sign(<v, h_p>) over N_PLANES
     integer hyperplanes. At scale, near-dup search joins within buckets only."""
     e = _emb(spark, sf_dir)
-    bucket = None
-    for p in range(N_PLANES):
-        w = F.array(*[F.lit(float(_plane_weight(i, p))) for i in range(64)])
-        bit = F.when(_dot(F.col("emb"), w) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return (
-        e.select("vec_id", "label", bucket.cast("int").alias("bucket"))
+    return e.select(
+        "vec_id", "label", _bucket_col(F.col("emb"), 0, N_PLANES).alias("bucket")
     )
 
 
@@ -117,33 +125,86 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cosine") >= 0.8)
 
 
+BUCKET_CAP = 20  # sub-split any base bucket holding more than this many vecs
+N_SUB_PLANES = 8  # extra hyperplanes for the sub-split (disjoint family)
+# The capped variant gates at a LOWER cosine so the correctness check compares
+# non-empty value sets at test scale (the synthetic embeddings top out at
+# ~0.47 intra-bucket cosine; a 0.8 gate would pass trivially on empty output).
+CAPPED_T = 0.4
+
+
+def q_embedding_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-scale variant of q_embedding_neardup: HOT buckets are sub-split
+    before the self-join (the DF_CAP idea from text.py applied to LSH
+    buckets). With fixed-width buckets, bucket population grows linearly
+    with corpus size and the intra-bucket self-join is quadratic — the
+    scale-killer at 10^9 vectors. Here any bucket over ``BUCKET_CAP`` is
+    re-hashed with ``N_SUB_PLANES`` additional hyperplanes (an independent
+    sign family), shrinking expected sub-bucket size by 2^8 while cold
+    buckets keep full recall.
+
+    Recall semantics (honest lower bound, mirroring the DF-capped Jaccard):
+    a near-dup pair inside a hot bucket survives only if the pair also
+    agrees on all 8 sub-plane signs — high-cosine pairs usually do (that is
+    the LSH property), but some hot-bucket pairs are missed by design.
+    Cold-bucket pairs are exact."""
+    e = _emb(spark, sf_dir)
+    b = q_lsh_buckets(spark, sf_dir)
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # bucket occupancy is at most 2^N_PLANES rows — broadcast it
+    eb = (
+        e.join(b, "vec_id")
+        .join(F.broadcast(sizes), "bucket")
+        .select(
+            "vec_id",
+            "emb",
+            # disjoint id spaces: cold buckets keep 0..255; a hot bucket B
+            # fans out to 256*(B+1) + sub where sub in 0..255
+            F.when(F.col("n") <= BUCKET_CAP, F.col("bucket"))
+            .otherwise(
+                (F.col("bucket") + 1) * (1 << N_SUB_PLANES)
+                + _bucket_col(F.col("emb"), N_PLANES, N_SUB_PLANES)
+            )
+            .alias("bucket"),
+        )
+    )
+    a, c = eb.alias("a"), eb.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("c.vec_id").alias("vec_b"),
+        F.round(
+            _dot(F.col("a.emb"), F.col("c.emb"))
+            / (_norm(F.col("a.emb")) * _norm(F.col("c.emb"))),
+            6,
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= CAPPED_T)
+
+
 N_CELLS = 8  # IVF coarse cells; centroid seeds are vec_id in [100, 108)
 N_PROBE = 2  # cells probed per query
 
 
-def _cells(e: DataFrame) -> DataFrame:
-    """IVF coarse quantizer: deterministic centroid seeds (a fixed id range —
-    at real scale this is a k-means fit persisted next to the index), every
-    vector assigned to its max-dot-product cell. The assignment is a
-    broadcast join against K centroids — O(N*K) embarrassingly parallel, no
-    shuffle of the big side."""
-    cents = e.filter(
+def _seed_cents(e: DataFrame) -> DataFrame:
+    """Deterministic centroid seeds: a fixed vec_id range (the k-means++ of a
+    reproducible sandbox — at real scale the fit is persisted next to the
+    index; `_trained_cents` below runs the Lloyd update)."""
+    return e.filter(
         (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CELLS)
     ).select(
         (F.col("vec_id") - 100).cast("int").alias("cell"), F.col("emb").alias("cent")
     )
-    scored = e.join(F.broadcast(cents)).select(
-        "vec_id",
-        "emb",
-        "cell",
-        F.round(_dot(F.col("emb"), F.col("cent")), 6).alias("aff"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "emb", "cell")
-    )
+
+
+def _cells(e: DataFrame) -> DataFrame:
+    """IVF coarse quantizer: every vector assigned to its max-dot-product
+    seed cell. The assignment is a broadcast join against K centroids —
+    O(N*K) embarrassingly parallel, no shuffle of the big side."""
+    return _assign_to(e, _seed_cents(e))
 
 
 def q_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,6 +269,112 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trained_cents(e: DataFrame) -> DataFrame:
+    """One seeded Lloyd iteration, entirely as DataFrame aggregations: assign
+    every vector to its nearest SEED centroid (the fixed vec_id range —
+    deterministic), then recompute each cell's centroid as the per-dimension
+    mean of its members. Decimal-sum accumulation + 6dp rounding keeps the
+    result bit-identical across engines and partitionings (the same
+    determinism discipline as q_label_centroid_stats).
+
+    Shape at scale: posexplode is a map-side flatMap (64 rows per vector),
+    the groupBy(cell, pos) hash-agg has map-side partial sums, and the
+    output is K*64 rows — broadcastable. No full-data shuffle beyond the
+    one aggregation; this is the standard distributed k-means step."""
+    assigned = _cells(e)
+    dims = (
+        assigned.select("cell", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cell", "pos")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("v"), 6).cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+    )
+    return dims.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("cent")
+    )
+
+
+def _assign_to(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-cell assignment against an arbitrary (small) centroid set:
+    broadcast K centroids, score all vectors, keep the max-affinity cell."""
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "emb",
+        "cell",
+        F.round(_dot(F.col("emb"), F.col("cent")), 6).alias("aff"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "cell")
+    )
+
+
+def q_ivf_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer: cell occupancy after reassigning
+    every vector to the Lloyd-updated centroids. The trained codebook evens
+    out cell populations vs the raw seeds (the posting-list balance that
+    bounds probe cost at scale)."""
+    e = _emb(spark, sf_dir)
+    assigned = _assign_to(e, _trained_cents(e))
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN over the TRAINED codebook: queries probe their N_PROBE
+    nearest trained cells' posting lists; exact cosine within. Validated
+    against q_ann_topk's brute force (recall reported in BENCH.md)."""
+    e = _emb(spark, sf_dir)
+    cents = _trained_cents(e)
+    assigned = _assign_to(e, cents)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
+    )
+    qa = q.join(F.broadcast(cents)).select(
+        "query_id",
+        "qe",
+        "cell",
+        F.round(_dot(F.col("qe"), F.col("cent")), 6).alias("aff"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("aff").desc(), F.col("cell").asc())
+    probes = (
+        qa.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qe", "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                _dot(F.col("qe"), F.col("emb"))
+                / (_norm(F.col("qe")) * _norm(F.col("emb"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", "rank")
+    )
+
+
 def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector stats: count + mean norm (rounded) — the grouped
     full-vector aggregation pattern (e.g. cluster quality monitoring)."""
@@ -226,9 +393,12 @@ QUERIES = {
     "q_ann_topk": q_ann_topk,
     "q_lsh_buckets": q_lsh_buckets,
     "q_embedding_neardup": q_embedding_neardup,
+    "q_embedding_neardup_capped": q_embedding_neardup_capped,
     "q_label_centroid_stats": q_label_centroid_stats,
     "q_ivf_cells": q_ivf_cells,
     "q_ivf_ann_topk": q_ivf_ann_topk,
+    "q_ivf_train_cells": q_ivf_train_cells,
+    "q_ivf_ann_topk_trained": q_ivf_ann_topk_trained,
 }
 
 # DuckDB twins ---------------------------------------------------------------
@@ -247,15 +417,60 @@ def _norm_sql(a):
     return f"sqrt({_dot_sql(a, a)})"
 
 
-_BUCKET_TERMS = []
-for p in range(N_PLANES):
-    w = "[" + ",".join(str(float(_plane_weight(i, p))) for i in range(64)) + "]"
-    term = (
-        f"CASE WHEN list_sum(list_transform(range(1, 65), "
-        f"i -> CAST(embedding[i] AS DOUBLE) * ({w})[i])) > 0 THEN {1 << p} ELSE 0 END"
-    )
-    _BUCKET_TERMS.append(term)
-_BUCKET_SQL = "CAST(" + " + ".join(_BUCKET_TERMS) + " AS INTEGER)"
+def _bucket_sql(first_plane: int, n_planes: int, emb: str = "embedding") -> str:
+    terms = []
+    for k in range(n_planes):
+        p = first_plane + k
+        w = "[" + ",".join(str(float(_plane_weight(i, p))) for i in range(64)) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * ({w})[i])) > 0 THEN {1 << k} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+_BUCKET_SQL = _bucket_sql(0, N_PLANES)
+
+# shared SQL for the trained-IVF oracles: seed cents → seed assignment →
+# per-dim decimal means (one Lloyd step) → trained cents → trained assignment
+_TRAINED_CTES = f"""
+        cents AS (
+          SELECT CAST(vec_id - 100 AS INTEGER) AS cell, embedding AS cent
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CELLS}
+        ),
+        assigned0 AS (
+          SELECT vid AS vec_id, cell FROM (
+            SELECT e.vec_id AS vid, c.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round({_dot_sql("e.embedding", "c.cent")}, 6) DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings e, cents c
+          ) WHERE rn = 1
+        ),
+        dims AS (
+          SELECT a.cell, t.i AS pos,
+                 round(CAST(sum(CAST(round(CAST(e.embedding[t.i] AS DOUBLE), 6)
+                                     AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS m
+          FROM assigned0 a
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          CROSS JOIN range(1, 65) t(i)
+          GROUP BY a.cell, t.i
+        ),
+        tcents AS (
+          SELECT cell, list(m ORDER BY pos) AS cent FROM dims GROUP BY cell
+        ),
+        assigned AS (
+          SELECT vid AS vec_id, cell FROM (
+            SELECT e.vec_id AS vid, c.cell,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY round({_dot_sql("e.embedding", "c.cent")}, 6) DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings e, tcents c
+          ) WHERE rn = 1
+        )
+"""
 
 ORACLES = {
     "q_ann_topk": f"""
@@ -283,6 +498,24 @@ ORACLES = {
         )
         SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.8
     """,
+    "q_embedding_neardup_capped": f"""
+        WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+        sizes AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+        eb AS (
+          SELECT b.vec_id, b.embedding,
+                 CASE WHEN s.n <= {BUCKET_CAP} THEN b.bucket
+                      ELSE (b.bucket + 1) * {1 << N_SUB_PLANES}
+                           + {_bucket_sql(N_PLANES, N_SUB_PLANES, "b.embedding")}
+                 END AS bucket
+          FROM b JOIN sizes s ON b.bucket = s.bucket
+        ),
+        scored AS (
+          SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+                 round({_dot_sql("a.embedding", "c.embedding")} / ({_norm_sql("a.embedding")} * {_norm_sql("c.embedding")}), 6) AS cosine
+          FROM eb a JOIN eb c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        )
+        SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {CAPPED_T}
+    """,
     "q_label_centroid_stats": f"""
         SELECT label, count(*) AS n_vecs,
                round(CAST(sum(CAST(round({_norm_sql("embedding")}, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_norm
@@ -305,6 +538,38 @@ ORACLES = {
         )
         SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec_id
         FROM assigned GROUP BY cell
+    """,
+    "q_ivf_train_cells": f"""
+        WITH {_TRAINED_CTES.strip()}
+        SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+        FROM assigned GROUP BY cell
+    """,
+    "q_ivf_ann_topk_trained": f"""
+        WITH {_TRAINED_CTES.strip()},
+        probes AS (
+          SELECT qid AS query_id, cell FROM (
+            SELECT q.vec_id AS qid, c.cell,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY round({_dot_sql("q.embedding", "c.cent")}, 6) DESC, c.cell ASC
+                   ) AS rn
+            FROM embeddings q, tcents c WHERE q.vec_id < {N_QUERIES}
+          ) WHERE rn <= {N_PROBE}
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS cand_id,
+                 round({_dot_sql("qe.embedding", "ce.embedding")}
+                       / ({_norm_sql("qe.embedding")} * {_norm_sql("ce.embedding")}), 6) AS cosine
+          FROM probes p
+          JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.query_id
+          JOIN embeddings qe ON qe.vec_id = p.query_id
+          JOIN embeddings ce ON ce.vec_id = a.vec_id
+        )
+        SELECT query_id, cand_id, cosine, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC
+          ) AS INTEGER) AS rank FROM cand
+        ) WHERE rank <= {TOP_K}
     """,
     "q_ivf_ann_topk": f"""
         WITH cents AS (

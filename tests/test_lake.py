@@ -147,3 +147,55 @@ def test_orphan_staging_invisible(spark, tmp_table):
     with open(os.path.join(junk, "junk.parquet"), "wb") as f:
         f.write(b"not parquet")
     assert LakeTable.load(tmp_table).read(spark).count() == n
+
+
+def test_transient_metadata_io_retried(spark, tmp_table, monkeypatch):
+    """Driver-side metadata retry (the reference's DB backoff wrapper,
+    src/database/postgres.py:16-57, applied to pointer/manifest IO): a
+    transient OSError during the pointer swap or snapshot read is retried
+    and the commit succeeds."""
+    import os as _os
+
+    from cnpj_data_pipeline_spark.lake import format as fmt
+
+    monkeypatch.setattr(fmt, "_RETRY_BASE_SLEEP", 0.001)
+    cfg, ch = _mk(spark, tmp_table)
+    job = IngestJob(tmp_table, cfg)
+    batches = list(epoch_batches(ch, 2))
+    job.run_batches(spark, batches[:1])
+    table = LakeTable.load(tmp_table)
+
+    fails = {"n": 2}
+    real_replace = _os.replace
+
+    def flaky_replace(src, dst):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise OSError("injected transient metadata IO failure")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(fmt.os, "replace", flaky_replace)
+    job.run_batches(spark, batches[1:])  # commits despite 2 transient failures
+    assert fails["n"] == 0
+    assert table.applied_epochs() == {0, 1}
+
+    # reads retry too
+    fails2 = {"n": 2}
+    real_open = open
+
+    def flaky_open(path, *a, **kw):
+        if str(path).endswith("_current") and fails2["n"] > 0:
+            fails2["n"] -= 1
+            raise OSError("injected transient pointer read failure")
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", flaky_open)
+    assert table.current_snapshot_id() >= 2
+    assert fails2["n"] == 0
+
+    # a persistent failure still surfaces after bounded attempts
+    monkeypatch.setattr(
+        fmt, "_retry_io", lambda fn, *a, **kw: (_ for _ in ()).throw(OSError("down"))
+    )
+    with pytest.raises(OSError):
+        table.current_snapshot_id()
