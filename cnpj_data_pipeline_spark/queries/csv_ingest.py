@@ -26,7 +26,8 @@ from cnpj_data_pipeline_spark.lake.format import LakeTable
 from cnpj_data_pipeline_spark.operators.merge import apply_changes
 from cnpj_data_pipeline_spark.queries.cdc import _mk_scratch
 from cnpj_data_pipeline_spark.sources.csv_source import read_csv_batch
-from cnpj_data_pipeline_spark.sources.specs import spec_for_filename
+from cnpj_data_pipeline_spark.sources.specs import EMPRESA_SPEC, spec_for_filename
+from cnpj_data_pipeline_spark.sources.zip_source import read_zipped_csv_batch
 
 EMPRESA_TABLE_SCHEMA = T.StructType(
     [
@@ -215,7 +216,41 @@ def q_csv_batch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_csv_batch_ingest": q_csv_batch_ingest}
+_ZIP_CACHE: dict[str, str] = {}  # sf_dir -> zip archive path
+
+
+def _synth_zip_batch(sf_dir: str) -> str:
+    """Pack the fixture CSVs into a zip archive (the reference's monthly drop
+    shape: one archive, members selected by filename token)."""
+    z = _ZIP_CACHE.get(sf_dir)
+    if z and os.path.isfile(z):
+        return z
+    import zipfile
+
+    batch_dir = _synth_csv_batch(sf_dir)
+    z = os.path.join(_mk_scratch("zip_batch_"), "K3241.K03200Y0.D50510.zip")
+    with zipfile.ZipFile(z, "w", zipfile.ZIP_DEFLATED) as zf:
+        for fname in sorted(os.listdir(batch_dir)):
+            zf.write(os.path.join(batch_dir, fname), arcname=fname)
+    _ZIP_CACHE[sf_dir] = z
+    return z
+
+
+def q_zip_member_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end: binaryFile zip scan → in-executor member filter
+    (EMPRECSV only — the SOCIOCSV member is never decompressed) → vectorized
+    member CSV parse → spec projection. Typed output gated against a DuckDB
+    derivation from the same source rows."""
+    z = _synth_zip_batch(sf_dir)
+    return read_zipped_csv_batch(
+        spark, z, EMPRESA_SPEC, member_pattern=r"EMPRECSV$"
+    )
+
+
+QUERIES = {
+    "q_csv_batch_ingest": q_csv_batch_ingest,
+    "q_zip_member_scan": q_zip_member_scan,
+}
 
 ORACLES = {
     "q_csv_batch_ingest": """
@@ -252,5 +287,19 @@ ORACLES = {
         SELECT e.cnpj_basico, e.razao_social, e.capital_social, e.porte,
                CAST(coalesce(s.n, 0) AS BIGINT) AS n_socios, s.min_entrada
         FROM emp e LEFT JOIN stats s ON e.cnpj_basico = s.cnpj_basico
+    """,
+    "q_zip_member_scan": """
+        SELECT lpad(CAST(p_partkey % 100000000 AS VARCHAR), 8, '0') AS cnpj_basico,
+               'EMPRESA AÇÃO ' || CAST(p_partkey % 7 AS VARCHAR) || ' LTDA' AS razao_social,
+               CAST(2000 + p_partkey % 40 AS VARCHAR) AS natureza_juridica,
+               CAST(p_partkey % 50 AS VARCHAR) AS qualificacao_responsavel,
+               try_cast(replace(
+                 CAST(p_partkey % 1000 AS VARCHAR) || ',' ||
+                 lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0'),
+                 ',', '.') AS DOUBLE) AS capital_social,
+               CASE p_partkey % 4 WHEN 1 THEN '01' WHEN 2 THEN '03'
+                    WHEN 3 THEN '05' ELSE NULL END AS porte,
+               CAST(NULL AS VARCHAR) AS ente_federativo_responsavel
+        FROM part
     """,
 }
