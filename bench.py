@@ -57,6 +57,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q_cdc_replay",
+    "q_multi_table_replay",
+    "q_csv_batch_ingest",
     "q_lww_dedup",
     "q_final_state_sql",
     "q_insert_if_absent",
@@ -70,7 +72,9 @@ HEADLINE = [
     "q_simhash",
     "q_ann_topk",
     "q_ivf_ann_topk",
+    "q_ivf_ann_topk_trained",
     "q_embedding_neardup",
+    "q_embedding_neardup_capped",
     "q_media_byte_stats",
 ]
 
@@ -161,7 +165,13 @@ def ingest_worker(master_cores: int, wal: str, lake: str) -> None:
             **_big_heap_conf(),
         },
     )
-    cfg = EngineConfig(n_buckets=64, salt_factor=4)
+    # merge_partitions is FIXED (sized by data volume: ~4M-row epochs / 16
+    # tasks ≈ 250k rows/task) so every parallelism level runs the identical
+    # physical job — the way a real N→4N cluster comparison is run. Letting
+    # the partition count follow the core count (the library default) gives
+    # the small config fewer, bigger, per-core-cheaper tasks and understates
+    # scaling (measured ~0.05 efficiency on this VM).
+    cfg = EngineConfig(n_buckets=64, salt_factor=4, merge_partitions=16)
 
     # warmup: apply a small generated batch into a throwaway table (JIT/
     # codegen/committer init); not part of the timed run.

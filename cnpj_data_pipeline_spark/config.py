@@ -47,6 +47,14 @@ class EngineConfig:
     salt_factor: int = 4
     salt_seed: int = 1337
     merge_strategy: str = "native"
+    # Partition count for the merge shuffle. None (default) auto-sizes to
+    # min(n_buckets * salt_factor, 2 * defaultParallelism). Set explicitly to
+    # size by DATA VOLUME instead (Spark practice: bounded task size,
+    # independent of executor count) — required for apples-to-apples cluster
+    # scaling comparisons, where N and 4N executors must run the SAME job;
+    # letting the count follow core count gives the small cluster fewer,
+    # bigger, per-core-cheaper tasks and understates true scaling.
+    merge_partitions: int | None = None
     # Write path: "mor" (merge-on-read, default) appends each epoch's LWW
     # winners as bucket-delta files — per-epoch cost is O(batch), never
     # O(table); readers resolve LWW; compaction bounds read cost. "cow"

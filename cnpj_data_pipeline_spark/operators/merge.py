@@ -82,12 +82,21 @@ def _align(df: DataFrame, schema: T.StructType, extra: Sequence[str]) -> DataFra
 
 
 
-def _merge_partitions(spark: SparkSession, n_buckets: int, salt_factor: int) -> int:
+def _merge_partitions(
+    spark: SparkSession,
+    n_buckets: int,
+    salt_factor: int,
+    override: int | None = None,
+) -> int:
     """Partition count for the merge shuffle: enough tasks to keep every core
     busy (~2 waves), but never more than the number of (bucket, salt) groups —
     and not thousands of tiny tasks whose serial driver dispatch (~5 ms each)
     would dominate small batches. On a 1000-executor cluster defaultParallelism
-    drives this up; n_buckets * salt_factor is the hard cap."""
+    drives this up; n_buckets * salt_factor is the hard cap. An explicit
+    ``override`` (cfg.merge_partitions) sizes by data volume instead — the
+    scaling bench uses it so N and 4N cores run the identical physical job."""
+    if override is not None:
+        return max(1, min(n_buckets * salt_factor, override))
     return max(1, min(n_buckets * salt_factor, 2 * spark.sparkContext.defaultParallelism))
 
 def _merge_kernel(key_cols: list[str]):
@@ -181,7 +190,7 @@ def apply_changes(
         # (repartition on bucket) bounds output files to one per bucket per
         # epoch regardless of source partitioning.
         parted = ch.repartition(
-            max(1, min(n_buckets, 2 * spark.sparkContext.defaultParallelism)),
+            _merge_partitions(spark, n_buckets, 1, cfg.merge_partitions),
             F.col(BUCKET_COL),
         )
         phys = parted.select(
@@ -239,7 +248,7 @@ def apply_changes(
             ).cast("int"),
         )
         parted = ch.repartition(
-            _merge_partitions(spark, n_buckets, cfg.salt_factor),
+            _merge_partitions(spark, n_buckets, cfg.salt_factor, cfg.merge_partitions),
             F.col(BUCKET_COL),
             F.col(SALT_COL),
         )
@@ -353,7 +362,7 @@ def apply_changes(
             ).cast("int"),
         )
         n_parts = min(
-            _merge_partitions(spark, n_buckets, cfg.salt_factor),
+            _merge_partitions(spark, n_buckets, cfg.salt_factor, cfg.merge_partitions),
             max(len(touched) * cfg.salt_factor, 1),
         )
         parted = combined.repartition(
