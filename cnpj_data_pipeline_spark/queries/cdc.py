@@ -243,16 +243,46 @@ def q_cdc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, partitioned by epoch) and shared by every replay variant; each
     epoch is read back from its own directory — the shape a real WAL tail
     has."""
+    return _replayed_table(spark, sf_dir).read(spark)
+
+
+_REPLAY_LAKE_CACHE: dict[str, str] = {}  # sf_dir -> lake dir
+
+
+def _replayed_table(spark: SparkSession, sf_dir: str) -> LakeTable:
+    """The flagship replay's committed lake table, built once per sf_dir
+    (read-only consumers like the point-lookup query reuse the commit)."""
+    lake = _REPLAY_LAKE_CACHE.get(sf_dir)
+    if lake and os.path.isdir(lake):
+        return LakeTable.load(lake)
     wal = _staged_wal(spark, sf_dir)
     cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    lake = os.path.join(_mk_scratch("cdc_replay_"), "lake")
     table = LakeTable.create(
-        os.path.join(_mk_scratch("cdc_replay_"), "lake"),
-        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+        lake, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
     )
     for e in range(N_EPOCHS):
         batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
         apply_changes(spark, table, batch, epoch=e, cfg=cfg)
-    return table.read(spark)
+    _REPLAY_LAKE_CACHE[sf_dir] = lake
+    return table
+
+
+LOOKUP_CONVS = ("c00000003", "c00000097", "c00000142")
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup (mget) against the replayed lake table:
+    the key set hashes to a subset of buckets, ONLY those buckets' files are
+    scanned, and the result is the final state of exactly those keys — the
+    read-side payoff of hash-bucketed clustering (at 2^14 buckets a point
+    read touches 1/16384 of the table's files)."""
+    table = _replayed_table(spark, sf_dir)
+    keys = spark.createDataFrame(
+        [(c, t) for c in LOOKUP_CONVS for t in range(32)],
+        "conv_id string, turn_idx int",
+    )
+    return table.read_keys(spark, keys)
 
 
 def q_cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,6 +366,33 @@ def q_cdc_replay_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_stateful_conv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-conversation counters/watermarks maintained in the streaming state
+    store across micro-batches, drained availableNow. State is additive and
+    batching-invariant, so the final emission per conversation must equal
+    the batch aggregate over the whole WAL — the SQL oracle."""
+    from cnpj_data_pipeline_spark.schemas import CHANGE_SCHEMA
+    from cnpj_data_pipeline_spark.streaming.stateful import (
+        final_conv_state,
+        stream_conv_state,
+    )
+
+    wal = _staged_flat_wal(spark, sf_dir)
+    root = _mk_scratch("cdc_state_")
+    q = stream_conv_state(
+        spark,
+        wal,
+        os.path.join(root, "out"),
+        os.path.join(root, "ckpt"),
+        CHANGE_SCHEMA,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise TimeoutError("stateful stream did not drain within 600s")
+    return final_conv_state(spark, os.path.join(root, "out"))
+
+
 def q_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keys whose final event is a delete — the retained-tombstone set."""
     return (
@@ -396,6 +453,8 @@ QUERIES = {
     "q_epoch_stats": q_epoch_stats,
     "q_partition_watermarks": q_partition_watermarks,
     "q_insert_if_absent": q_insert_if_absent,
+    "q_point_lookup": q_point_lookup,
+    "q_stateful_conv_state": q_stateful_conv_state,
 }
 
 _FINAL_STATE_SQL = f"""
@@ -455,6 +514,18 @@ ORACLES = {
                max(lsn) AS max_lsn,
                count(*) AS n_events
         FROM changes GROUP BY 1
+    """,
+    "q_stateful_conv_state": f"""
+        WITH {CHANGES_CTE.strip()}
+        SELECT conv_id, count(*) AS n_events, max(lsn) AS max_lsn,
+               max(ts) AS last_ts
+        FROM changes GROUP BY conv_id
+    """,
+    "q_point_lookup": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM winners
+        WHERE op <> 'D' AND conv_id IN {LOOKUP_CONVS!r}
     """,
     "q_insert_if_absent": f"""
         WITH {CHANGES_CTE.strip()},

@@ -319,7 +319,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/O4: deterministic sample scan — the reference's first-100-rows
+    schema probe (src/processor.py:562-574), as a bounded ordered LIMIT.
+    Plan shape: TakeOrderedAndProject (parallel partial top-k; a sample never
+    sorts the table globally)."""
+    d = _docs(spark, sf_dir)
+    return d.orderBy("doc_id").limit(20).select("doc_id", "lang", "source", "n_chars")
+
+
 QUERIES = {
+    "q_doc_sample": q_doc_sample,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
     "q_lang_id": q_lang_id,
@@ -366,6 +376,10 @@ sig AS (SELECT doc_id, {_MH_COLS} FROM doc_sids GROUP BY doc_id)
 """
 
 ORACLES = {
+    "q_doc_sample": """
+        SELECT doc_id, lang, source, n_chars
+        FROM documents ORDER BY doc_id LIMIT 20
+    """,
     "q_doc_token_stats": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS INTEGER) AS n_tokens,

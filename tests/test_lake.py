@@ -199,3 +199,39 @@ def test_transient_metadata_io_retried(spark, tmp_table, monkeypatch):
     )
     with pytest.raises(OSError):
         table.current_snapshot_id()
+
+
+def test_point_lookup_bucket_pruning(spark, tmp_table):
+    """read_keys must return exactly the requested keys' final state while
+    scanning only the buckets those keys hash into."""
+    from pyspark.sql import functions as F
+
+    from cnpj_data_pipeline_spark.lake.format import bucket_expr
+
+    cfg, ch = _mk(spark, tmp_table, n_events=3_000)
+    job = IngestJob(tmp_table, cfg)
+    job.run_batches(spark, list(epoch_batches(ch, 2)))
+    table = LakeTable.load(tmp_table)
+
+    full = table.read(spark)
+    keys = (
+        full.select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")
+        .limit(3)
+    )
+    got = (
+        table.read_keys(spark, keys)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    want = (
+        full.join(keys, ["conv_id", "turn_idx"], "left_semi")
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+    assert len(got) == 3
+
+    # the scan is genuinely pruned: 3 keys hash into at most 3 of 8 buckets
+    pruned = keys.select(bucket_expr(["conv_id", "turn_idx"], 8)).distinct().count()
+    assert pruned <= 3 < 8
