@@ -118,6 +118,10 @@ def _retry_io(fn: Callable, *args, **kwargs):
     for attempt in range(_RETRY_ATTEMPTS):
         try:
             return fn(*args, **kwargs)
+        except FileNotFoundError:
+            # not transient: a missing manifest means the snapshot was
+            # expired (or the table never existed) — surface immediately
+            raise
         except OSError as e:
             last = e
             if attempt < _RETRY_ATTEMPTS - 1:
@@ -224,11 +228,16 @@ class LakeTable:
 
     def snapshots(self) -> list[dict]:
         """All committed snapshots reachable from the current pointer (lineage
-        chain, oldest first) — the time-travel index."""
+        chain, oldest first) — the time-travel index. The walk stops at the
+        expiration horizon: ``expire_snapshots`` deletes old manifests, so a
+        missing parent manifest marks truncated history, not corruption."""
         chain = []
         sid: int | None = self.current_snapshot_id()
         while sid is not None:
-            s = self.snapshot(sid)
+            try:
+                s = self.snapshot(sid)
+            except FileNotFoundError:
+                break
             chain.append(s)
             sid = s["parent_id"]
         return list(reversed(chain))
@@ -657,6 +666,72 @@ class LakeTable:
         return self._rewrite_buckets(
             spark, sorted(chosen), op="compact", salt_factor=salt_factor
         )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Iceberg-style snapshot expiration + orphan GC: keep the newest
+        ``keep_last`` snapshots reachable from the pointer, delete older
+        manifests, and physically remove every data file no kept snapshot
+        references (including staged-but-never-committed crash debris and
+        pre-compaction delta generations). Time travel remains available for
+        the kept snapshots only.
+
+        At 10^10 rows this is what bounds storage: each MoR epoch adds delta
+        files and each compaction supersedes whole generations — without
+        expiration the table keeps every byte ever written.
+
+        Safe by construction: visibility is only ever via ``_current``, which
+        always points at a kept snapshot, and concurrent readers of kept
+        snapshots see only referenced files (all kept). Returns removal
+        stats."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        chain = self.snapshots()
+        kept = chain[-keep_last:]
+        kept_ids = {s["snapshot_id"] for s in kept}
+        referenced: set[str] = set()
+        for s in kept:
+            for info in s["buckets"].values():
+                referenced.update(info["files"])
+
+        files_removed = 0
+        bytes_removed = 0
+        for fp in glob.glob(
+            os.path.join(self.data_dir, "**", "*.parquet"), recursive=True
+        ):
+            rel = os.path.relpath(fp, self.root)
+            if rel not in referenced:
+                try:
+                    bytes_removed += os.path.getsize(fp)
+                    os.remove(fp)
+                    files_removed += 1
+                except OSError:
+                    pass  # already gone / concurrent GC — harmless
+        # drop now-empty bucket/stage dirs (cosmetic; readers use manifests)
+        for d in sorted(
+            glob.glob(os.path.join(self.data_dir, "**", ""), recursive=True),
+            key=len,
+            reverse=True,
+        ):
+            try:
+                os.rmdir(d)
+            except OSError:
+                pass
+
+        snaps_removed = 0
+        for mp in glob.glob(os.path.join(self.meta_dir, "snapshot-*.json")):
+            sid = int(os.path.basename(mp).split("-")[1].split(".")[0])
+            if sid not in kept_ids:
+                try:
+                    os.remove(mp)
+                    snaps_removed += 1
+                except OSError:
+                    pass
+        return {
+            "snapshots_removed": snaps_removed,
+            "files_removed": files_removed,
+            "bytes_removed": bytes_removed,
+            "kept_snapshot_ids": sorted(kept_ids),
+        }
 
     def vacuum_tombstones(
         self, spark: SparkSession, lsn_horizon: int, salt_factor: int = 4

@@ -235,3 +235,49 @@ def test_point_lookup_bucket_pruning(spark, tmp_table):
     # the scan is genuinely pruned: 3 keys hash into at most 3 of 8 buckets
     pruned = keys.select(bucket_expr(["conv_id", "turn_idx"], 8)).distinct().count()
     assert pruned <= 3 < 8
+
+
+def test_expire_snapshots_gc(spark, tmp_table):
+    """Snapshot expiration keeps the current state readable, removes
+    superseded delta generations + crash debris, and truncates time travel
+    to the kept horizon."""
+    import glob as _glob
+
+    cfg, ch = _mk(spark, tmp_table, n_events=2_000, n_epochs=2)
+    cfg = EngineConfig(n_buckets=8, compact_threshold=2)
+    job = IngestJob(tmp_table, cfg)
+    job.run_batches(spark, list(epoch_batches(ch, 2)))
+    table = LakeTable.load(tmp_table)
+    before = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    old_sid = table.snapshots()[0]["snapshot_id"]
+
+    # crash debris: a staged-but-never-committed file must be GC'd too
+    debris_dir = os.path.join(tmp_table, "data", "snap-999", "__bucket=0")
+    os.makedirs(debris_dir)
+    debris = os.path.join(debris_dir, "part-junk.parquet")
+    open(debris, "wb").write(b"not parquet")
+
+    n_files_before = len(
+        _glob.glob(os.path.join(tmp_table, "data", "**", "*.parquet"), recursive=True)
+    )
+    stats = table.expire_snapshots(keep_last=1)
+    assert stats["files_removed"] >= 1
+    assert not os.path.exists(debris)
+    n_files_after = len(
+        _glob.glob(os.path.join(tmp_table, "data", "**", "*.parquet"), recursive=True)
+    )
+    assert n_files_after < n_files_before
+
+    # current state unchanged
+    after = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+    pd.testing.assert_frame_equal(before, after)
+
+    # time travel truncated: expired snapshot is gone, history walk stops
+    with pytest.raises(FileNotFoundError):
+        table.snapshot(old_sid)
+    assert len(table.snapshots()) == 1
+
+    # the table remains fully writable after expiration
+    more = gen_changes(spark, n_events=500, n_convs=80, n_epochs=1, seed=7)
+    job.run_batches(spark, [(7, more.drop("epoch"))])
+    assert LakeTable.load(tmp_table).applied_epochs() == {0, 1, 7}
