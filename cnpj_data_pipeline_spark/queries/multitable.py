@@ -153,6 +153,22 @@ def q_multi_table_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF (temporal) join: every turn change event is joined to the
+    conversation title revision in force at its LSN (revisions = the 'U'
+    conv-level ops). One shuffle, union+running-last composition — no range
+    explosion; gated against DuckDB's native ASOF JOIN."""
+    from cnpj_data_pipeline_spark.operators.asof import asof_join
+
+    turns = changes_from_events(spark, sf_dir).select("conv_id", "turn_idx", "lsn")
+    dims = (
+        conv_changes_from_events(spark, sf_dir)
+        .filter(F.col("op") == "U")
+        .select("conv_id", "lsn", "title")
+    )
+    return asof_join(turns, dims, on=["conv_id"], order_col="lsn", payload_cols=["title"])
+
+
 def q_append_only_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyless append-only table read-back: every appended row is visible
     (no LWW, no tombstones), with the commit LSN exposed from the row's
@@ -197,6 +213,7 @@ labels AS (
 QUERIES = {
     "q_multi_table_replay": q_multi_table_replay,
     "q_append_only_log": q_append_only_log,
+    "q_asof_titles": q_asof_titles,
 }
 
 ORACLES = {
@@ -219,5 +236,17 @@ ORACLES = {
     "q_append_only_log": f"""
         WITH {LABELS_CTE.strip()}
         SELECT conv_id, label, lsn, ts FROM labels
+    """,
+    "q_asof_titles": f"""
+        WITH {CHANGES_CTE.strip()},
+        dims AS (
+          SELECT 'c' || lpad(CAST(user_id % 200 AS VARCHAR), 8, '0') AS conv_id,
+                 CAST(event_id AS BIGINT) AS lsn,
+                 event_type || ':' || CAST(event_id AS VARCHAR) AS title
+          FROM events WHERE event_type = 'purchase'
+        )
+        SELECT t.conv_id, t.turn_idx, t.lsn, d.title AS title_asof
+        FROM changes t
+        ASOF LEFT JOIN dims d ON t.conv_id = d.conv_id AND t.lsn >= d.lsn
     """,
 }
