@@ -1,0 +1,96 @@
+"""spark-submit entrypoint for the CDC ingest engine.
+
+Cluster usage (the north-rule deployment shape)::
+
+    zip -r engine.zip cnpj_data_pipeline_spark
+    spark-submit --py-files engine.zip tools/run_ingest.py \\
+        --wal  s3://bucket/wal            # or hdfs:// / file://
+        --table s3://bucket/lake/transcripts \\
+        --n-buckets 16384 --salt-factor 8 \\
+        --stream                          # Structured Streaming tail (else batch)
+
+In this sandbox ``python tools/run_ingest.py --master local[8] ...`` is the
+single-node equivalent. The driver only ever touches metadata (epoch lists,
+snapshot JSON); all data movement is executor-side, so the same script runs
+unchanged at 1000 executors — cluster sizing comes from spark-submit flags
+(``--num-executors`` etc.), not from this code.
+
+Prints one JSON line of run metrics (epochs applied, rows, events/sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="CDC WAL -> lake table ingest")
+    ap.add_argument("--wal", required=True, help="WAL root (epoch=K/ parquet dirs)")
+    ap.add_argument("--table", required=True, help="lake table root")
+    ap.add_argument("--master", default=None, help="only for local runs; omit under spark-submit")
+    ap.add_argument("--n-buckets", type=int, default=32)
+    ap.add_argument("--salt-factor", type=int, default=4)
+    ap.add_argument("--merge-partitions", type=int, default=None)
+    ap.add_argument("--write-mode", choices=["mor", "cow"], default="mor")
+    ap.add_argument("--compact-threshold", type=int, default=8)
+    ap.add_argument("--compact-max-buckets", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--stream", action="store_true",
+                    help="tail via Structured Streaming (availableNow drain)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (default: <table>-ckpt)")
+    args = ap.parse_args()
+
+    from cnpj_data_pipeline_spark import EngineConfig, IngestJob, LakeTable
+    from cnpj_data_pipeline_spark.session import get_spark
+
+    cfg = EngineConfig(
+        n_buckets=args.n_buckets,
+        salt_factor=args.salt_factor,
+        merge_partitions=args.merge_partitions,
+        write_mode=args.write_mode,
+        compact_threshold=args.compact_threshold,
+        compact_max_buckets=args.compact_max_buckets,
+    )
+    spark = get_spark(
+        app_name="cdc-ingest",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions
+        or max(2 * __import__("multiprocessing").cpu_count(), 32),
+    )
+    job = IngestJob(args.table, cfg)
+    if args.stream:
+        from cnpj_data_pipeline_spark.schemas import CHANGE_SCHEMA
+        from cnpj_data_pipeline_spark.streaming.stream_job import stream_ingest
+
+        table = job.ensure_table()
+        q = stream_ingest(
+            spark,
+            args.wal,
+            table,
+            args.checkpoint or args.table + "-ckpt",
+            schema=CHANGE_SCHEMA,
+            cfg=cfg,
+        )
+        q.awaitTermination()
+        table = LakeTable.load(args.table)
+        out = {
+            "mode": "stream",
+            "snapshot_id": table.current_snapshot_id(),
+            "epochs_applied": len(table.applied_epochs()),
+            "rows_total": table.snapshot()["rows_total"],
+        }
+    else:
+        metrics = job.run_stream(spark, args.wal)
+        out = {"mode": "batch", **job.metrics_summary(metrics)}
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
