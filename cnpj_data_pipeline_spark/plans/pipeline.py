@@ -71,6 +71,53 @@ class IngestJob:
             spark, iter_pending(spark, stream_root, table), fail_after=fail_after
         )
 
+    def lag_summary(self, stream_root: str) -> dict:
+        """Per-partition ingest lag without touching data: the WAL's frontier
+        LSN (max across pending epochs' Parquet footer stats) versus each
+        bucket's committed ``max_lsn`` watermark from the current snapshot —
+        the reference's processed-vs-available gap (main.py:100-131), as
+        metadata-only arithmetic (footers + manifest, no scan)."""
+        import pyarrow.parquet as pq
+
+        from cnpj_data_pipeline_spark.sources.change_stream import list_epochs
+
+        table = LakeTable.load(self.table_path)
+        applied = table.applied_epochs()
+        pending = [e for e in list_epochs(stream_root) if e not in applied]
+        frontier = None
+        for e in pending:
+            import glob as _glob
+            import os as _os
+
+            for fp in _glob.glob(
+                _os.path.join(stream_root, f"epoch={e}", "*.parquet")
+            ):
+                md = pq.ParquetFile(fp).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        if col.path_in_schema == "lsn" and col.statistics is not None:
+                            st = col.statistics
+                            if st.has_min_max:
+                                frontier = (
+                                    st.max
+                                    if frontier is None
+                                    else max(frontier, st.max)
+                                )
+        marks = table.watermarks()
+        lags = {
+            b: (None if frontier is None or w is None else max(frontier - w, 0))
+            for b, w in marks.items()
+        }
+        return {
+            "pending_epochs": pending,
+            "wal_frontier_lsn": frontier,
+            "bucket_watermarks": marks,
+            "bucket_lag": lags,
+            "max_lag": max((v for v in lags.values() if v is not None), default=0),
+        }
+
     def metrics_summary(self, metrics: list[dict]) -> dict:
         applied = [m for m in metrics if not m["skipped"]]
         total_rows = sum(m["rows_applied"] for m in applied)

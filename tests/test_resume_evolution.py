@@ -101,3 +101,32 @@ def test_parallelism_invariance(spark, tmp_path):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "8")
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_lag_summary_metadata_only(spark, tmp_path):
+    """Per-partition lag: WAL frontier vs bucket watermarks, from footers +
+    manifest only. After applying half the WAL, lag is positive; after
+    draining, zero."""
+    from cnpj_data_pipeline_spark import EngineConfig, IngestJob
+    from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
+    from cnpj_data_pipeline_spark.sources.change_stream import write_epoch
+
+    wal = str(tmp_path / "wal")
+    ch = gen_changes(spark, n_events=2_000, n_convs=100, n_epochs=2)
+    for e, b in epoch_batches(ch, 2):
+        write_epoch(b, wal, e)
+    job = IngestJob(str(tmp_path / "lake"), EngineConfig(n_buckets=4))
+    try:
+        job.run_stream(spark, wal, fail_after=1)
+    except RuntimeError:
+        pass
+    lag = job.lag_summary(wal)
+    assert lag["pending_epochs"] == [1]
+    assert lag["wal_frontier_lsn"] is not None
+    assert lag["max_lag"] > 0
+
+    job.run_stream(spark, wal)
+    lag = job.lag_summary(wal)
+    assert lag["pending_epochs"] == []
+    assert lag["wal_frontier_lsn"] is None
+    assert lag["max_lag"] == 0
