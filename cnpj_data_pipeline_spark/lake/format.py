@@ -363,6 +363,92 @@ class LakeTable:
         df = self.read(spark, include_meta=include_meta, buckets=buckets)
         return df.join(F.broadcast(kd), on=list(key_cols), how="left_semi")
 
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+        include_meta: bool = True,
+    ) -> DataFrame:
+        """Iceberg-style incremental change feed (CDF): the change rows
+        committed by apply snapshots in ``(from_snapshot, to_snapshot]``,
+        read by scanning ONLY the delta files those commits appended —
+        O(changed data) IO, never O(table). This is how a downstream
+        incremental consumer (a derived table, an index builder, a cache
+        invalidator) tails the lake table without re-reading state, the
+        lake-side analogue of the WAL tail the ingest side consumes
+        (reference keeps no equivalent: its consumers re-SELECT Postgres).
+
+        Semantics: each merge-on-read apply commit appends its batch's
+        per-key LWW winners — including ``__op='D'`` tombstones — as
+        bucket-delta files. The union of those files over the window IS the
+        change feed (one row per key PER EPOCH that touched it). Folding the
+        feed with the engine's LWW total order yields the NET per-key change
+        of the window: LWW is an associative max, so per-epoch-winner then
+        max-over-epochs equals max over all window events.
+
+        Maintenance commits (``compact``/``vacuum``) rewrite files without
+        logical changes and are skipped; their rewrites do not delete the
+        delta files older snapshots reference (only ``expire_snapshots``'s
+        GC does), so the feed stays readable until the window's snapshots
+        are expired — a missing file fails loudly at scan time, never
+        silently drops changes. A copy-on-write apply commit REPLACES bucket
+        contents (its file diff would be table state, not changes), so one
+        inside the window raises.
+        """
+        to_sid = self.current_snapshot_id() if to_snapshot is None else to_snapshot
+        chain = self.snapshots()
+        by_id = {s["snapshot_id"]: s for s in chain}
+        if from_snapshot != 0 and from_snapshot not in by_id:
+            raise ValueError(
+                f"from_snapshot {from_snapshot} not in reachable history "
+                "(expired or never committed)"
+            )
+        if to_sid not in by_id:
+            raise ValueError(f"to_snapshot {to_sid} not in reachable history")
+        new_files: list[str] = []
+        for s in chain:
+            sid = s["snapshot_id"]
+            if not (from_snapshot < sid <= to_sid):
+                continue
+            if s["op"] in ("create", "compact", "vacuum"):
+                continue  # no logical change
+            parent = by_id.get(s["parent_id"])
+            if parent is None:
+                raise ValueError(
+                    f"snapshot {sid}'s parent is expired — change feed "
+                    f"window ({from_snapshot}, {to_sid}] is no longer readable"
+                )
+            pfiles = {
+                f for info in parent["buckets"].values() for f in info["files"]
+            }
+            for b, info in s["buckets"].items():
+                cur_files = info["files"]
+                prev_info = parent["buckets"].get(b)
+                if prev_info is not None and any(
+                    f not in set(cur_files) for f in prev_info["files"]
+                ):
+                    raise ValueError(
+                        f"snapshot {sid} (op={s['op']}) replaced files in "
+                        f"bucket {b}: copy-on-write commits don't retain a "
+                        "change feed — use merge-on-read (cfg.write_mode="
+                        "'mor') for CDF windows"
+                    )
+                new_files.extend(
+                    os.path.join(self.root, f) for f in cur_files if f not in pfiles
+                )
+        phys = T.StructType(
+            list(schema_from_json(by_id[to_sid]["schema"]).fields)
+            + PHYSICAL_META_FIELDS
+        )
+        if not new_files:
+            df = spark.createDataFrame([], phys)
+        else:
+            df = spark.read.schema(phys).parquet(*new_files)
+        if not include_meta:
+            df = df.drop(LSN_META_COL, OP_META_COL)
+        return df
+
     def read_state_for_merge(
         self, spark: SparkSession, buckets: Iterable[int], evolved_schema: T.StructType
     ) -> DataFrame:

@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cnpj_data_pipeline_spark.config import EngineConfig
-from cnpj_data_pipeline_spark.lake.format import LakeTable
+from cnpj_data_pipeline_spark.lake.format import (
+    LSN_META_COL,
+    OP_META_COL,
+    LakeTable,
+)
+from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
 from cnpj_data_pipeline_spark.operators.merge import apply_changes
 from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
 
@@ -285,6 +290,33 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read_keys(spark, keys)
 
 
+def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style CHANGE DATA FEED read: the net per-key change committed
+    between two snapshots of the replayed lake table (here: the state after
+    epoch 1 → the current head, i.e. epochs 2-3), scanning ONLY the delta
+    files those commits appended — O(changed data) IO, never O(table).
+
+    This is the lake-side half of CDC: the ingest tails an upstream WAL in;
+    ``read_changes`` lets DOWNSTREAM consumers (derived tables, indexes,
+    caches) tail this table out incrementally. The feed's union of per-epoch
+    LWW winners is folded with the same LWW total order, which by
+    associativity of the max equals the LWW fold over all raw window events
+    — exactly what the SQL oracle computes from the source stream. Includes
+    'D' tombstones: a downstream consumer must see deletes."""
+    table = _replayed_table(spark, sf_dir)
+    from_sid = max(
+        s["snapshot_id"] for s in table.snapshots() if s.get("epoch") == 1
+    )
+    feed = table.read_changes(spark, from_sid)
+    net = lww_winners_agg(
+        feed, ["conv_id", "turn_idx"], lsn_col=LSN_META_COL, op_col=OP_META_COL
+    )
+    return net.select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        F.col(OP_META_COL).alias("op"), F.col(LSN_META_COL).alias("lsn"),
+    )
+
+
 def q_cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay + the maintenance ops: aggressive auto-compaction while
     ingesting (generation threshold 2), then a tombstone vacuum at the final
@@ -455,6 +487,7 @@ QUERIES = {
     "q_insert_if_absent": q_insert_if_absent,
     "q_point_lookup": q_point_lookup,
     "q_stateful_conv_state": q_stateful_conv_state,
+    "q_table_changes": q_table_changes,
 }
 
 _FINAL_STATE_SQL = f"""
@@ -526,6 +559,21 @@ ORACLES = {
         SELECT conv_id, turn_idx, role, text, tool, ts
         FROM winners
         WHERE op <> 'D' AND conv_id IN {LOOKUP_CONVS!r}
+    """,
+    "q_table_changes": f"""
+        WITH {CHANGES_CTE.strip()},
+        win AS (SELECT * FROM changes WHERE epoch >= 2),
+        winners AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY lsn DESC, ts DESC, op DESC, coalesce(text, '') DESC,
+                         coalesce(tool, '') DESC, coalesce(role, '') DESC
+            ) AS rn
+            FROM win
+          ) WHERE rn = 1
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts, op, lsn FROM winners
     """,
     "q_insert_if_absent": f"""
         WITH {CHANGES_CTE.strip()},

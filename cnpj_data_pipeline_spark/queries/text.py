@@ -319,6 +319,94 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile aggregates: exact continuous quantiles (p50/p90/p99) of
+    per-doc token counts, grouped by language — the corpus-statistics shape a
+    training-data pipeline reports per shard/language.
+
+    ``F.percentile`` (Spark) and ``quantile_cont`` (DuckDB) share the same
+    definition — linear interpolation at index p*(n-1) over the sorted
+    values — so the oracle is exact after 6dp rounding. Exact percentile is
+    a sort-based aggregate: at 10^10 docs swap in ``approx_percentile``
+    (mergeable sketch, one pass, map-side combine) and keep this exact form
+    as the small-scale oracle gate."""
+    d = _docs(spark, sf_dir)
+    per = d.select("lang", F.size(_tokens()).alias("n_tokens"))
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 6).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 6).alias("p90_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.99)), 6).alias("p99_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+
+
+def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 3 longest docs (n_chars DESC, doc_id tie-break)
+    per language — the PARTITIONED window form of ranking. Contrast
+    q_top_customers (global top-k via TakeOrderedAndProject): here the rank
+    is per-group, the shuffle key IS the group key, every partition ranks
+    independently, and output is k x n_groups — no single-task global sort
+    at any scale (the unpartitioned-window trap this engine bans)."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "rnk", "doc_id", "n_chars")
+    )
+
+
+SIMHASH_BANDS = 4  # band width = SIMHASH_BITS // SIMHASH_BANDS = 4 bits
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-band LSH: band the 16-bit
+    fingerprint into 4 equal bands, bucket-join docs sharing (band, bits),
+    keep candidates whose true Hamming distance <= 3.
+
+    Unlike MinHash-LSH this banding is EXACT, not probabilistic: by
+    pigeonhole, any pair within Hamming distance bands-1 (= 3) leaves at
+    least one band untouched, so every qualifying pair is a candidate — the
+    banded bucket join returns exactly the brute-force all-pairs answer
+    (which is what the quadratic SQL oracle computes) at same-bucket join
+    cost. At 10^10 docs only same-(band,bits) docs ever meet; hot buckets
+    mean near-identical fingerprints, the pairs a dedup actually wants."""
+    sig = q_simhash(spark, sf_dir)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    stack_args = ", ".join(
+        f"{b}, shiftright(simhash, {b * width}) & {(1 << width) - 1}"
+        for b in range(SIMHASH_BANDS)
+    )
+    banded = sig.selectExpr(
+        "doc_id", "simhash", f"stack({SIMHASH_BANDS}, {stack_args}) AS (band, bits)"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        # carry both fingerprints through the join — a 2x16-bit payload is
+        # cheaper than re-joining the signature table twice to verify
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= SIMHASH_BANDS - 1)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12/O4: deterministic sample scan — the reference's first-100-rows
     schema probe (src/processor.py:562-574), as a bounded ordered LIMIT.
@@ -340,6 +428,9 @@ QUERIES = {
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
+    "q_simhash_neardup": q_simhash_neardup,
+    "q_token_quantiles": q_token_quantiles,
+    "q_top_docs_per_lang": q_top_docs_per_lang,
 }
 
 _STOP_EN_SQL = "(" + ",".join(f"'{w}'" for w in STOP_EN) + ")"
@@ -373,6 +464,21 @@ _MH_COLS = ",\n".join(
 _SIG_SQL = f"""
 WITH {_SHINGLES_CTE.strip()},
 sig AS (SELECT doc_id, {_MH_COLS} FROM doc_sids GROUP BY doc_id)
+"""
+
+# shared SQL twins of the simhash pipeline (depends on the shingles CTE)
+_SIMHASH_CTES = f"""
+        hashed AS (SELECT doc_id, (sid * {HASH_A[0]} + {HASH_B[0]}) % {MERSENNE} AS h FROM doc_sids),
+        votes AS (
+          SELECT doc_id,
+                 {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}" for j in range(SIMHASH_BITS))}
+          FROM hashed GROUP BY doc_id
+        ),
+        sims AS (
+          SELECT doc_id,
+                 CAST({" + ".join(f"CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+          FROM votes
+        )
 """
 
 ORACLES = {
@@ -489,14 +595,33 @@ ORACLES = {
     """,
     "q_simhash": f"""
         WITH {_SHINGLES_CTE.strip()},
-        hashed AS (SELECT doc_id, (sid * {HASH_A[0]} + {HASH_B[0]}) % {MERSENNE} AS h FROM doc_sids),
-        votes AS (
-          SELECT doc_id,
-                 {", ".join(f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}" for j in range(SIMHASH_BITS))}
-          FROM hashed GROUP BY doc_id
-        )
-        SELECT doc_id,
-               CAST({" + ".join(f"CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(SIMHASH_BITS))} AS BIGINT) AS simhash
-        FROM votes
+        {_SIMHASH_CTES}
+        SELECT doc_id, simhash FROM sims
+    """,
+    "q_token_quantiles": f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               round(quantile_cont(len({_TOKS}), 0.5), 6) AS p50_tokens,
+               round(quantile_cont(len({_TOKS}), 0.9), 6) AS p90_tokens,
+               round(quantile_cont(len({_TOKS}), 0.99), 6) AS p99_tokens,
+               CAST(max(len({_TOKS})) AS INTEGER) AS max_tokens
+        FROM documents GROUP BY lang
+    """,
+    "q_top_docs_per_lang": """
+        SELECT lang, CAST(rnk AS INTEGER) AS rnk, doc_id, n_chars FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (
+                     PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                 ) AS rnk
+          FROM documents
+        ) WHERE rnk <= 3
+    """,
+    "q_simhash_neardup": f"""
+        WITH {_SHINGLES_CTE.strip()},
+        {_SIMHASH_CTES}
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_BANDS - 1}
     """,
 }

@@ -1,0 +1,134 @@
+"""Change-data-feed reads (LakeTable.read_changes): the lake-side half of CDC.
+
+The ingest tails an upstream WAL in; ``read_changes`` lets downstream
+consumers tail this table OUT incrementally — O(changed data) IO via
+snapshot-manifest file diffs, never a state re-scan. Semantics under test:
+
+- the feed folded with the engine LWW order == the LWW fold over the raw
+  window events (associativity of the max: per-epoch winners then
+  max-over-epochs == max over the window);
+- maintenance commits (compaction) inside the window are invisible;
+- additive schema evolution inside the window pads old deltas with NULL;
+- copy-on-write commits (file replacement = state, not changes) raise.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from cnpj_data_pipeline_spark import EngineConfig, LakeTable
+from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
+from cnpj_data_pipeline_spark.lake.format import LSN_META_COL, OP_META_COL
+from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
+from cnpj_data_pipeline_spark.operators.merge import apply_changes
+from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _window_winners(
+    raw: pd.DataFrame, min_epoch: int, extra_cols: tuple[str, ...] = ()
+) -> pd.DataFrame:
+    """Pandas LWW fold (winners INCLUDING tombstones) over events with
+    epoch >= min_epoch — the independent referee for the net change feed."""
+    df = raw[raw["epoch"] >= min_epoch].copy()
+    for c in ("text", "tool", "role"):
+        df[f"_{c}"] = df[c].fillna("") if c in df else ""
+    order = ["lsn", "ts", "op", "_text", "_tool", "_role"]
+    df = df.sort_values(order, ascending=[False] * len(order), kind="mergesort")
+    out = df.drop_duplicates(subset=KEY, keep="first")
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts", *extra_cols, "op", "lsn"]
+    return out[cols].sort_values(KEY, kind="mergesort").reset_index(drop=True)
+
+
+def _net_feed(spark, table: LakeTable, from_sid: int) -> pd.DataFrame:
+    feed = table.read_changes(spark, from_sid)
+    net = lww_winners_agg(feed, KEY, lsn_col=LSN_META_COL, op_col=OP_META_COL)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    if "tool_meta" in net.columns:
+        cols.append("tool_meta")
+    got = net.toPandas()
+    got = got.rename(columns={LSN_META_COL: "lsn", OP_META_COL: "op"})
+    return (
+        got[cols + ["op", "lsn"]]
+        .sort_values(KEY, kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+def _ingest(spark, root, ch, n_epochs, cfg, **batch_kw):
+    table = LakeTable.create(root, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    sids = []
+    for e, batch in epoch_batches(ch, n_epochs, **batch_kw):
+        m = apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+        sids.append(m["snapshot_id"])
+    return table, sids
+
+
+def test_change_feed_matches_raw_window_fold(spark, tmp_table):
+    cfg = EngineConfig(n_buckets=8)
+    ch = gen_changes(spark, n_events=3_000, n_convs=60, n_epochs=3)
+    raw = ch.toPandas()
+    table, sids = _ingest(spark, tmp_table, ch, 3, cfg)
+
+    got = _net_feed(spark, table, sids[0])
+    exp = _window_winners(raw, min_epoch=1)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # full-history window from the create snapshot: every key ever touched
+    got_all = _net_feed(spark, table, 0)
+    exp_all = _window_winners(raw, min_epoch=0)
+    pd.testing.assert_frame_equal(got_all, exp_all, check_dtype=False)
+
+    # empty window
+    assert table.read_changes(spark, table.current_snapshot_id()).count() == 0
+
+
+def test_change_feed_skips_compaction_rewrites(spark, tmp_table):
+    # aggressive compaction: rewrites fire inside the window but are
+    # metadata-skipped, and the original delta files remain readable
+    cfg = EngineConfig(n_buckets=4, compact_threshold=2)
+    ch = gen_changes(spark, n_events=3_000, n_convs=60, n_epochs=3)
+    raw = ch.toPandas()
+    table, sids = _ingest(spark, tmp_table, ch, 3, cfg)
+    assert any(s["op"] == "compact" for s in table.snapshots())
+
+    got = _net_feed(spark, table, sids[0])
+    exp = _window_winners(raw, min_epoch=1)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_change_feed_pads_pre_evolution_deltas(spark, tmp_table):
+    # schema grows at epoch 1 (inside the window): epoch-0 deltas lack
+    # tool_meta and must read back as NULL under the evolved schema
+    cfg = EngineConfig(n_buckets=4)
+    ch = gen_changes(spark, n_events=2_000, n_convs=40, n_epochs=2, evolve_at_epoch=1)
+    raw = ch.toPandas()
+    table, _ = _ingest(spark, tmp_table, ch, 2, cfg, drop_evolved_before=1)
+
+    feed = table.read_changes(spark, 0)
+    assert "tool_meta" in feed.columns
+    got = _net_feed(spark, table, 0)
+    # referee carries the winner row's tool_meta through the fold; the sink
+    # saw epoch-0 batches WITHOUT the column, so pre-evolution winners must
+    # come back NULL — mask the raw column the same way
+    raw.loc[raw["epoch"] < 1, "tool_meta"] = None
+    exp = _window_winners(raw, min_epoch=0, extra_cols=("tool_meta",))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_change_feed_rejects_copy_on_write_window(spark, tmp_table):
+    cfg = EngineConfig(n_buckets=4, write_mode="cow")
+    ch = gen_changes(spark, n_events=1_000, n_convs=30, n_epochs=2)
+    table, _ = _ingest(spark, tmp_table, ch, 2, cfg)
+    with pytest.raises(ValueError, match="copy-on-write"):
+        table.read_changes(spark, 0)
+
+
+def test_change_feed_unknown_snapshot_raises(spark, tmp_table):
+    cfg = EngineConfig(n_buckets=4)
+    ch = gen_changes(spark, n_events=500, n_convs=20, n_epochs=1)
+    table, _ = _ingest(spark, tmp_table, ch, 1, cfg)
+    with pytest.raises(ValueError, match="not in reachable history"):
+        table.read_changes(spark, 99)
