@@ -57,6 +57,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q_cdc_replay",
+    "q_table_changes",
+    "q_derived_table_sync",
     "q_multi_table_replay",
     "q_csv_batch_ingest",
     "q_lww_dedup",
@@ -70,6 +72,7 @@ HEADLINE = [
     "q_ngram_jaccard_pairs",
     "q_minhash_lsh_pairs",
     "q_simhash",
+    "q_simhash_neardup",
     "q_ann_topk",
     "q_ivf_ann_topk",
     "q_ivf_ann_topk_trained",

@@ -18,6 +18,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cnpj_data_pipeline_spark.config import EngineConfig
 from cnpj_data_pipeline_spark.lake.format import (
@@ -317,6 +318,58 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_derived_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CDC CONSUMER: a derived lake table (per-turn text stats)
+    maintained incrementally by tailing the base table's change feed —
+    change-capture in, change-feed out, derived state exactly-once.
+
+    For each apply snapshot of the replayed base table, ``read_changes``
+    yields just that epoch's delta (O(changed data)); the rows are
+    transformed (text → n_chars/n_tokens) and applied into a SECOND lake
+    table through the same idempotent LWW merge, keyed like the base and
+    carrying the base's op/lsn so deletes propagate and replays stay
+    exactly-once. The final derived state must equal the transform of the
+    base's final state: lsn is globally unique in this stream, so the LWW
+    order is decided before any tie-break that the transform could perturb,
+    and transform∘fold == fold∘transform.
+
+    At 10^10 events this is the shape that matters: the derived table is
+    never rebuilt — each sync reads one epoch's delta files and pays one
+    O(batch) merge, the same cost profile as the ingest itself."""
+    base = _replayed_table(spark, sf_dir)
+    applies = [
+        s for s in base.snapshots()
+        if s["op"] in ("append", "evolve") and s.get("epoch") is not None
+    ]
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    derived_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    derived = LakeTable.create(
+        os.path.join(_mk_scratch("cdc_derived_"), "lake"),
+        derived_schema, ["conv_id", "turn_idx"], cfg.n_buckets,
+    )
+    prev = 0
+    for s in applies:
+        feed = base.read_changes(spark, prev, s["snapshot_id"])
+        ch = feed.select(
+            "conv_id", "turn_idx", "role",
+            F.length("text").cast("int").alias("n_chars"),
+            F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"),
+            "ts",
+            F.col(OP_META_COL).alias("op"),
+            F.col(LSN_META_COL).alias("lsn"),
+        )
+        apply_changes(spark, derived, ch, epoch=s["epoch"], cfg=cfg)
+        prev = s["snapshot_id"]
+    return derived.read(spark)
+
+
 def q_cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay + the maintenance ops: aggressive auto-compaction while
     ingesting (generation threshold 2), then a tombstone vacuum at the final
@@ -488,6 +541,7 @@ QUERIES = {
     "q_point_lookup": q_point_lookup,
     "q_stateful_conv_state": q_stateful_conv_state,
     "q_table_changes": q_table_changes,
+    "q_derived_table_sync": q_derived_table_sync,
 }
 
 _FINAL_STATE_SQL = f"""
@@ -574,6 +628,14 @@ ORACLES = {
           ) WHERE rn = 1
         )
         SELECT conv_id, turn_idx, role, text, tool, ts, op, lsn FROM winners
+    """,
+    "q_derived_table_sync": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+        SELECT conv_id, turn_idx, role,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               ts
+        FROM winners WHERE op <> 'D'
     """,
     "q_insert_if_absent": f"""
         WITH {CHANGES_CTE.strip()},

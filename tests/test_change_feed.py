@@ -118,6 +118,64 @@ def test_change_feed_pads_pre_evolution_deltas(spark, tmp_table):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
+def test_derived_table_sync_resumes_exactly_once(spark, tmp_table, tmp_path):
+    """The CDC-consumer loop (base feed → transform → derived merge) crashes
+    after two epochs and is re-run from the top: already-applied epochs are
+    idempotently skipped, the missing epoch applies, and the derived state
+    equals the transform of the base's final state."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cnpj_data_pipeline_spark.oracle import final_state
+
+    cfg = EngineConfig(n_buckets=8)
+    ch = gen_changes(spark, n_events=3_000, n_convs=60, n_epochs=3)
+    raw = ch.toPandas()
+    base, _ = _ingest(spark, tmp_table, ch, 3, cfg)
+
+    derived_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ])
+    derived = LakeTable.create(str(tmp_path / "derived"), derived_schema, KEY, 8)
+
+    def sync(stop_after: int | None = None) -> None:
+        applies = [
+            s for s in base.snapshots()
+            if s["op"] in ("append", "evolve") and s.get("epoch") is not None
+        ]
+        prev = 0
+        for i, s in enumerate(applies):
+            if stop_after is not None and i >= stop_after:
+                return  # injected consumer crash mid-stream
+            feed = base.read_changes(spark, prev, s["snapshot_id"])
+            tr = feed.select(
+                "conv_id", "turn_idx",
+                F.length("text").cast("int").alias("n_chars"),
+                F.col(LSN_META_COL).alias("lsn"),
+                F.col(OP_META_COL).alias("op"),
+                "ts",
+            )
+            apply_changes(spark, derived, tr, epoch=s["epoch"], cfg=cfg)
+            prev = s["snapshot_id"]
+
+    sync(stop_after=2)
+    assert sorted(derived.applied_epochs()) == [0, 1]
+    sync()  # full re-run: epochs 0-1 skip, epoch 2 applies
+    assert sorted(derived.applied_epochs()) == [0, 1, 2]
+
+    got = (
+        derived.read(spark).toPandas()
+        .sort_values(KEY, kind="mergesort").reset_index(drop=True)
+    )
+    exp = final_state(raw)[["conv_id", "turn_idx", "text"]].copy()
+    exp["n_chars"] = exp.pop("text").str.len()
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "n_chars"]], exp, check_dtype=False
+    )
+
+
 def test_change_feed_rejects_copy_on_write_window(spark, tmp_table):
     cfg = EngineConfig(n_buckets=4, write_mode="cow")
     ch = gen_changes(spark, n_events=1_000, n_convs=30, n_epochs=2)
