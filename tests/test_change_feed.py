@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from cnpj_data_pipeline_spark import EngineConfig, LakeTable
 from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
@@ -182,6 +184,77 @@ def test_change_feed_rejects_copy_on_write_window(spark, tmp_table):
     table, _ = _ingest(spark, tmp_table, ch, 2, cfg)
     with pytest.raises(ValueError, match="copy-on-write"):
         table.read_changes(spark, 0)
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(0, 5),            # conv
+        st.integers(0, 3),            # turn
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 30),           # lsn (collisions likely)
+        st.one_of(st.none(), st.text(alphabet="abç;", max_size=6)),
+    ),
+    min_size=1,
+    max_size=36,
+)
+
+
+def _to_pdf(events):
+    rows = []
+    for i, (conv, turn, op, lsn, text) in enumerate(events):
+        rows.append(
+            {
+                "conv_id": f"c{conv:08d}",
+                "turn_idx": turn,
+                "role": "user",
+                "text": None if op == "D" else (text or f"t{i}"),
+                "tool": None,
+                "ts": pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=lsn),
+                "op": op,
+                "lsn": lsn,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=_events,
+    cut1=st.integers(0, 35),
+    cut2=st.integers(0, 35),
+    boundary=st.integers(0, 3),
+)
+def test_random_change_feed_windows_match_fold(
+    spark, tmp_path_factory, events, cut1, cut2, boundary
+):
+    """For ANY random stream (duplicate LSNs, deletes, ties differing only in
+    payload), ANY 3-way epoch slicing, and ANY window boundary, folding
+    read_changes over the window equals the pandas LWW fold over exactly the
+    window's raw events — the associativity claim, fuzzed."""
+    pdf = _to_pdf(events)
+    a, b = sorted((min(cut1, len(pdf)), min(cut2, len(pdf))))
+    parts = [p for p in (pdf.iloc[:a], pdf.iloc[a:b], pdf.iloc[b:]) if len(p)]
+
+    lake = str(tmp_path_factory.mktemp("cdf") / "lake")
+    cfg = EngineConfig(n_buckets=4, salt_factor=2)
+    table = LakeTable.create(lake, TRANSCRIPT_SCHEMA, KEY, 4)
+    sids = []
+    for e, part in enumerate(parts):
+        m = apply_changes(spark, table, spark.createDataFrame(part), epoch=e, cfg=cfg)
+        sids.append(m["snapshot_id"])
+
+    bnd = min(boundary, len(parts))
+    from_sid = 0 if bnd == 0 else sids[bnd - 1]
+    got = _net_feed(spark, table, from_sid)
+
+    window = pd.concat(parts[bnd:]) if parts[bnd:] else pdf.iloc[0:0]
+    window = window.assign(epoch=0)
+    exp = _window_winners(window, min_epoch=0)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
 
 
 def test_change_feed_unknown_snapshot_raises(spark, tmp_table):
