@@ -32,3 +32,7 @@ from cnpj_data_pipeline_spark.plans.catalog import (  # noqa: F401
     TableSpec,
 )
 from cnpj_data_pipeline_spark.plans.pipeline import IngestJob  # noqa: F401
+from cnpj_data_pipeline_spark.plans.sync import (  # noqa: F401
+    FeedSyncJob,
+    text_stats_transform,
+)

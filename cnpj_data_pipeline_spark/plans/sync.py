@@ -1,0 +1,152 @@
+"""FeedSyncJob — the CDC *consumer* job: tail a lake table's change feed into
+a second lake table, incrementally and exactly-once.
+
+The producer half of the engine tails an upstream WAL into a lake table
+(``IngestJob``); this is the downstream half: derived tables, replicas, and
+indexes stay fresh by consuming ``LakeTable.read_changes`` windows instead of
+re-reading state. Two built-in shapes:
+
+- **mirror** (``transform=None``): an incremental lake->lake replica — the
+  cross-region / cross-tier replication job. Schema evolution flows through
+  (an ``evolve`` window pads old deltas, the merge unions the schema).
+- **derived** (``transform=fn``): any payload-level projection/enrichment
+  (e.g. per-turn text stats); deletes propagate because the base's op/lsn
+  ride along.
+
+Exactly-once without a separate consumer-offset store: epochs are the unit
+of progress, and the DERIVED table's own ``applied_epochs`` set is the
+consumer checkpoint — the same idempotent-replay guard the ingest uses
+(reference analogue: the processed-files ledger, ``main.py:100-131``). A
+crash mid-sync re-runs from the top; applied epochs skip at metadata cost.
+
+Per-sync cost is O(changed data): each window reads only the delta files the
+base's apply commit appended, and the merge is the same O(batch) MoR append.
+At 10^10 rows the derived table is never rebuilt and the base is never
+re-scanned — the property that makes N consumers affordable.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnpj_data_pipeline_spark.config import EngineConfig
+from cnpj_data_pipeline_spark.lake.format import (
+    LSN_META_COL,
+    OP_META_COL,
+    LakeTable,
+)
+from cnpj_data_pipeline_spark.operators.merge import apply_changes
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+def _apply_snapshots(table: LakeTable) -> list[dict]:
+    return [
+        s for s in table.snapshots()
+        if s["op"] in ("append", "evolve") and s.get("epoch") is not None
+    ]
+
+
+class FeedSyncJob:
+    def __init__(
+        self,
+        source_root: str,
+        derived_root: str,
+        transform: Transform | None = None,
+        cfg: EngineConfig | None = None,
+        n_buckets: int | None = None,
+    ):
+        self.source_root = source_root
+        self.derived_root = derived_root
+        self.transform = transform
+        self.cfg = cfg or EngineConfig()
+        self.n_buckets = n_buckets
+
+    def _envelope(self, feed: DataFrame) -> DataFrame:
+        """Feed rows (payload + meta) -> change envelope (payload + op/lsn),
+        with the user transform applied to the payload columns."""
+        ch = feed.withColumnsRenamed({LSN_META_COL: "lsn", OP_META_COL: "op"})
+        if self.transform is not None:
+            ch = self.transform(ch)
+            missing = {"op", "lsn"} - set(ch.columns)
+            if missing:
+                raise ValueError(
+                    f"transform must preserve the {sorted(missing)} column(s) "
+                    "— deletes and LWW ordering ride on them"
+                )
+        return ch
+
+    def _ensure_derived(self, spark: SparkSession, src: LakeTable) -> LakeTable:
+        if LakeTable.exists(self.derived_root):
+            return LakeTable.load(self.derived_root)
+        # schema: transform applied to an empty frame of the source's payload
+        # schema (plus op/lsn so the transform may reference them)
+        empty = spark.createDataFrame([], src.physical_schema())
+        payload_schema = self._envelope(empty).drop("op", "lsn").schema
+        key_cols = src.key_cols()
+        return LakeTable.create(
+            self.derived_root,
+            payload_schema,
+            key_cols,
+            self.n_buckets or src.n_buckets(),
+        )
+
+    def run_once(self, spark: SparkSession) -> dict:
+        """Sync every pending base epoch; returns consumer metrics."""
+        t0 = time.monotonic()
+        src = LakeTable.load(self.source_root)
+        derived = self._ensure_derived(spark, src)
+        applies = _apply_snapshots(src)
+        done = derived.applied_epochs()
+        synced, rows = [], 0
+        prev = 0
+        for s in applies:
+            if s["epoch"] in done:
+                prev = s["snapshot_id"]
+                continue
+            feed = src.read_changes(spark, prev, s["snapshot_id"])
+            m = apply_changes(
+                spark, derived, self._envelope(feed), epoch=s["epoch"], cfg=self.cfg
+            )
+            synced.append(s["epoch"])
+            rows += m["rows_applied"]
+            prev = s["snapshot_id"]
+        lag = len(_apply_snapshots(src)) - len(derived.applied_epochs())
+        return {
+            "epochs_synced": synced,
+            "rows_applied": rows,
+            "epochs_behind": max(lag, 0),
+            "seconds": round(time.monotonic() - t0, 3),
+        }
+
+    def run_follow(
+        self,
+        spark: SparkSession,
+        poll_seconds: float = 5.0,
+        max_polls: int | None = None,
+    ) -> dict:
+        """Poll loop: sync, sleep, repeat (the long-running consumer shape).
+        ``max_polls`` bounds the loop for tests/batch drains."""
+        totals = {"epochs_synced": [], "rows_applied": 0, "polls": 0}
+        while True:
+            m = self.run_once(spark)
+            totals["epochs_synced"].extend(m["epochs_synced"])
+            totals["rows_applied"] += m["rows_applied"]
+            totals["polls"] += 1
+            if max_polls is not None and totals["polls"] >= max_polls:
+                return totals
+            time.sleep(poll_seconds)
+
+
+def text_stats_transform(ch: DataFrame) -> DataFrame:
+    """Built-in derived-table transform: per-turn text statistics."""
+    return ch.select(
+        "conv_id", "turn_idx", "role",
+        F.length("text").cast("int").alias("n_chars"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"),
+        "ts", "op", "lsn",
+    )

@@ -18,7 +18,6 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from cnpj_data_pipeline_spark.config import EngineConfig
 from cnpj_data_pipeline_spark.lake.format import (
@@ -336,38 +335,17 @@ def q_derived_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 10^10 events this is the shape that matters: the derived table is
     never rebuilt — each sync reads one epoch's delta files and pays one
     O(batch) merge, the same cost profile as the ingest itself."""
+    from cnpj_data_pipeline_spark.plans.sync import FeedSyncJob, text_stats_transform
+
     base = _replayed_table(spark, sf_dir)
-    applies = [
-        s for s in base.snapshots()
-        if s["op"] in ("append", "evolve") and s.get("epoch") is not None
-    ]
-    cfg = EngineConfig(n_buckets=16, salt_factor=2)
-    derived_schema = T.StructType([
-        T.StructField("conv_id", T.StringType()),
-        T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("role", T.StringType()),
-        T.StructField("n_chars", T.IntegerType()),
-        T.StructField("n_tokens", T.IntegerType()),
-        T.StructField("ts", T.TimestampType()),
-    ])
-    derived = LakeTable.create(
+    job = FeedSyncJob(
+        base.root,
         os.path.join(_mk_scratch("cdc_derived_"), "lake"),
-        derived_schema, ["conv_id", "turn_idx"], cfg.n_buckets,
+        transform=text_stats_transform,
+        cfg=EngineConfig(n_buckets=16, salt_factor=2),
     )
-    prev = 0
-    for s in applies:
-        feed = base.read_changes(spark, prev, s["snapshot_id"])
-        ch = feed.select(
-            "conv_id", "turn_idx", "role",
-            F.length("text").cast("int").alias("n_chars"),
-            F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tokens"),
-            "ts",
-            F.col(OP_META_COL).alias("op"),
-            F.col(LSN_META_COL).alias("lsn"),
-        )
-        apply_changes(spark, derived, ch, epoch=s["epoch"], cfg=cfg)
-        prev = s["snapshot_id"]
-    return derived.read(spark)
+    job.run_once(spark)
+    return LakeTable.load(job.derived_root).read(spark)
 
 
 def q_cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -263,3 +263,42 @@ def test_change_feed_unknown_snapshot_raises(spark, tmp_table):
     table, _ = _ingest(spark, tmp_table, ch, 1, cfg)
     with pytest.raises(ValueError, match="not in reachable history"):
         table.read_changes(spark, 99)
+
+
+def test_mirror_replication_follows_base(spark, tmp_table, tmp_path):
+    """FeedSyncJob with no transform is incremental lake->lake replication:
+    after each sync the replica's visible state equals the base's, schema
+    evolution flows through, and re-syncing is a metadata no-op."""
+    from cnpj_data_pipeline_spark.plans.sync import FeedSyncJob
+
+    cfg = EngineConfig(n_buckets=8)
+    ch = gen_changes(spark, n_events=2_000, n_convs=40, n_epochs=2, evolve_at_epoch=1)
+    batches = list(epoch_batches(ch, 2, drop_evolved_before=1))
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    replica_root = str(tmp_path / "replica")
+    job = FeedSyncJob(tmp_table, replica_root, cfg=cfg)
+
+    def assert_replica_matches():
+        b = base.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+        r = (
+            LakeTable.load(replica_root).read(spark)
+            .orderBy(*KEY).toPandas().reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(r[b.columns], b, check_dtype=False)
+
+    # epoch 0: pre-evolution
+    apply_changes(spark, base, batches[0][1], epoch=0, cfg=cfg)
+    m = job.run_once(spark)
+    assert m["epochs_synced"] == [0] and m["epochs_behind"] == 0
+    assert_replica_matches()
+
+    # epoch 1: schema evolves mid-stream; the replica must pick up tool_meta
+    apply_changes(spark, base, batches[1][1], epoch=1, cfg=cfg)
+    m = job.run_once(spark)
+    assert m["epochs_synced"] == [1]
+    assert "tool_meta" in LakeTable.load(replica_root).schema().fieldNames()
+    assert_replica_matches()
+
+    # idempotent re-sync: nothing to do
+    m = job.run_once(spark)
+    assert m["epochs_synced"] == [] and m["rows_applied"] == 0
