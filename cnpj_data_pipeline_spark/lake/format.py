@@ -686,7 +686,13 @@ class LakeTable:
             )
         sid = self.current_snapshot_id() + 1
         stage = self.staging_dir(sid)
-        winners.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+        # cluster each rewritten bucket by key (task-local sort, no extra
+        # exchange): compaction is the read-optimization pass, so pay the
+        # in-task sort once to make parquet row-group min/max stats selective
+        # for key-range and point reads — the Iceberg sort-order analogue
+        winners.sortWithinPartitions(BUCKET_COL, *key_cols).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(stage)
         updates = self.collect_staged(sid)
         for b in victims:
             updates.setdefault(b, {"files": [], "rows": 0, "max_lsn": None})
