@@ -348,6 +348,28 @@ def q_derived_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LakeTable.load(job.derived_root).read(spark)
 
 
+def q_conv_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript EXPORT: assemble each conversation's live turns, in turn
+    order, into one rendered training document ("role: text" lines) plus
+    turn/char counts — the shape a training-data pipeline emits from the
+    transcript lake.
+
+    Scale shape: one hash aggregation keyed by conv_id; the per-group sort is
+    `array_sort(collect_list(struct(turn_idx, ...)))` — task-local over one
+    conversation's <=32 turns, never a global or per-partition data sort. A
+    conversation is the natural export atom, so group size is bounded by
+    protocol, not by corpus size."""
+    live = _replayed_table(spark, sf_dir).read(spark)
+    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
+    return live.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.array_join(
+            F.transform(turns, lambda x: F.concat_ws(": ", x.role, x.text)), "\n"
+        ).alias("rendered"),
+    )
+
+
 def q_cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay + the maintenance ops: aggressive auto-compaction while
     ingesting (generation threshold 2), then a tombstone vacuum at the final
@@ -520,6 +542,7 @@ QUERIES = {
     "q_stateful_conv_state": q_stateful_conv_state,
     "q_table_changes": q_table_changes,
     "q_derived_table_sync": q_derived_table_sync,
+    "q_conv_render": q_conv_render,
 }
 
 _FINAL_STATE_SQL = f"""
@@ -606,6 +629,15 @@ ORACLES = {
           ) WHERE rn = 1
         )
         SELECT conv_id, turn_idx, role, text, tool, ts, op, lsn FROM winners
+    """,
+    "q_conv_render": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
+        live AS (SELECT * FROM winners WHERE op <> 'D')
+        SELECT conv_id,
+               count(*) AS n_turns,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS rendered
+        FROM live GROUP BY conv_id
     """,
     "q_derived_table_sync": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
