@@ -302,3 +302,30 @@ def test_mirror_replication_follows_base(spark, tmp_table, tmp_path):
     # idempotent re-sync: nothing to do
     m = job.run_once(spark)
     assert m["epochs_synced"] == [] and m["rows_applied"] == 0
+
+
+def test_follow_loop_and_expired_window(spark, tmp_table, tmp_path):
+    """run_follow drains pending epochs across polls, and a feed window whose
+    snapshots were GC'd by expire_snapshots fails loudly instead of silently
+    dropping changes."""
+    from cnpj_data_pipeline_spark.plans.sync import FeedSyncJob
+
+    cfg = EngineConfig(n_buckets=4)
+    ch = gen_changes(spark, n_events=1_200, n_convs=30, n_epochs=3)
+    parts = list(epoch_batches(ch, 3))
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    apply_changes(spark, base, parts[0][1], epoch=0, cfg=cfg)
+
+    job = FeedSyncJob(tmp_table, str(tmp_path / "replica"), cfg=cfg)
+    m = job.run_follow(spark, poll_seconds=0.0, max_polls=2)
+    assert m["epochs_synced"] == [0] and m["polls"] == 2
+
+    for e, batch in parts[1:]:
+        apply_changes(spark, base, batch, epoch=e, cfg=cfg)
+    m = job.run_follow(spark, poll_seconds=0.0, max_polls=1)
+    assert m["epochs_synced"] == [1, 2]
+
+    # expire history: a window reaching past the GC horizon must raise
+    base.expire_snapshots(keep_last=1)
+    with pytest.raises(ValueError):
+        base.read_changes(spark, 1)
