@@ -1,0 +1,168 @@
+"""lake_cdf — the lake table's change feed as a first-class Structured
+Streaming SOURCE (PySpark 4 Python Data Source API).
+
+::
+
+    from cnpj_data_pipeline_spark.streaming.cdf_source import register_cdf_source
+    register_cdf_source(spark)
+    feed = spark.readStream.format("lake_cdf").load("/path/to/lake")
+    feed.writeStream.format("parquet")...   # any sink; offsets checkpoint
+
+Semantics: offsets ARE snapshot ids. Each micro-batch is the change feed of
+the snapshot window ``(start, end]`` — the same per-epoch LWW winner rows
+(including ``__op='D'`` tombstones) that ``LakeTable.read_changes`` returns,
+located by the same manifest file-diff (maintenance commits skipped, CoW
+windows rejected). Spark's own offset log makes downstream consumption
+exactly-once across restarts: a re-started query resumes from the committed
+snapshot id, never re-emitting or skipping a window.
+
+Execution shape: ``partitions(start, end)`` is driver-side METADATA only
+(snapshot JSON diff → one input partition per delta file); ``read(part)``
+runs on executors and yields Arrow record batches straight from the parquet
+delta file, padded/cast to the stream schema (pre-evolution files gain NULL
+columns, exactly like the batch reader). No state is scanned at any point —
+per-batch cost is O(changed data), so the source keeps up with the ingest
+by construction.
+
+This is the API-complete twin of ``FeedSyncJob`` (which stays the fast path
+for lake->lake sync: its windows read through the JVM parquet scanner, while
+Python data sources read via pyarrow on the Python workers).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Sequence, Tuple
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from cnpj_data_pipeline_spark.lake.format import (
+    PHYSICAL_META_FIELDS,
+    LakeTable,
+    schema_from_json,
+)
+
+FORMAT_NAME = "lake_cdf"
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str | None):
+        self.path = path
+
+
+def _physical_schema(root: str) -> T.StructType:
+    snap = LakeTable.load(root).snapshot()
+    return T.StructType(
+        list(schema_from_json(snap["schema"]).fields) + list(PHYSICAL_META_FIELDS)
+    )
+
+
+class LakeCDFStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, schema: T.StructType):
+        self.root = root
+        self.spark_schema = schema
+
+    # ---- driver-side: offsets + planning (metadata only) ----
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": 0}
+
+    def latestOffset(self) -> dict:
+        return {"snapshot_id": LakeTable.load(self.root).current_snapshot_id()}
+
+    def partitions(
+        self, start: dict, end: dict
+    ) -> Sequence[InputPartition]:
+        lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        files: list[str] = []
+        if hi > lo:
+            table = LakeTable.load(self.root)
+            # reuse the batch CDF's manifest-diff semantics (skips
+            # compact/vacuum, validates CoW-free window) but keep only the
+            # file list — rows are read executor-side
+            files = _window_delta_files(table, lo, hi)
+        if not files:
+            return [_FilePartition(None)]  # empty batch still needs a task
+        return [_FilePartition(f) for f in files]
+
+    def commit(self, end: dict) -> None:
+        pass  # Spark's offset log is the consumer checkpoint
+
+    # ---- executor-side: Arrow-batched file reads ----
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        if partition.path is None:
+            return
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.spark_schema)
+        tbl = pq.read_table(partition.path)
+        cols = []
+        for field in arrow_schema:
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:
+                # pre-evolution delta file: pad the evolved column with NULLs
+                import pyarrow as pa
+
+                cols.append(pa.nulls(len(tbl), field.type))
+        import pyarrow as pa
+
+        out = pa.Table.from_arrays(cols, schema=arrow_schema)
+        yield from out.to_batches()
+
+
+def _window_delta_files(table: LakeTable, lo: int, hi: int) -> list[str]:
+    """Delta files added by apply commits in (lo, hi] — the same walk as
+    ``LakeTable.read_changes`` (single source of truth for the window
+    semantics lives there; this trims it to paths only)."""
+    chain = table.snapshots()
+    by_id = {s["snapshot_id"]: s for s in chain}
+    out: list[str] = []
+    for s in chain:
+        sid = s["snapshot_id"]
+        if not (lo < sid <= hi):
+            continue
+        if s["op"] in ("create", "compact", "vacuum"):
+            continue
+        parent = by_id.get(s["parent_id"])
+        if parent is None:
+            raise ValueError(f"snapshot {sid}'s parent is expired")
+        pfiles = {f for i in parent["buckets"].values() for f in i["files"]}
+        for b, info in s["buckets"].items():
+            prev = parent["buckets"].get(b)
+            cur = set(info["files"])
+            if prev is not None and any(f not in cur for f in prev["files"]):
+                raise ValueError(
+                    f"snapshot {sid} (op={s['op']}) replaced files: "
+                    "copy-on-write commits don't retain a change feed"
+                )
+            out.extend(
+                os.path.join(table.root, f) for f in info["files"] if f not in pfiles
+            )
+    return out
+
+
+class LakeCDFDataSource(DataSource):
+    """``spark.readStream.format("lake_cdf").load(<table root>)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> T.StructType:
+        return _physical_schema(self.options["path"])
+
+    def streamReader(self, schema: T.StructType) -> LakeCDFStreamReader:
+        return LakeCDFStreamReader(self.options["path"], schema)
+
+
+def register_cdf_source(spark: SparkSession) -> None:
+    spark.dataSource.register(LakeCDFDataSource)

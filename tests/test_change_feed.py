@@ -329,3 +329,42 @@ def test_follow_loop_and_expired_window(spark, tmp_table, tmp_path):
     base.expire_snapshots(keep_last=1)
     with pytest.raises(ValueError):
         base.read_changes(spark, 1)
+
+
+def test_streaming_cdf_source_exactly_once(spark, tmp_table, tmp_path):
+    """The lake_cdf Python Data Source: the change feed as a Structured
+    Streaming source. A first availableNow drain emits epoch 0's feed; the
+    query restarts from Spark's own offset log and emits ONLY epoch 1's
+    window — and the streamed union equals the batch read_changes feed."""
+    from cnpj_data_pipeline_spark.streaming.cdf_source import register_cdf_source
+
+    cfg = EngineConfig(n_buckets=4)
+    ch = gen_changes(spark, n_events=1_500, n_convs=30, n_epochs=2)
+    parts = list(epoch_batches(ch, 2))
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    apply_changes(spark, base, parts[0][1], epoch=0, cfg=cfg)
+
+    register_cdf_source(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lake_cdf").load(tmp_table)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+
+    drain()
+    n_first = spark.read.parquet(sink).count()
+    assert n_first == base.read_changes(spark, 0).count()
+
+    apply_changes(spark, base, parts[1][1], epoch=1, cfg=cfg)
+    drain()  # restart: resumes from the committed snapshot offset
+    streamed = spark.read.parquet(sink)
+    batch = base.read_changes(spark, 0)
+    assert streamed.count() == batch.count()  # no dup, no loss
+    cols = [c for c in batch.columns]
+    assert streamed.select(cols).exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed.select(cols)).count() == 0
