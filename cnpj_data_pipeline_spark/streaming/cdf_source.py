@@ -64,22 +64,56 @@ def _physical_schema(root: str) -> T.StructType:
 
 
 class LakeCDFStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, schema: T.StructType):
+    def __init__(
+        self,
+        root: str,
+        schema: T.StructType,
+        from_snapshot: int = 0,
+        max_snapshots_per_batch: int | None = None,
+    ):
         self.root = root
         self.spark_schema = schema
+        self.from_snapshot = from_snapshot
+        self.max_snapshots = max_snapshots_per_batch
+        # batch-size cursor: the last batch-end this reader planned. None
+        # until learned (fresh start: initialOffset; restart: the first
+        # partitions() call reveals the committed offset) — clamping against
+        # a guessed cursor after restart could push latestOffset BEHIND the
+        # committed start.
+        self._cursor: int | None = None
 
     # ---- driver-side: offsets + planning (metadata only) ----
 
     def initialOffset(self) -> dict:
-        return {"snapshot_id": 0}
+        # ``fromSnapshot`` lets a late-joining consumer skip history it has
+        # already bootstrapped from a plain table read (the offset log takes
+        # over from there; ignored on restart like any initial offset)
+        self._cursor = self.from_snapshot
+        return {"snapshot_id": self.from_snapshot}
 
     def latestOffset(self) -> dict:
-        return {"snapshot_id": LakeTable.load(self.root).current_snapshot_id()}
+        # admission control for a LIVE tail: once a batch boundary is known
+        # (the cursor — learned from the first partitions() call), each later
+        # micro-batch advances at most ``maxSnapshotsPerBatch`` commits, so a
+        # producer outrunning the consumer yields bounded batches instead of
+        # ever-growing ones. The FIRST batch of a query's lifetime is
+        # unclamped by API constraint: Spark asks for latestOffset before
+        # initialOffset/partitions reveal where the stream starts, and
+        # returning an offset below a restart's committed start would be an
+        # illegal offset regression. Bounding an initial backlog drain is the
+        # batch reader's job (read_changes over explicit windows).
+        head = LakeTable.load(self.root).current_snapshot_id()
+        if self.max_snapshots is not None and self._cursor is not None:
+            head = min(head, self._cursor + self.max_snapshots)
+        # a streaming source's reported head must never move backwards
+        self._latest_returned = max(head, getattr(self, "_latest_returned", 0))
+        return {"snapshot_id": self._latest_returned}
 
     def partitions(
         self, start: dict, end: dict
     ) -> Sequence[InputPartition]:
         lo, hi = int(start["snapshot_id"]), int(end["snapshot_id"])
+        self._cursor = max(self._cursor or 0, hi)  # rate-limit baseline
         files: list[str] = []
         if hi > lo:
             table = LakeTable.load(self.root)
@@ -161,7 +195,14 @@ class LakeCDFDataSource(DataSource):
         return _physical_schema(self.options["path"])
 
     def streamReader(self, schema: T.StructType) -> LakeCDFStreamReader:
-        return LakeCDFStreamReader(self.options["path"], schema)
+        opts = self.options
+        max_snaps = opts.get("maxsnapshotsperbatch")
+        return LakeCDFStreamReader(
+            opts["path"],
+            schema,
+            from_snapshot=int(opts.get("fromsnapshot", 0)),
+            max_snapshots_per_batch=int(max_snaps) if max_snaps else None,
+        )
 
 
 def register_cdf_source(spark: SparkSession) -> None:

@@ -14,6 +14,8 @@ snapshot-manifest file diffs, never a state re-scan. Semantics under test:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -368,3 +370,60 @@ def test_streaming_cdf_source_exactly_once(spark, tmp_table, tmp_path):
     cols = [c for c in batch.columns]
     assert streamed.select(cols).exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed.select(cols)).count() == 0
+
+
+def test_streaming_cdf_options(spark, tmp_table, tmp_path):
+    """lake_cdf source options: fromSnapshot starts a late-joining consumer
+    past bootstrapped history; maxSnapshotsPerBatch bounds each steady-state
+    micro-batch of a live tail (the initial drain is unclamped by API
+    constraint — latestOffset precedes initialOffset, and an offset below a
+    restart's committed start would be an illegal regression)."""
+    import glob as g
+    import time as tm
+
+    from cnpj_data_pipeline_spark.streaming.cdf_source import register_cdf_source
+
+    cfg = EngineConfig(n_buckets=4)
+    ch = gen_changes(spark, n_events=1_600, n_convs=30, n_epochs=4)
+    parts = list(epoch_batches(ch, 4))
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    sid0 = apply_changes(spark, base, parts[0][1], epoch=0, cfg=cfg)["snapshot_id"]
+    register_cdf_source(spark)
+
+    # live tail with per-batch cap: 3 epochs land while the query runs
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("maxSnapshotsPerBatch", 1).load(tmp_table)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds").start()
+    )
+    try:
+        tm.sleep(3)
+        for e, b in parts[1:]:
+            apply_changes(spark, base, b, epoch=e, cfg=cfg)
+        exp = base.read_changes(spark, 0).count()
+        for _ in range(90):
+            tm.sleep(1)
+            try:
+                if spark.read.parquet(sink).count() >= exp:
+                    break
+            except Exception:
+                pass
+    finally:
+        q.stop()
+    assert spark.read.parquet(sink).count() == exp
+    assert len(g.glob(os.path.join(ckpt, "offsets", "*"))) >= 4  # bounded batches
+
+    # fromSnapshot: skip epoch 0 entirely
+    sink2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    q = (
+        spark.readStream.format("lake_cdf")
+        .option("fromSnapshot", sid0).load(tmp_table)
+        .writeStream.format("parquet")
+        .option("path", sink2).option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    assert spark.read.parquet(sink2).count() == base.read_changes(spark, sid0).count()
