@@ -411,7 +411,7 @@ class LakeTable:
             sid = s["snapshot_id"]
             if not (from_snapshot < sid <= to_sid):
                 continue
-            if s["op"] in ("create", "compact", "vacuum"):
+            if s["op"] in ("create", "compact", "vacuum", "rebucket"):
                 continue  # no logical change
             parent = by_id.get(s["parent_id"])
             if parent is None:
@@ -521,6 +521,7 @@ class LakeTable:
         new_schema: T.StructType | None = None,
         mode: str = "replace",
         merged: bool = True,
+        new_n_buckets: int | None = None,
     ) -> int:
         """Atomically publish a new snapshot: carry forward untouched buckets,
         replace (CoW/compact) or append to (MoR delta) touched ones, append
@@ -533,7 +534,9 @@ class LakeTable:
         cur = self.snapshot()
         keyless = cur["key_cols"] is None
         sid = cur["snapshot_id"] + 1
-        buckets = dict(cur["buckets"])
+        # a bucket-count change invalidates every old bucket assignment, so
+        # the update set must be the COMPLETE new layout (rebucket rewrite)
+        buckets = {} if new_n_buckets is not None else dict(cur["buckets"])
         lineage = []
         for b, info in sorted(bucket_updates.items()):
             prev = buckets.get(
@@ -585,7 +588,7 @@ class LakeTable:
             "op": op,
             "schema": schema_json,
             "key_cols": cur["key_cols"],
-            "n_buckets": cur["n_buckets"],
+            "n_buckets": int(new_n_buckets) if new_n_buckets is not None else cur["n_buckets"],
             "buckets": buckets,
             "applied_epochs": applied,
             "lineage": lineage,
@@ -757,6 +760,76 @@ class LakeTable:
             chosen = chosen[:max_buckets]
         return self._rewrite_buckets(
             spark, sorted(chosen), op="compact", salt_factor=salt_factor
+        )
+
+    def rebucket(
+        self,
+        spark: SparkSession,
+        new_n_buckets: int,
+        salt_factor: int = 4,
+    ) -> int:
+        """Bucket-count EVOLUTION: rewrite the whole table into a new
+        hash-bucket layout — the growth path from a small table to the
+        2^14-bucket layout a 10^10-row deployment wants, without creating a
+        new table (reference analogue: none — its Postgres tables cannot
+        re-shard; ALTER-free growth is a lake-format capability).
+
+        One-off O(table) maintenance: every physical row (all versions AND
+        tombstones — LWW/vacuum semantics are preserved verbatim, so the op
+        is logically invisible and the change feed skips it) is re-assigned
+        by the same key-hash into ``new_n_buckets``, distributed over
+        (bucket, salt) tasks like the merge, key-clustered per file, and
+        committed atomically — readers see the old layout until the pointer
+        swap, and ``applied_epochs`` carries over so ingest resumes
+        exactly-once against the new layout. Buckets land unmerged
+        (conservative); a follow-up ``compact()`` restores single-winner
+        files where wanted."""
+        snap = self.snapshot()
+        if int(new_n_buckets) == int(snap["n_buckets"]):
+            return self.current_snapshot_id()
+        key_cols = snap["key_cols"]
+        phys = T.StructType(
+            list(schema_from_json(snap["schema"]).fields) + PHYSICAL_META_FIELDS
+        )
+        files = self._bucket_files(snap)
+        if files:
+            df = spark.read.schema(phys).parquet(*files)
+        else:
+            df = spark.createDataFrame([], phys)
+        from cnpj_data_pipeline_spark.config import SALT_COL
+
+        df = df.withColumn(BUCKET_COL, bucket_expr(key_cols, new_n_buckets))
+        salt_src = (
+            [F.col(c) for c in key_cols] if key_cols else [F.col(LSN_META_COL)]
+        )
+        df = df.withColumn(
+            SALT_COL,
+            F.pmod(F.xxhash64(*salt_src), F.lit(salt_factor)).cast("int"),
+        )
+        n_parts = max(
+            1,
+            min(
+                int(new_n_buckets) * salt_factor,
+                2 * spark.sparkContext.defaultParallelism,
+            ),
+        )
+        parted = df.repartition(
+            n_parts, F.col(BUCKET_COL), F.col(SALT_COL)
+        ).drop(SALT_COL)
+        sid = self.current_snapshot_id() + 1
+        stage = self.staging_dir(sid)
+        sort_cols = list(key_cols) if key_cols else [LSN_META_COL]
+        parted.sortWithinPartitions(BUCKET_COL, *sort_cols).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(stage)
+        updates = self.collect_staged(sid)
+        return self.commit(
+            op="rebucket",
+            epoch=None,
+            bucket_updates=updates,
+            mode="replace",
+            merged=False,
+            new_n_buckets=int(new_n_buckets),
         )
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:

@@ -164,7 +164,7 @@ def _window_delta_files(table: LakeTable, lo: int, hi: int) -> list[str]:
         sid = s["snapshot_id"]
         if not (lo < sid <= hi):
             continue
-        if s["op"] in ("create", "compact", "vacuum"):
+        if s["op"] in ("create", "compact", "vacuum", "rebucket"):
             continue
         parent = by_id.get(s["parent_id"])
         if parent is None:

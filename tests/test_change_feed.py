@@ -427,3 +427,41 @@ def test_streaming_cdf_options(spark, tmp_table, tmp_path):
     )
     assert q.awaitTermination(120)
     assert spark.read.parquet(sink2).count() == base.read_changes(spark, sid0).count()
+
+
+def test_rebucket_grows_layout_invisibly(spark, tmp_table):
+    """Bucket-count evolution: rewrite a 4-bucket table into 16 buckets
+    mid-stream — state is bit-identical, ingest resumes exactly-once against
+    the new layout, point lookups prune the new buckets, and the change feed
+    skips the rewrite (full-history fold unchanged)."""
+    from cnpj_data_pipeline_spark.oracle import final_state
+
+    cfg = EngineConfig(n_buckets=4)
+    ch = gen_changes(spark, n_events=3_000, n_convs=60, n_epochs=3)
+    raw = ch.toPandas()
+    parts = list(epoch_batches(ch, 3))
+    table = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    for e, b in parts[:2]:
+        apply_changes(spark, table, b, epoch=e, cfg=cfg)
+    before = table.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+
+    table.rebucket(spark, 16)
+    assert table.n_buckets() == 16
+    after = table.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(after, before)
+
+    # ingest continues against the new layout, exactly-once
+    apply_changes(spark, table, parts[2][1], epoch=2, cfg=cfg)
+    assert sorted(table.applied_epochs()) == [0, 1, 2]
+    final = table.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(final, final_state(raw), check_dtype=False)
+
+    # point lookup prunes the 16-bucket layout
+    some = final.iloc[:5][KEY]
+    keys = spark.createDataFrame(some)
+    assert table.read_keys(spark, keys).count() == len(some)
+
+    # the change feed never sees the rewrite
+    got = _net_feed(spark, table, 0)
+    exp = _window_winners(raw, min_epoch=0)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
