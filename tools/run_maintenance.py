@@ -1,0 +1,80 @@
+"""spark-submit entrypoint for lake-table maintenance.
+
+Cluster usage::
+
+    spark-submit --py-files engine.zip tools/run_maintenance.py \\
+        --table s3://bucket/lake/transcripts compact --max-buckets 64
+    ... vacuum --lsn-horizon 123456789
+    ... expire --keep-last 10
+    ... rebucket --n-buckets 16384
+
+Each op runs as its own job against the table root (single-writer protocol:
+don't run concurrently with ingest) and commits atomically — a crash leaves
+the previous snapshot intact. Prints one JSON line of op metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="lake table maintenance ops")
+    ap.add_argument("--table", required=True, help="lake table root")
+    ap.add_argument("--master", default=None, help="only for local runs; omit under spark-submit")
+    sub = ap.add_subparsers(dest="op", required=True)
+
+    p = sub.add_parser("compact", help="rewrite multi-generation buckets to single winners")
+    p.add_argument("--max-buckets", type=int, default=None,
+                   help="rate limit: at most this many buckets per pass")
+    p.add_argument("--threshold", type=int, default=2,
+                   help="compact buckets holding >= this many generations")
+    p.add_argument("--salt-factor", type=int, default=4)
+
+    p = sub.add_parser("vacuum", help="drop tombstones below an LSN horizon")
+    p.add_argument("--lsn-horizon", type=int, required=True,
+                   help="delete 'D' winners with lsn < horizon (late-event safety bound)")
+    p.add_argument("--salt-factor", type=int, default=4)
+
+    p = sub.add_parser("expire", help="GC old snapshots + orphan files")
+    p.add_argument("--keep-last", type=int, default=10)
+
+    p = sub.add_parser("rebucket", help="rewrite the table into a new bucket count")
+    p.add_argument("--n-buckets", type=int, required=True)
+    p.add_argument("--salt-factor", type=int, default=4)
+
+    args = ap.parse_args()
+
+    from cnpj_data_pipeline_spark import LakeTable
+    from cnpj_data_pipeline_spark.session import get_spark
+
+    table = LakeTable.load(args.table)
+    spark = get_spark(master=args.master) if args.master else get_spark()
+    before = table.current_snapshot_id()
+    if args.op == "compact":
+        sid = table.compact_if_needed(
+            spark, args.threshold,
+            salt_factor=args.salt_factor, max_buckets=args.max_buckets,
+        )
+        out = {"op": "compact", "snapshot_id": sid, "noop": sid is None}
+    elif args.op == "vacuum":
+        sid = table.vacuum_tombstones(
+            spark, lsn_horizon=args.lsn_horizon, salt_factor=args.salt_factor
+        )
+        out = {"op": "vacuum", "snapshot_id": sid}
+    elif args.op == "expire":
+        out = {"op": "expire", **table.expire_snapshots(keep_last=args.keep_last)}
+    else:
+        sid = table.rebucket(spark, args.n_buckets, salt_factor=args.salt_factor)
+        out = {"op": "rebucket", "snapshot_id": sid,
+               "n_buckets": table.n_buckets(), "noop": sid == before}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
