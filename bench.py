@@ -282,6 +282,16 @@ def run_scaling(n_events: int, cpus: int) -> dict:
     ]
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     max_extra = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_EXTRA", "2"))
+    # wall-clock budget for the whole scaling section: retries (straggler or
+    # gate) never push a driver-side bench past its harness timeout — a
+    # truncated/killed run records nothing, which is strictly worse than a
+    # below-target number with fewer samples.
+    budget = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET_SEC", "1500"))
+    t_start = time.monotonic()
+
+    def _budget_left() -> bool:
+        return (time.monotonic() - t_start) < budget
+
     try:
         gen_wal(wal, n_events, cpus)
         runs: dict[int, list[dict]] = {lo: [], hi: []}
@@ -296,7 +306,11 @@ def run_scaling(n_events: int, cpus: int) -> dict:
         # rep), buy more samples for that config only.
         for cores in (hi, lo):
             extra = 0
-            while _has_straggler(_clean_epochs(runs[cores])) and extra < max_extra:
+            while (
+                _has_straggler(_clean_epochs(runs[cores]))
+                and extra < max_extra
+                and _budget_left()
+            ):
                 runs[cores].append(
                     _one_ingest_run(cores, wal, os.path.join(base, f"lake_{cores}"))
                 )
@@ -338,7 +352,7 @@ def run_scaling(n_events: int, cpus: int) -> dict:
         gate_budget = int(os.environ.get("SPARK_GRAFT_SCALING_GATE_RETRIES", "2"))
         cooldown = float(os.environ.get("SPARK_GRAFT_SCALING_COOLDOWN", "30"))
         gate_used = 0
-        while eff_clean < target and gate_used < gate_budget:
+        while eff_clean < target and gate_used < gate_budget and _budget_left():
             time.sleep(cooldown)
             for cores in (hi, lo):
                 runs[cores].append(
