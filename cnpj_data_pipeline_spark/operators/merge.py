@@ -51,6 +51,7 @@ from cnpj_data_pipeline_spark.config import (
     EngineConfig,
 )
 from cnpj_data_pipeline_spark.lake.format import (
+    EpochAlreadyAppliedError,
     LakeTable,
     OP_META_COL,
     bucket_expr,
@@ -121,6 +122,21 @@ def _merge_kernel(key_cols: list[str]):
         return out.drop(columns=list(fills))
 
     return kernel
+
+
+def _skipped_by_race(table: LakeTable, epoch: int, t0: float) -> dict:
+    """A concurrent writer applied this epoch between our entry check and our
+    commit CAS — exactly-once means our staged files stay orphaned (GC'd by
+    clean_orphans) and the apply reports itself as skipped."""
+    return {
+        "epoch": epoch,
+        "skipped": True,
+        "skipped_by": "concurrent-writer",
+        "rows_applied": 0,
+        "buckets_touched": 0,
+        "seconds": round(time.monotonic() - t0, 3),
+        "snapshot_id": table.current_snapshot_id(),
+    }
 
 
 def apply_changes(
@@ -201,20 +217,23 @@ def apply_changes(
         )
         if cfg.write_audit_col:
             phys = phys.withColumn(cfg.audit_col, F.current_timestamp())
-        next_sid = table.current_snapshot_id() + 1
-        stage = table.staging_dir(next_sid)
+        stage = table.new_staging_dir()
         _mark("build_plan")
         phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
         _mark("append_write")
-        updates = table.collect_staged(next_sid)
+        updates = table.collect_staged(stage, spark)
         _mark("collect_staged")
-        sid = table.commit(
-            op="evolve" if evolved_changed else "append",
-            epoch=epoch,
-            bucket_updates=updates,
-            new_schema=evolved if evolved_changed else None,
-            mode="append",
-        )
+        try:
+            sid = table.commit(
+                op="evolve" if evolved_changed else "append",
+                epoch=epoch,
+                bucket_updates=updates,
+                new_schema=evolved if evolved_changed else None,
+                mode="append",
+                expected_parent=snap["snapshot_id"],
+            )
+        except EpochAlreadyAppliedError:
+            return _skipped_by_race(table, epoch, t0)
         _mark("commit")
         return {
             "epoch": epoch,
@@ -264,20 +283,23 @@ def apply_changes(
         if cfg.write_audit_col:
             phys = phys.withColumn(cfg.audit_col, F.current_timestamp())
 
-        next_sid = table.current_snapshot_id() + 1
-        stage = table.staging_dir(next_sid)
+        stage = table.new_staging_dir()
         _mark("build_plan")
         phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
         _mark("merge_write")
-        updates = table.collect_staged(next_sid)
+        updates = table.collect_staged(stage, spark)
         _mark("collect_staged")
-        sid = table.commit(
-            op="evolve" if evolved_changed else "append",
-            epoch=epoch,
-            bucket_updates=updates,
-            new_schema=evolved if evolved_changed else None,
-            mode="append",
-        )
+        try:
+            sid = table.commit(
+                op="evolve" if evolved_changed else "append",
+                epoch=epoch,
+                bucket_updates=updates,
+                new_schema=evolved if evolved_changed else None,
+                mode="append",
+                expected_parent=snap["snapshot_id"],
+            )
+        except EpochAlreadyAppliedError:
+            return _skipped_by_race(table, epoch, t0)
         _mark("commit")
         compacted_sid = None
         if cfg.compact_threshold:
@@ -318,7 +340,10 @@ def apply_changes(
         )
     _mark("touched_scan")
     if not touched:
-        sid = table.commit(op="merge", epoch=epoch, bucket_updates={})
+        try:
+            sid = table.commit(op="merge", epoch=epoch, bucket_updates={})
+        except EpochAlreadyAppliedError:
+            return _skipped_by_race(table, epoch, t0)
         return {
             "epoch": epoch,
             "skipped": False,
@@ -407,25 +432,28 @@ def apply_changes(
     if cfg.write_audit_col:
         phys = phys.withColumn(cfg.audit_col, F.current_timestamp())
 
-    next_sid = table.current_snapshot_id() + 1
-    stage = table.staging_dir(next_sid)
+    stage = table.new_staging_dir()
     _mark("build_plan")
     phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
     _mark("merge_write")
 
-    updates = table.collect_staged(next_sid)
+    updates = table.collect_staged(stage, spark)
     _mark("collect_staged")
     # a touched bucket can stage zero files only if all its rows vanished —
     # impossible under tombstone retention, but keep the manifest consistent:
     for b in touched:
         updates.setdefault(b, {"files": [], "rows": 0, "max_lsn": None})
 
-    sid = table.commit(
-        op="evolve" if evolved_changed else "merge",
-        epoch=epoch,
-        bucket_updates=updates,
-        new_schema=evolved if evolved_changed else None,
-    )
+    try:
+        sid = table.commit(
+            op="evolve" if evolved_changed else "merge",
+            epoch=epoch,
+            bucket_updates=updates,
+            new_schema=evolved if evolved_changed else None,
+            expected_parent=snap["snapshot_id"],
+        )
+    except EpochAlreadyAppliedError:
+        return _skipped_by_race(table, epoch, t0)
     _mark("commit")
     secs = time.monotonic() - t0
     rows_applied = sum(u["rows"] for u in updates.values())

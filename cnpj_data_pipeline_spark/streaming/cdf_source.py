@@ -31,7 +31,6 @@ Python data sources read via pyarrow on the Python workers).
 
 from __future__ import annotations
 
-import os
 from typing import Iterator, Sequence, Tuple
 
 from pyspark.sql import SparkSession
@@ -117,10 +116,28 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         files: list[str] = []
         if hi > lo:
             table = LakeTable.load(self.root)
-            # reuse the batch CDF's manifest-diff semantics (skips
-            # compact/vacuum, validates CoW-free window) but keep only the
-            # file list — rows are read executor-side
-            files = _window_delta_files(table, lo, hi)
+            # THE SAME walk as batch read_changes (LakeTable is the single
+            # source of truth for skip-list/CoW/expired-window semantics);
+            # only the file list is kept — rows are read executor-side
+            files, end_schema_json = table.change_window_files(lo, hi)
+            # a stream's schema is fixed at query start; a schema-widening
+            # commit inside the window would otherwise have its new column
+            # silently dropped by the executor-side pad/cast — fail loudly
+            # instead (mirrors the CoW rejection; the batch reader handles
+            # evolution because each call re-reads the window-end schema)
+            end_fields = {
+                f.name for f in schema_from_json(end_schema_json).fields
+            }
+            stream_fields = {f.name for f in self.spark_schema.fields}
+            new_cols = sorted(end_fields - stream_fields)
+            if new_cols:
+                raise RuntimeError(
+                    f"lake_cdf: table schema evolved mid-stream — new "
+                    f"column(s) {new_cols} committed in snapshot window "
+                    f"({lo}, {hi}], but this query's schema was fixed at "
+                    "start. Restart the streaming query to pick up the "
+                    "evolved schema; no change data is silently narrowed."
+                )
         if not files:
             return [_FilePartition(None)]  # empty batch still needs a task
         return [_FilePartition(f) for f in files]
@@ -151,37 +168,6 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 
         out = pa.Table.from_arrays(cols, schema=arrow_schema)
         yield from out.to_batches()
-
-
-def _window_delta_files(table: LakeTable, lo: int, hi: int) -> list[str]:
-    """Delta files added by apply commits in (lo, hi] — the same walk as
-    ``LakeTable.read_changes`` (single source of truth for the window
-    semantics lives there; this trims it to paths only)."""
-    chain = table.snapshots()
-    by_id = {s["snapshot_id"]: s for s in chain}
-    out: list[str] = []
-    for s in chain:
-        sid = s["snapshot_id"]
-        if not (lo < sid <= hi):
-            continue
-        if s["op"] in ("create", "compact", "vacuum", "rebucket"):
-            continue
-        parent = by_id.get(s["parent_id"])
-        if parent is None:
-            raise ValueError(f"snapshot {sid}'s parent is expired")
-        pfiles = {f for i in parent["buckets"].values() for f in i["files"]}
-        for b, info in s["buckets"].items():
-            prev = parent["buckets"].get(b)
-            cur = set(info["files"])
-            if prev is not None and any(f not in cur for f in prev["files"]):
-                raise ValueError(
-                    f"snapshot {sid} (op={s['op']}) replaced files: "
-                    "copy-on-write commits don't retain a change feed"
-                )
-            out.extend(
-                os.path.join(table.root, f) for f in info["files"] if f not in pfiles
-            )
-    return out
 
 
 class LakeCDFDataSource(DataSource):

@@ -21,37 +21,47 @@ def _mk(spark, tmp_table, n_events=2_000, n_epochs=2, **kw):
     return cfg, ch
 
 
-def test_crash_before_pointer_swap_is_invisible_and_retryable(spark, tmp_table, monkeypatch):
+def test_crash_after_manifest_link_is_committed_and_idempotent(
+    spark, tmp_table, monkeypatch
+):
+    """OCC protocol: the exclusive manifest creation IS the commit point —
+    a crash before the pointer-hint advance leaves a fully committed
+    snapshot that readers find by probing forward, and a retry of the same
+    epoch is an exactly-once no-op skip (never a double apply)."""
     cfg, ch = _mk(spark, tmp_table)
     job = IngestJob(tmp_table, cfg)
     batches = list(epoch_batches(ch, 2))
     job.run_batches(spark, batches[:1])
     table = LakeTable.load(tmp_table)
     sid0 = table.current_snapshot_id()
-    before = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
 
-    # crash exactly between snapshot-manifest write and pointer swap
+    # crash exactly between the manifest link and the pointer-hint advance
     real_swap = LT._swap_pointer
 
     def boom(self, sid):
-        raise OSError("injected crash before pointer swap")
+        raise OSError("injected crash before pointer advance")
 
     monkeypatch.setattr(LT, "_swap_pointer", boom)
     with pytest.raises(OSError):
         apply_changes(spark, table, batches[1][1], epoch=1, cfg=cfg)
     monkeypatch.setattr(LT, "_swap_pointer", real_swap)
 
-    # nothing visible changed
-    assert table.current_snapshot_id() == sid0
-    assert 1 not in table.applied_epochs()
-    after_crash = table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
-    pd.testing.assert_frame_equal(before, after_crash)
+    # the commit is durable: probing past the stale pointer hint finds it
+    with open(os.path.join(tmp_table, "meta", "_current")) as f:
+        assert int(f.read().strip()) == sid0  # hint stale...
+    assert table.current_snapshot_id() == sid0 + 1  # ...head probed
+    assert 1 in table.applied_epochs()
 
-    # retry succeeds and converges to the oracle
-    apply_changes(spark, table, batches[1][1], epoch=1, cfg=cfg)
+    # a crashed writer's retry is an exactly-once skip, state == oracle
+    m = apply_changes(spark, table, batches[1][1], epoch=1, cfg=cfg)
+    assert m["skipped"]
     final = table.read(spark).orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
     golden = final_state(ch.toPandas())
     pd.testing.assert_frame_equal(final, golden, check_dtype=False)
+    # the next commit heals the pointer hint
+    job.run_batches(spark, [(7, batches[1][1])])
+    with open(os.path.join(tmp_table, "meta", "_current")) as f:
+        assert int(f.read().strip()) == table.current_snapshot_id()
 
 
 def test_crash_before_snapshot_write_is_invisible(spark, tmp_table, monkeypatch):
@@ -260,7 +270,9 @@ def test_expire_snapshots_gc(spark, tmp_table):
     n_files_before = len(
         _glob.glob(os.path.join(tmp_table, "data", "**", "*.parquet"), recursive=True)
     )
-    stats = table.expire_snapshots(keep_last=1)
+    stats = table.expire_snapshots(
+        keep_last=1, sweep_orphans=True, orphan_grace_sec=0
+    )
     assert stats["files_removed"] >= 1
     assert not os.path.exists(debris)
     n_files_after = len(
