@@ -132,24 +132,38 @@ class MultiTableIngestJob:
         spark: SparkSession,
         stream_root: str,
         fail_after: int | None = None,
+        max_epochs: int | None = None,
     ) -> list[dict]:
         """Tail ``<stream_root>/<table>/epoch=<k>`` WALs: epochs ascending,
         tables in topological order within each epoch, each (table, epoch)
         skipped if that table's lineage already records it (resume).
 
+        ``max_epochs`` bounds one run's admission (whole epochs — never a
+        partial epoch, so the FK barrier is preserved); a backlog drains in
+        bounded runs with exactly-once resume between them.
+
         ``fail_after``: test hook — raise after N successful (table, epoch)
         applies to simulate a crash between a parent's commit and a child's.
         """
         tables = self.ensure_tables()
-        epochs: set[int] = set()
-        for spec in self.catalog.topo_order():
-            epochs.update(list_epochs(os.path.join(stream_root, spec.name)))
+        # one directory listing per table for the whole run (each listing is
+        # a remote LIST on an object store; the per-(epoch, table) loop below
+        # tests membership against these cached sets)
+        table_epochs: dict[str, set[int]] = {
+            spec.name: set(list_epochs(os.path.join(stream_root, spec.name)))
+            for spec in self.catalog.topo_order()
+        }
+        epochs: set[int] = set().union(*table_epochs.values()) if table_epochs else set()
         metrics: list[dict] = []
         done = 0
+        epochs_run = 0
         for epoch in sorted(epochs):
+            if max_epochs is not None and epochs_run >= max_epochs:
+                break
+            epoch_did_work = False
             for spec in self.catalog.topo_order():
                 wal = os.path.join(stream_root, spec.name)
-                if epoch not in list_epochs(wal):
+                if epoch not in table_epochs[spec.name]:
                     continue
                 m = apply_changes(
                     spark,
@@ -163,10 +177,13 @@ class MultiTableIngestJob:
                 metrics.append(m)
                 if not m["skipped"]:
                     done += 1
+                    epoch_did_work = True
                     if fail_after is not None and done >= fail_after:
                         raise RuntimeError(
                             f"injected failure after {done} table-epoch applies"
                         )
+            if epoch_did_work:
+                epochs_run += 1
         return metrics
 
     def read(self, spark: SparkSession, name: str):

@@ -465,3 +465,75 @@ def test_rebucket_grows_layout_invisibly(spark, tmp_table):
     got = _net_feed(spark, table, 0)
     exp = _window_winners(raw, min_epoch=0)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_streaming_cdf_rejects_midstream_evolve(spark, tmp_table, tmp_path):
+    """Round-3 fix: a schema-widening (evolve) commit landing MID-STREAM must
+    fail the lake_cdf query loudly — the stream's schema is fixed at query
+    start, and the old behavior silently dropped the new column from the
+    feed. After a restart (fresh query = fresh schema) the full evolved feed
+    streams through with no column data lost."""
+    from cnpj_data_pipeline_spark.streaming.cdf_source import register_cdf_source
+
+    cfg = EngineConfig(n_buckets=4)
+    ch = gen_changes(
+        spark, n_events=1_200, n_convs=30, n_epochs=2, evolve_at_epoch=1
+    )
+    parts = list(epoch_batches(ch, 2, drop_evolved_before=1))
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    apply_changes(spark, base, parts[0][1], epoch=0, cfg=cfg)
+
+    register_cdf_source(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("lake_cdf").load(tmp_table)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+
+    import time as tm
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    # LIVE query: its schema is fixed now, pre-evolution
+    n0 = base.read_changes(spark, 0).count()
+    q = (
+        spark.readStream.format("lake_cdf").load(tmp_table)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds").start()
+    )
+    try:
+        for _ in range(60):
+            tm.sleep(1)
+            try:
+                if spark.read.parquet(sink).count() >= n0:
+                    break
+            except Exception:
+                pass
+
+        # the evolve epoch lands MID-STREAM; the live stale-schema query
+        # must fail loudly instead of narrowing the feed
+        m = apply_changes(spark, base, parts[1][1], epoch=1, cfg=cfg)
+        assert m["schema_evolved"]
+        with pytest.raises(StreamingQueryException, match="evolved mid-stream"):
+            q.awaitTermination(90)
+    finally:
+        q.stop()
+
+    # restart AFTER the failure: new query, evolved schema — the window
+    # streams through and the evolved column's data is intact
+    drain()
+    streamed = spark.read.schema(
+        base.read_changes(spark, 0).schema
+    ).parquet(sink)
+    batch = base.read_changes(spark, 0)
+    assert "tool_meta" in streamed.columns
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    assert streamed.filter("tool_meta is not null").count() > 0

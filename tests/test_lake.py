@@ -293,3 +293,89 @@ def test_expire_snapshots_gc(spark, tmp_table):
     more = gen_changes(spark, n_events=500, n_convs=80, n_epochs=1, seed=7)
     job.run_batches(spark, [(7, more.drop("epoch"))])
     assert LakeTable.load(tmp_table).applied_epochs() == {0, 1, 7}
+
+
+def test_file_level_key_range_pruning(spark, tmp_table):
+    """Round-3 manifest stats: per-file leading-key min/max (free from
+    Parquet footers at commit) lets a point lookup skip delta generations
+    whose key range cannot contain the requested key — pruning WITHIN a
+    bucket, one level below the bucket prune."""
+    from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+    cfg = EngineConfig(n_buckets=1, compact_threshold=0)  # force one bucket
+    table = LakeTable.create(
+        tmp_table, TRANSCRIPT_SCHEMA, key_cols=["conv_id", "turn_idx"], n_buckets=1
+    )
+
+    from pyspark.sql import types as T
+
+    batch_schema = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields)
+        + [T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+    )
+
+    def batch(prefix, epoch):
+        rows = [
+            (f"{prefix}{i:04d}", 0, "user", f"t{i}", None, None, "I",
+             epoch * 1000 + i)
+            for i in range(200)
+        ]
+        return spark.createDataFrame(rows, batch_schema)
+
+    # two epochs over DISJOINT key ranges -> disjoint per-file kmin/kmax
+    apply_changes(spark, table, batch("a", 0), epoch=0, cfg=cfg)
+    apply_changes(spark, table, batch("z", 1), epoch=1, cfg=cfg)
+
+    snap = table.snapshot()
+    all_files = snap["buckets"]["0"]["files"]
+    fstats = snap["buckets"]["0"]["fstats"]
+    assert len(fstats) == len(all_files)
+    assert all(fs is not None and fs[2] is not None for fs in fstats)
+
+    kept = table.prune_key_files(snap, {0: ["a0005"]})[0]
+    assert 0 < len(kept) < len(all_files)  # epoch-1 ("z...") files skipped
+    assert all("a0005" >= "a" for _ in kept)
+
+    keys = spark.createDataFrame([("a0005", 0)], ["conv_id", "turn_idx"])
+    got = table.read_keys(spark, keys).collect()
+    assert len(got) == 1 and got[0]["conv_id"] == "a0005"
+    # a key in the pruned range still resolves correctly too
+    keys_z = spark.createDataFrame([("z0101", 0)], ["conv_id", "turn_idx"])
+    assert table.read_keys(spark, keys_z).collect()[0]["text"] == "t101"
+
+
+def test_rebucket_to_wide_layout_and_ingest_continues(spark, tmp_table):
+    """Growth path at scale: rebucket a live table to a much wider hash
+    layout (hundreds of buckets -> hundreds of staged files, which drives
+    collect_staged's EXECUTOR-SIDE footer harvest), then keep ingesting —
+    exactly-once lineage carries over and state still equals the oracle."""
+    cfg = EngineConfig(n_buckets=4)
+    ch = gen_changes(spark, n_events=4_000, n_convs=150, n_epochs=3)
+    job = IngestJob(tmp_table, cfg)
+    batches = list(epoch_batches(ch, 3))
+    job.run_batches(spark, batches[:2])
+    table = LakeTable.load(tmp_table)
+
+    table.rebucket(spark, 512)
+    snap = table.snapshot()
+    assert snap["n_buckets"] == 512
+    n_staged = sum(len(i["files"]) for i in snap["buckets"].values())
+    assert n_staged >= 64  # wide enough to exercise the distributed stats path
+    # footer stats arrived for every staged file despite the fan-out
+    assert all(
+        len(i["fstats"]) == len(i["files"]) for i in snap["buckets"].values()
+    )
+
+    # ingest continues against the new layout, exactly-once
+    job2 = IngestJob(tmp_table, EngineConfig(n_buckets=512))
+    job2.run_batches(spark, batches[2:])
+    assert LakeTable.load(tmp_table).applied_epochs() == {0, 1, 2}
+    final = (
+        LakeTable.load(tmp_table)
+        .read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    golden = final_state(ch.toPandas())
+    pd.testing.assert_frame_equal(final, golden, check_dtype=False)
