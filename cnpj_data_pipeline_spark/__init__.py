@@ -32,6 +32,13 @@ from cnpj_data_pipeline_spark.plans.catalog import (  # noqa: F401
     TableSpec,
 )
 from cnpj_data_pipeline_spark.plans.pipeline import IngestJob  # noqa: F401
+from cnpj_data_pipeline_spark.lake.sql import (  # noqa: F401
+    consistent_frontier,
+    register_catalog,
+    register_changes_view,
+    register_history_view,
+    register_view,
+)
 from cnpj_data_pipeline_spark.plans.sync import (  # noqa: F401
     FeedSyncJob,
     text_stats_transform,
