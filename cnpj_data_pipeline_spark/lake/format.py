@@ -541,6 +541,14 @@ class LakeTable:
                 if prev_info is not None and any(
                     f not in cur_files for f in prev_info["files"]
                 ):
+                    if s["op"] == "rollback":
+                        raise ValueError(
+                            f"snapshot {sid} rolled the table back inside "
+                            f"change-feed window ({from_snapshot}, "
+                            f"{to_snapshot}] — the feed cannot represent "
+                            "un-happened changes; restart the consumer from "
+                            "a post-rollback snapshot (fromSnapshot)"
+                        )
                     raise ValueError(
                         f"snapshot {sid} (op={s['op']}) replaced files in "
                         f"bucket {b}: copy-on-write commits don't retain a "
@@ -1328,6 +1336,65 @@ class LakeTable:
                 except OSError:
                     pass  # not empty (live files or graced debris)
         return {"files_removed": files_removed, "bytes_removed": bytes_removed}
+
+    def rollback(self, to_snapshot_id: int) -> int:
+        """Revert the table's LIVE state to a historical snapshot by
+        committing a NEW snapshot that carries the target's schema, bucket
+        map and applied-epoch set (Iceberg's ``rollback_to_snapshot``).
+        History is preserved — the bad commits stay readable via time travel
+        until ``expire_snapshots`` drops them — and the rolled-back epochs
+        leave ``applied_epochs``, so re-running ingest over a corrected WAL
+        re-applies them exactly-once. This is the bad-batch recovery story
+        the reference lacks entirely: its only recourse after loading a
+        corrupt file is manual SQL surgery (``processed_files`` rows must be
+        deleted by hand to re-trigger a load, ``src/database/postgres.py:
+        183-196``).
+
+        Metadata-only (no data IO). Concurrency: rollback refuses to jump
+        over a commit it hasn't seen — if the head moves between reading it
+        and the CAS, :class:`CommitConflictError` is raised so the operator
+        re-decides against fresh state rather than silently discarding a
+        concurrent writer's epoch. Change-feed windows that span a rollback
+        are rejected loudly by the CoW-replacement check (state was
+        replaced, not appended), batch and streaming alike."""
+        cur = self.snapshot()
+        if to_snapshot_id > cur["snapshot_id"]:
+            raise ValueError(
+                f"cannot roll forward: target {to_snapshot_id} is newer "
+                f"than head {cur['snapshot_id']}"
+            )
+        target = self.snapshot(to_snapshot_id)  # raises if expired/unknown
+        snap = {
+            "snapshot_id": cur["snapshot_id"] + 1,
+            "parent_id": cur["snapshot_id"],
+            "epoch": None,
+            "op": "rollback",
+            "schema": target["schema"],
+            "key_cols": target["key_cols"],
+            "n_buckets": target["n_buckets"],
+            "buckets": target["buckets"],
+            "applied_epochs": target["applied_epochs"],
+            "lineage": [
+                {
+                    "partition_id": -1,
+                    "epoch": None,
+                    "max_lsn": None,
+                    "rows_applied": 0,
+                    "rolled_back_to": to_snapshot_id,
+                }
+            ],
+            "rows_total": target["rows_total"],
+            "committed_at": _utcnow_iso(),
+        }
+        try:
+            self._write_snapshot(snap)
+        except FileExistsError:
+            raise CommitConflictError(
+                "a concurrent commit landed while rolling back; re-examine "
+                "the head and retry the rollback deliberately"
+            )
+        self._swap_pointer(snap["snapshot_id"])
+        return snap["snapshot_id"]
 
     def vacuum_tombstones(
         self, spark: SparkSession, lsn_horizon: int, salt_factor: int = 4

@@ -1,0 +1,96 @@
+"""Rollback: bad-batch recovery — revert live state to a historical
+snapshot, re-ingest corrected epochs exactly-once, keep the change feed
+honest (windows spanning a rollback fail loudly)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from cnpj_data_pipeline_spark import EngineConfig, IngestJob, LakeTable
+from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
+from cnpj_data_pipeline_spark.operators.merge import apply_changes
+from cnpj_data_pipeline_spark.oracle import final_state
+
+
+def _ingest(spark, tmp_table, n_epochs=3):
+    cfg = EngineConfig(n_buckets=8)
+    ch = gen_changes(spark, n_events=3_000, n_convs=100, n_epochs=n_epochs)
+    job = IngestJob(tmp_table, cfg)
+    batches = list(epoch_batches(ch, n_epochs))
+    return cfg, ch, job, batches
+
+
+def test_rollback_restores_state_and_reingests_exactly_once(spark, tmp_table):
+    cfg, ch, job, batches = _ingest(spark, tmp_table)
+    job.run_batches(spark, batches[:2])
+    table = LakeTable.load(tmp_table)
+    good_sid = table.current_snapshot_id()
+    good = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+        .reset_index(drop=True)
+    )
+
+    # epoch 2 lands, then turns out to be poisoned — roll it back
+    job.run_batches(spark, batches[2:])
+    assert 2 in table.applied_epochs()
+    rb_sid = table.rollback(good_sid)
+    assert rb_sid == table.current_snapshot_id()
+
+    after = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(after, good, check_dtype=False)
+    assert 2 not in table.applied_epochs()
+
+    # the bad snapshot stays time-travel readable until expired
+    assert table.read(spark, snapshot_id=rb_sid - 1).count() > 0
+
+    # re-ingest of the (corrected) epoch applies exactly-once and the final
+    # state matches the oracle fold of the full stream
+    m = job.run_batches(spark, batches[2:])
+    assert not m[0]["skipped"]
+    final = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+        .reset_index(drop=True)
+    )
+    golden = final_state(ch.toPandas())
+    pd.testing.assert_frame_equal(final, golden, check_dtype=False)
+
+    # lineage records the rollback
+    ops = [s["op"] for s in table.snapshots()]
+    assert "rollback" in ops
+
+
+def test_rollback_rejects_roll_forward_and_unknown(spark, tmp_table):
+    _, _, job, batches = _ingest(spark, tmp_table, n_epochs=2)
+    job.run_batches(spark, batches)
+    table = LakeTable.load(tmp_table)
+    head = table.current_snapshot_id()
+    with pytest.raises(ValueError, match="roll forward"):
+        table.rollback(head + 5)
+    table.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        table.rollback(0)  # expired manifest
+
+
+def test_change_feed_window_spanning_rollback_fails_loudly(spark, tmp_table):
+    cfg, _, job, batches = _ingest(spark, tmp_table)
+    job.run_batches(spark, batches[:2])
+    table = LakeTable.load(tmp_table)
+    pre_rb = table.current_snapshot_id()
+    job.run_batches(spark, batches[2:])
+    table.rollback(pre_rb)
+
+    # a consumer still holding an offset before the rollback cannot read
+    # through it — un-happened changes are unrepresentable
+    with pytest.raises(ValueError, match="rolled the table back"):
+        table.read_changes(spark, 0).count()
+
+    # a fresh window starting at (or after) the rollback commit works and
+    # carries the re-ingested epoch's changes
+    rb_sid = table.current_snapshot_id()
+    job.run_batches(spark, batches[2:])
+    changes = table.read_changes(spark, rb_sid)
+    assert changes.count() > 0

@@ -48,6 +48,11 @@ def main() -> None:
     p.add_argument("--n-buckets", type=int, required=True)
     p.add_argument("--salt-factor", type=int, default=4)
 
+    p = sub.add_parser("rollback", help="revert live state to a historical snapshot")
+    p.add_argument("--to-snapshot", type=int, required=True,
+                   help="snapshot id to restore (bad-batch recovery; "
+                        "rolled-back epochs become re-ingestable)")
+
     args = ap.parse_args()
 
     from cnpj_data_pipeline_spark import LakeTable
@@ -69,6 +74,10 @@ def main() -> None:
         out = {"op": "vacuum", "snapshot_id": sid}
     elif args.op == "expire":
         out = {"op": "expire", **table.expire_snapshots(keep_last=args.keep_last)}
+    elif args.op == "rollback":
+        sid = table.rollback(args.to_snapshot)
+        out = {"op": "rollback", "snapshot_id": sid,
+               "restored_snapshot": args.to_snapshot}
     else:
         sid = table.rebucket(spark, args.n_buckets, salt_factor=args.salt_factor)
         out = {"op": "rebucket", "snapshot_id": sid,
