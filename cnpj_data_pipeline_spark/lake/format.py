@@ -1337,6 +1337,40 @@ class LakeTable:
                     pass  # not empty (live files or graced debris)
         return {"files_removed": files_removed, "bytes_removed": bytes_removed}
 
+    def describe(self, snapshot_id: int | None = None) -> dict:
+        """Operator-facing table summary from metadata alone (no data IO):
+        layout, physical rows (across MoR generations — equals live rows
+        once every bucket is compacted/merged), file/generation counts,
+        read-amplification profile, checkpoint state. The DESCRIBE/inspect
+        surface the reference exposes only as hand-run SQL against Postgres
+        catalogs."""
+        snap = self.snapshot(snapshot_id)
+        buckets = snap["buckets"].values()
+        n_files = sum(len(i["files"]) for i in buckets)
+        gens = [i.get("gens", 1 if i["files"] else 0) for i in buckets]
+        unmerged = sum(
+            1 for i in buckets if i["files"] and not i.get("merged", True)
+        )
+        applied = sorted(snap["applied_epochs"])
+        lsns = [i["max_lsn"] for i in buckets if i.get("max_lsn") is not None]
+        return {
+            "snapshot_id": snap["snapshot_id"],
+            "op": snap["op"],
+            "committed_at": snap["committed_at"],
+            "key_cols": snap["key_cols"],
+            "n_buckets": snap["n_buckets"],
+            "rows_physical": snap["rows_total"],
+            "data_files": n_files,
+            "nonempty_buckets": sum(1 for i in buckets if i["files"]),
+            "unmerged_buckets": unmerged,
+            "max_generations": max(gens, default=0),
+            "epochs_applied": len(applied),
+            "last_epoch": applied[-1] if applied else None,
+            "max_lsn": max(lsns, default=None),
+            "snapshots_retained": len(self.snapshots()),
+            "schema_fields": [f.name for f in self.schema(snapshot_id).fields],
+        }
+
     def rollback(self, to_snapshot_id: int) -> int:
         """Revert the table's LIVE state to a historical snapshot by
         committing a NEW snapshot that carries the target's schema, bucket

@@ -75,6 +75,25 @@ def test_rollback_rejects_roll_forward_and_unknown(spark, tmp_table):
         table.rollback(0)  # expired manifest
 
 
+def test_describe_summarizes_layout_and_checkpoint(spark, tmp_table):
+    _, _, job, batches = _ingest(spark, tmp_table, n_epochs=2)
+    job.run_batches(spark, batches)
+    table = LakeTable.load(tmp_table)
+    d = table.describe()
+    assert d["n_buckets"] == 8
+    live = table.read(spark, include_tombstones=True).count()
+    assert d["rows_physical"] >= live  # MoR generations hold old versions
+    table.compact(spark)
+    assert table.describe()["rows_physical"] == live  # merged = live rows
+    assert d["epochs_applied"] == 2 and d["last_epoch"] == 1
+    assert d["data_files"] >= d["nonempty_buckets"] >= 1
+    assert d["schema_fields"][:2] == ["conv_id", "turn_idx"]
+    assert d["max_lsn"] is not None
+    # time-travel describe sees the older checkpoint
+    d0 = table.describe(snapshot_id=1)
+    assert d0["epochs_applied"] == 1
+
+
 def test_change_feed_window_spanning_rollback_fails_loudly(spark, tmp_table):
     cfg, _, job, batches = _ingest(spark, tmp_table)
     job.run_batches(spark, batches[:2])

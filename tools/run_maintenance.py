@@ -53,12 +53,23 @@ def main() -> None:
                    help="snapshot id to restore (bad-batch recovery; "
                         "rolled-back epochs become re-ingestable)")
 
+    sub.add_parser("stats", help="metadata-only table summary (no Spark job)")
+
     args = ap.parse_args()
 
     from cnpj_data_pipeline_spark import LakeTable
     from cnpj_data_pipeline_spark.session import get_spark
 
     table = LakeTable.load(args.table)
+    # metadata-only ops never spin up a Spark session
+    if args.op == "stats":
+        print(json.dumps(table.describe()))
+        return
+    if args.op == "rollback":
+        sid = table.rollback(args.to_snapshot)
+        print(json.dumps({"op": "rollback", "snapshot_id": sid,
+                          "restored_snapshot": args.to_snapshot}))
+        return
     spark = get_spark(master=args.master) if args.master else get_spark()
     before = table.current_snapshot_id()
     if args.op == "compact":
@@ -74,10 +85,6 @@ def main() -> None:
         out = {"op": "vacuum", "snapshot_id": sid}
     elif args.op == "expire":
         out = {"op": "expire", **table.expire_snapshots(keep_last=args.keep_last)}
-    elif args.op == "rollback":
-        sid = table.rollback(args.to_snapshot)
-        out = {"op": "rollback", "snapshot_id": sid,
-               "restored_snapshot": args.to_snapshot}
     else:
         sid = table.rebucket(spark, args.n_buckets, salt_factor=args.salt_factor)
         out = {"op": "rebucket", "snapshot_id": sid,
