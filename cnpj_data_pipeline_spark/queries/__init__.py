@@ -21,15 +21,24 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
     ORACLES.update(_m.ORACLES)
 
 # The driver's correctness gate records at most the first 50 registry entries
-# (round 2: 53 registered -> exactly 50 rows in CORRECTNESS_r02.json).  Three
-# intermediate variants whose end-to-end twin already exercises the same
+# (round 2: 53 registered -> exactly 50 rows in CORRECTNESS_r02.json).
+# Intermediate variants whose end-to-end twin already exercises the same
 # operator family are folded into a secondary registry so every family keeps a
 # driver-gated representative while the primary registry fits the gate:
-#   q_minhash_signatures -> subsumed by q_minhash_lsh_pairs (consumes it)
-#   q_simhash            -> subsumed by q_simhash_neardup   (consumes it)
-#   q_ivf_cells          -> subsumed by q_ivf_train_cells   (assign + train)
+#   q_minhash_signatures   -> subsumed by q_minhash_lsh_pairs (consumes it)
+#   q_simhash              -> subsumed by q_simhash_neardup   (consumes it)
+#   q_ivf_cells            -> subsumed by q_ivf_train_cells   (assign + train)
+#   q_ngram_jaccard_pairs  -> consumed by q_neardup_clusters/_canonical
+#                             (round 3: the pair graph feeds the CC queries)
+#   q_lsh_buckets          -> consumed by q_embedding_neardup
 # The extras stay oracle-gated via tools/check_oracles.py (run by default)
 # and pytest; they are not dropped capabilities.
-_EXTRA_NAMES = ("q_minhash_signatures", "q_simhash", "q_ivf_cells")
+_EXTRA_NAMES = (
+    "q_minhash_signatures",
+    "q_simhash",
+    "q_ivf_cells",
+    "q_ngram_jaccard_pairs",
+    "q_lsh_buckets",
+)
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

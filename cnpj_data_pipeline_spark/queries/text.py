@@ -229,6 +229,59 @@ def q_ngram_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: pair generation only yields edges (A~B, B~C); the
+    dedup decision needs the transitive groups {A,B,C}. Connected components
+    over the Jaccard>=0.35 pair graph via alternating star-contraction
+    (O(log n) DataFrame rounds, ``operators/graph.py``), labels = component
+    min doc_id; every corpus document gets a row (singletons label
+    themselves). Oracle: recursive-CTE transitive closure over the same
+    pairs — closure is O(n·m) and fine for an oracle, the star contraction
+    is the 10^10-doc plan."""
+    from cnpj_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    cc = connected_components(edges, nodes=docs)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keep/drop decision that materializes the deduplicated
+    corpus: within each near-dup cluster the canonical survivor is the
+    longest document (max n_chars, tie-break min doc_id). Canonical election
+    is a single min_by hash aggregate over a lexicographic struct — one
+    map-side-combining shuffle, no per-cluster window sort (a giant cluster
+    would serialize a window into one task; the agg stays partial-merge)."""
+    from cnpj_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    d = _docs(spark, sf_dir)
+    docs = d.select(F.col("doc_id").alias("node"))
+    cc = connected_components(edges, nodes=docs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    labeled = cc.join(d.select("doc_id", "n_chars"), "doc_id")
+    canon = labeled.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("n_chars")).alias("a"), F.col("doc_id").alias("b"))
+        ).alias("canonical_doc_id")
+    )
+    return labeled.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "canonical_doc_id",
+        (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep"),
+    )
+
+
 def _shingle_dict(spark: SparkSession, sf_dir: str):
     """(doc_id, sid) pairs with a deterministic, cross-engine-stable shingle
     id: the leading 60 bits of md5(shingle) reduced mod 2^31-1. Fully
@@ -425,6 +478,8 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "q_ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
+    "q_neardup_clusters": q_neardup_clusters,
+    "q_neardup_canonical": q_neardup_canonical,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
@@ -480,6 +535,39 @@ _SIMHASH_CTES = f"""
           FROM votes
         )
 """
+
+# Jaccard>=0.35 duplicate-pair edges + recursive-closure component labels —
+# shared by the clustering oracles. The closure (O(n·m) rows) is the ORACLE;
+# the engine runs O(log n) star-contraction rounds instead.
+_CLUSTER_CTES = f"""{_SHINGLES_CTE.strip()},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM doc_sids GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM doc_sids a JOIN doc_sids b
+            ON a.sid = b.sid AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        dup_pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON doc_a = sa.doc_id
+          JOIN sizes sb ON doc_b = sb.doc_id
+          WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.35
+        ),
+        dedges AS (
+          SELECT doc_a AS a, doc_b AS b FROM dup_pairs
+          UNION SELECT doc_b, doc_a FROM dup_pairs
+        ),
+        reach AS (
+          SELECT a, b FROM dedges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN dedges e ON r.b = e.a
+        ),
+        labels AS (
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+          FROM documents d LEFT JOIN reach r ON d.doc_id = r.a
+          GROUP BY d.doc_id
+        )"""
 
 ORACLES = {
     "q_doc_sample": """
@@ -572,6 +660,28 @@ ORACLES = {
         JOIN sizes sa ON doc_a = sa.doc_id
         JOIN sizes sb ON doc_b = sb.doc_id
         WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.35
+    """,
+    "q_neardup_clusters": f"""
+        WITH RECURSIVE {_CLUSTER_CTES}
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        FROM labels
+    """,
+    "q_neardup_canonical": f"""
+        WITH RECURSIVE {_CLUSTER_CTES},
+        canon AS (
+          SELECT cluster_id, doc_id AS canonical_doc_id FROM (
+            SELECT l.cluster_id, l.doc_id,
+                   row_number() OVER (
+                       PARTITION BY l.cluster_id
+                       ORDER BY d.n_chars DESC, l.doc_id
+                   ) AS rn
+            FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+          ) WHERE rn = 1
+        )
+        SELECT l.doc_id, l.cluster_id, c.canonical_doc_id,
+               l.doc_id = c.canonical_doc_id AS keep
+        FROM labels l JOIN canon c ON l.cluster_id = c.cluster_id
     """,
     "q_minhash_signatures": _SIG_SQL + "SELECT * FROM sig",
     "q_minhash_lsh_pairs": _SIG_SQL + f""",
