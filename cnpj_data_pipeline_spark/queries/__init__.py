@@ -31,6 +31,8 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
 #   q_ngram_jaccard_pairs  -> consumed by q_neardup_clusters/_canonical
 #                             (round 3: the pair graph feeds the CC queries)
 #   q_lsh_buckets          -> consumed by q_embedding_neardup
+#   q_media_meta           -> subsumed by q_media_byte_stats (same binary
+#                             sniffing stage, richer byte-level outputs)
 # The extras stay oracle-gated via tools/check_oracles.py (run by default)
 # and pytest; they are not dropped capabilities.
 _EXTRA_NAMES = (
@@ -39,6 +41,7 @@ _EXTRA_NAMES = (
     "q_ivf_cells",
     "q_ngram_jaccard_pairs",
     "q_lsh_buckets",
+    "q_media_meta",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

@@ -159,8 +159,58 @@ def q_code_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_reference_codes(official, external, code_width=2)
 
 
+# Watermark replay parameters: events re-arrive in 100-event batches with a
+# deterministic lateness permutation (every 50th event two batches late,
+# every 50th+25 one batch late — ~4% late traffic); the watermark is the
+# running max event time of all PRIOR batches minus 1 hour, Spark's
+# withWatermark contract expressed batch-explicitly so DuckDB can replay it.
+WM_BATCH = 100
+WM_SHIFT = "CASE WHEN event_id % 50 = 0 THEN 2 WHEN event_id % 50 = 25 THEN 1 ELSE 0 END"
+
+
+def q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling 1-day windows under a late-data watermark policy:
+    replay the event stream in arrival batches, drop events older than the
+    watermark in force when their batch arrives (late = ts < running max of
+    prior batches − 1h), then aggregate survivors per (window, event_type)
+    and audit the drops per window. The per-batch watermark table is
+    metadata-scale (#batches rows — the one intentional single-partition
+    running-max window), broadcast back onto the event scan; everything
+    data-sized stays a hash aggregate. The native `withWatermark` streaming
+    twin of this policy is exercised in tests/test_event_windows.py; this
+    batch-explicit form is the deterministic, oracle-checkable statement of
+    the same semantics."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ab", F.expr(f"event_id DIV {WM_BATCH} + ({WM_SHIFT})")
+    )
+    bmax = ev.groupBy("ab").agg(F.max("ts").alias("mx"))
+    wrun = Window.orderBy("ab").rowsBetween(Window.unboundedPreceding, -1)
+    wm = bmax.select(
+        "ab", (F.max("mx").over(wrun) - F.expr("INTERVAL 1 HOUR")).alias("w")
+    )
+    j = ev.join(F.broadcast(wm), "ab").withColumn(
+        "late", F.col("w").isNotNull() & (F.col("ts") < F.col("w"))
+    )
+    return (
+        j.groupBy(
+            F.window("ts", "1 day")["start"].alias("win_start"), "event_type"
+        )
+        .agg(
+            F.count(F.when(~F.col("late"), 1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.when(~F.col("late"), F.col("value")).cast("decimal(18,6)")
+                ).cast("double"),
+                6,
+            ).alias("sum_value"),
+            F.count(F.when(F.col("late"), 1)).alias("n_dropped"),
+        )
+    )
+
+
 QUERIES = {
     "q_pricing_summary": q_pricing_summary,
+    "q_event_time_windows": q_event_time_windows,
     "q_top_customers": q_top_customers,
     "q_region_sales": q_region_sales,
     "q_sessionize": q_sessionize,
@@ -169,6 +219,28 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_event_time_windows": f"""
+        WITH e AS (
+          SELECT *, event_id // {WM_BATCH} + ({WM_SHIFT}) AS ab FROM events
+        ),
+        bmax AS (SELECT ab, max(ts) AS mx FROM e GROUP BY ab),
+        wm AS (
+          SELECT ab,
+                 max(mx) OVER (
+                     ORDER BY ab ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ) - INTERVAL 1 HOUR AS w
+          FROM bmax
+        ),
+        j AS (
+          SELECT e.*, (wm.w IS NOT NULL AND e.ts < wm.w) AS late
+          FROM e JOIN wm USING (ab)
+        )
+        SELECT date_trunc('day', ts) AS win_start, event_type,
+               count(*) FILTER (WHERE NOT late) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE NOT late) AS DOUBLE), 6) AS sum_value,
+               count(*) FILTER (WHERE late) AS n_dropped
+        FROM j GROUP BY 1, 2
+    """,
     "q_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
