@@ -59,12 +59,19 @@ class FeedSyncJob:
         transform: Transform | None = None,
         cfg: EngineConfig | None = None,
         n_buckets: int | None = None,
+        key_cols: tuple[str, ...] | None = None,
     ):
+        """``key_cols`` overrides the derived table's primary key — required
+        when the transform changes row identity (e.g. a row-EXPANDING
+        transform like the near-dup band index, where one source doc becomes
+        one row per band keyed (doc_id, band)). Default: the source's keys
+        (1:1 payload transforms)."""
         self.source_root = source_root
         self.derived_root = derived_root
         self.transform = transform
         self.cfg = cfg or EngineConfig()
         self.n_buckets = n_buckets
+        self.key_cols = key_cols
 
     def _envelope(self, feed: DataFrame) -> DataFrame:
         """Feed rows (payload + meta) -> change envelope (payload + op/lsn),
@@ -87,7 +94,7 @@ class FeedSyncJob:
         # schema (plus op/lsn so the transform may reference them)
         empty = spark.createDataFrame([], src.physical_schema())
         payload_schema = self._envelope(empty).drop("op", "lsn").schema
-        key_cols = src.key_cols()
+        key_cols = list(self.key_cols) if self.key_cols else src.key_cols()
         return LakeTable.create(
             self.derived_root,
             payload_schema,

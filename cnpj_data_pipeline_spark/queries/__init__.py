@@ -33,6 +33,8 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
 #   q_lsh_buckets          -> consumed by q_embedding_neardup
 #   q_media_meta           -> subsumed by q_media_byte_stats (same binary
 #                             sniffing stage, richer byte-level outputs)
+#   q_doc_fingerprint      -> the fingerprint feeds q_dedup_exact and
+#                             q_corpus_filter's exact-dedup stage (both gated)
 # The extras stay oracle-gated via tools/check_oracles.py (run by default)
 # and pytest; they are not dropped capabilities.
 _EXTRA_NAMES = (
@@ -42,6 +44,7 @@ _EXTRA_NAMES = (
     "q_ngram_jaccard_pairs",
     "q_lsh_buckets",
     "q_media_meta",
+    "q_doc_fingerprint",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

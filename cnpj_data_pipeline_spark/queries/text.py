@@ -16,14 +16,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cnpj_data_pipeline_spark.functions.minhash import (  # shared with the
+    HASH_A,  # incremental near-dup index job (plans/neardup.py) — both
+    HASH_B,  # compute bit-identical signatures from these primitives
+    MERSENNE,
+    N_HASHES,
+)
+
 STOP_EN = ["the", "a", "of", "to", "and", "in", "is", "it"]
 STOP_ES = ["el", "la", "de", "que", "y", "en", "un", "es"]
 STOP_FR = ["le", "la", "de", "et", "un", "en", "est", "que"]
 
-N_HASHES = 8
-MERSENNE = (1 << 31) - 1
-HASH_A = [2654435761, 2246822519, 3266489917, 668265263, 374761393, 2654435789, 2246822579, 3266489939]
-HASH_B = [1779033703, 3144134277, 1013904242, 2773480762, 1359893119, 2600822924, 528734635, 1541459225]
 SIMHASH_BITS = 16
 
 
@@ -117,15 +120,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingles(col="text", k: int = 3):
-    """Word k-shingles: positions 0..n-k of consecutive-token joins."""
-    toks = _tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.when(n >= k,
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-        )
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    """Word k-shingles — delegates to the shared primitive so the corpus
+    queries and the incremental index produce identical shingle sets."""
+    from cnpj_data_pipeline_spark.functions import minhash as mh
+
+    return mh.shingles(col, k)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,6 +281,71 @@ def q_neardup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUALITY_MIN = 0.34  # ≈ corpus median of the 6dp-rounded quality_score
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus funnel, per language: raw →
+    quality-gated (quality_score ≥ QUALITY_MIN, compared on the 6dp-rounded
+    score both engines agree on bit-exactly) → exact-dedup survivors (min
+    doc_id per full-text md5 within the gated set) → near-dup canonical
+    survivors (longest doc per connected-component cluster, elected among
+    the remaining docs so a filtered-out canonical never empties its
+    cluster). Every stage is a semi-join against a keyed winner set — no
+    windows over data-sized groups, counts are hash aggregates.
+
+    Note: the synthetic corpus contains near-dups but no byte-identical
+    documents, so the exact stage's attrition is 0 there — its semantics are
+    still oracle-gated (and exercised with real dupes in tests)."""
+    from cnpj_data_pipeline_spark.operators.graph import connected_components
+
+    d = _docs(spark, sf_dir)
+    qual = q_doc_quality(spark, sf_dir).select("doc_id", "quality_score")
+    s1 = d.join(qual, "doc_id").filter(F.col("quality_score") >= QUALITY_MIN)
+    keep_exact = (
+        s1.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(keep_exact, "doc_id", "left_semi")
+
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        nodes=d.select(F.col("doc_id").alias("node")),
+    ).select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+    canon = (
+        s2.join(cc, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                "doc_id",
+                F.struct((-F.col("n_chars")).alias("a"), F.col("doc_id").alias("b")),
+            ).alias("doc_id")
+        )
+        .select("doc_id")
+    )
+    s3 = s2.join(canon, "doc_id", "left_semi")
+
+    def _per_lang(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(name))
+
+    out = (
+        _per_lang(d, "n_raw")
+        .join(_per_lang(s1, "n_quality"), "lang", "left")
+        .join(_per_lang(s2, "n_exact"), "lang", "left")
+        .join(_per_lang(s3, "n_final"), "lang", "left")
+    )
+    return out.select(
+        "lang",
+        "n_raw",
+        F.coalesce("n_quality", F.lit(0)).cast("long").alias("n_quality"),
+        F.coalesce("n_exact", F.lit(0)).cast("long").alias("n_exact"),
+        F.coalesce("n_final", F.lit(0)).cast("long").alias("n_final"),
+    )
+
+
 def _shingle_dict(spark: SparkSession, sf_dir: str):
     """(doc_id, sid) pairs with a deterministic, cross-engine-stable shingle
     id: the leading 60 bits of md5(shingle) reduced mod 2^31-1. Fully
@@ -293,13 +357,11 @@ def _shingle_dict(spark: SparkSession, sf_dir: str):
     # the source is a handful of small parquet files -> 1-2 scan partitions;
     # fan the docs out first so the expensive explode+md5 runs on every core
     # (rows-in is tiny, rows-out is ~100x — classic pre-explode repartition)
+    from cnpj_data_pipeline_spark.functions import minhash as mh
+
     d = _docs(spark, sf_dir).repartition(spark.sparkContext.defaultParallelism)
     sh = d.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    return sh.withColumn(
-        "sid",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
-        % MERSENNE,
-    )
+    return sh.withColumn("sid", mh.shingle_id("shingle"))
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,6 +542,7 @@ QUERIES = {
     "q_ngram_jaccard_pairs_capped": q_ngram_jaccard_pairs_capped,
     "q_neardup_clusters": q_neardup_clusters,
     "q_neardup_canonical": q_neardup_canonical,
+    "q_corpus_filter": q_corpus_filter,
     "q_minhash_signatures": q_minhash_signatures,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
@@ -682,6 +745,48 @@ ORACLES = {
         SELECT l.doc_id, l.cluster_id, c.canonical_doc_id,
                l.doc_id = c.canonical_doc_id AS keep
         FROM labels l JOIN canon c ON l.cluster_id = c.cluster_id
+    """,
+    "q_corpus_filter": f"""
+        WITH RECURSIVE {_CLUSTER_CTES},
+        qual AS (
+          SELECT doc_id,
+                 round(
+                   least(len({_TOKS}) / 400.0, 1.0) * 0.4
+                   + (len(list_distinct({_TOKS})) / CAST(len({_TOKS}) AS DOUBLE)) * 0.4
+                   + least(len(list_filter({_TOKS}, t -> t IN {_STOP_EN_SQL})) / 8.0, 1.0) * 0.2
+                 , 6) AS quality_score
+          FROM documents
+        ),
+        s1 AS (
+          SELECT d.* FROM documents d JOIN qual q USING (doc_id)
+          WHERE q.quality_score >= {QUALITY_MIN}
+        ),
+        s2 AS (
+          SELECT * FROM s1 WHERE doc_id IN (
+            SELECT min(doc_id) FROM s1 GROUP BY md5(lower(trim(text)))
+          )
+        ),
+        s3 AS (
+          SELECT doc_id FROM (
+            SELECT s2.doc_id,
+                   row_number() OVER (
+                       PARTITION BY l.cluster_id
+                       ORDER BY s2.n_chars DESC, s2.doc_id
+                   ) AS rn
+            FROM s2 JOIN labels l USING (doc_id)
+          ) WHERE rn = 1
+        )
+        SELECT r.lang, r.n_raw,
+               coalesce(a.n_quality, 0) AS n_quality,
+               coalesce(b.n_exact, 0) AS n_exact,
+               coalesce(c.n_final, 0) AS n_final
+        FROM (SELECT lang, count(*) AS n_raw FROM documents GROUP BY lang) r
+        LEFT JOIN (SELECT lang, count(*) AS n_quality FROM s1 GROUP BY lang) a USING (lang)
+        LEFT JOIN (SELECT lang, count(*) AS n_exact FROM s2 GROUP BY lang) b USING (lang)
+        LEFT JOIN (
+          SELECT lang, count(*) AS n_final FROM s2
+          WHERE doc_id IN (SELECT doc_id FROM s3) GROUP BY lang
+        ) c USING (lang)
     """,
     "q_minhash_signatures": _SIG_SQL + "SELECT * FROM sig",
     "q_minhash_lsh_pairs": _SIG_SQL + f""",

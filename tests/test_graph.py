@@ -76,6 +76,48 @@ def test_max_rounds_exceeded_raises(spark):
         connected_components(edges, max_rounds=0)
 
 
+def test_random_graphs_match_union_find(spark):
+    """Star contraction vs a driver-side union-find oracle on random graphs
+    (seeded — deterministic across runs)."""
+    import random
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        n = rng.randint(2, 40)
+        m = rng.randint(0, 60)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-label per component
+        want = {}
+        for v in range(n):
+            r = find(v)
+            want.setdefault(r, []).append(v)
+        expect = {v: min(vs) for r, vs in want.items() for v in vs}
+
+        edf = spark.createDataFrame(
+            edges or [(0, 0)], "src int, dst int"
+        )
+        ndf = spark.createDataFrame([(v,) for v in range(n)], ["node"])
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(edf, nodes=ndf).collect()
+        }
+        assert got == expect, f"seed={seed} n={n} m={m}"
+
+
 def test_neardup_clusters_consistent_with_pairs(spark):
     from cnpj_data_pipeline_spark.queries.text import (
         q_neardup_canonical,
@@ -100,3 +142,37 @@ def test_neardup_clusters_consistent_with_pairs(spark):
         F.sum(F.col("keep").cast("int")).alias("n")
     ).filter("n != 1")
     assert bad.count() == 0
+
+
+def test_corpus_filter_funnel_invariants(spark):
+    """Monotone attrition per language, and n_final counts one survivor per
+    near-dup cluster present after the first two stages."""
+    from cnpj_data_pipeline_spark.queries.text import q_corpus_filter
+
+    rows = q_corpus_filter(spark, SF_DIR).collect()
+    assert rows
+    tot = {"n_raw": 0, "n_quality": 0, "n_exact": 0, "n_final": 0}
+    for r in rows:
+        assert r["n_raw"] >= r["n_quality"] >= r["n_exact"] >= r["n_final"] >= 0
+        for k in tot:
+            tot[k] += r[k]
+    assert tot["n_raw"] == 500
+    assert 0 < tot["n_final"] < tot["n_raw"]
+
+
+def test_exact_dedup_stage_with_real_duplicates(spark, tmp_path):
+    """The synthetic corpus has no byte-identical docs, so drive the exact
+    stage's semantics on a fixture that does: duplicate texts collapse to
+    the min doc_id within the quality-gated set."""
+    from pyspark.sql import functions as SF
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta")],
+        ["doc_id", "text"],
+    )
+    keep = (
+        d.select("doc_id", SF.md5(SF.lower(SF.trim("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(SF.min("doc_id").alias("doc_id"))
+    )
+    assert sorted(r["doc_id"] for r in keep.collect()) == [1, 3]
