@@ -93,6 +93,7 @@ from cnpj_data_pipeline_spark.config import (
 from cnpj_data_pipeline_spark.schemas import schema_from_json, union_schema
 
 OP_META_COL = "__op"
+CHANGE_TYPE_COL = "change_type"  # typed change feed (read_changes_typed)
 
 
 class CommitConflictError(RuntimeError):
@@ -422,6 +423,9 @@ class LakeTable:
         spark: SparkSession,
         keys: DataFrame,
         include_meta: bool = False,
+        include_tombstones: bool = False,
+        snapshot_id: int | None = None,
+        broadcast_keys: bool = True,
     ) -> DataFrame:
         """Point / multi-get lookup with BUCKET PRUNING: the requested keys
         are hashed to their buckets and only those buckets' files are
@@ -430,35 +434,61 @@ class LakeTable:
         point lookup touches 1/16384 of the data files). The surviving rows
         are left-semi-joined against the broadcast key set.
 
-        The bucket list is computed driver-side (bounded by
-        min(|keys|, n_buckets) — metadata-scale, like the merge's touched
-        list); ``keys`` must be small enough to broadcast, the normal mget
-        contract."""
-        snap = self.snapshot()
+        Two regimes, chosen by ``broadcast_keys``:
+
+        * ``True`` (mget): the key/bucket pairs are collected driver-side
+          (bounded by min(|keys|, n_buckets)), enabling the SECOND pruning
+          level — manifest per-file key min/max skips generation files —
+          and the semi join broadcasts. ``keys`` must be driver-small, the
+          normal point-lookup contract.
+        * ``False`` (batch lookup, e.g. a change window's touched keys or an
+          IVM job's affected groups): only DISTINCT BUCKET IDS are collected
+          (bounded by n_buckets — metadata-scale regardless of |keys|); the
+          keys themselves never leave the executors and the semi join is a
+          shuffle join. File-level pruning is skipped — bucket-level pruning
+          is the one that scales with |keys|.
+
+        ``snapshot_id`` reads the keys' state AT that snapshot (time-travel
+        mget — the pre-image read of the typed change feed)."""
+        snap = self.snapshot(snapshot_id)
         key_cols = snap["key_cols"]
         if key_cols is None:
             raise ValueError("point lookup requires key columns (keyless table)")
         kd = keys.select(*key_cols).distinct()
-        pairs = (
-            kd.select(
-                bucket_expr(key_cols, snap["n_buckets"]).alias("__b"),
-                F.col(key_cols[0]).alias("__k"),
+        if broadcast_keys:
+            pairs = (
+                kd.select(
+                    bucket_expr(key_cols, snap["n_buckets"]).alias("__b"),
+                    F.col(key_cols[0]).alias("__k"),
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
-        keys_by_bucket: dict[int, list] = {}
-        for r in pairs:
-            keys_by_bucket.setdefault(int(r["__b"]), []).append(r["__k"])
-        buckets = sorted(keys_by_bucket)
-        file_index = self.prune_key_files(snap, keys_by_bucket)
+            keys_by_bucket: dict[int, list] = {}
+            for r in pairs:
+                keys_by_bucket.setdefault(int(r["__b"]), []).append(r["__k"])
+            buckets = sorted(keys_by_bucket)
+            file_index = self.prune_key_files(snap, keys_by_bucket)
+        else:
+            buckets = sorted(
+                int(r["__b"])
+                for r in kd.select(
+                    bucket_expr(key_cols, snap["n_buckets"]).alias("__b")
+                )
+                .distinct()
+                .collect()
+            )
+            file_index = None
         df = self.read(
             spark,
+            snapshot_id=snapshot_id,
             include_meta=include_meta,
+            include_tombstones=include_tombstones,
             buckets=buckets,
             file_index=file_index,
         )
-        return df.join(F.broadcast(kd), on=list(key_cols), how="left_semi")
+        join_keys = F.broadcast(kd) if broadcast_keys else kd
+        return df.join(join_keys, on=list(key_cols), how="left_semi")
 
     def prune_key_files(
         self, snap: dict, keys_by_bucket: dict[int, list]
@@ -607,6 +637,125 @@ class LakeTable:
         if not include_meta:
             df = df.drop(LSN_META_COL, OP_META_COL)
         return df
+
+    def read_changes_typed(
+        self,
+        spark: SparkSession,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """TYPED change feed with pre/post images — the Delta-Lake
+        ``readChangeFeed`` row shape (``_change_type`` in ``insert`` /
+        ``update_preimage`` / ``update_postimage`` / ``delete``), computed
+        for the NET window ``(from_snapshot, to_snapshot]``:
+
+        * ``insert`` — key absent (or tombstoned) at window start, live at
+          window end: one row, the post-image.
+        * ``update_preimage`` + ``update_postimage`` — key live at both ends
+          and the winning row changed: two rows, old and new image.
+        * ``delete`` — key live at window start, tombstoned at window end:
+          one row, the pre-image.
+
+        A key whose window events all LOSE the LWW order to its pre-window
+        state (a late, lower-LSN replay) emits NOTHING — the table did not
+        change. This is the feed shape incremental aggregate maintenance
+        needs: plain ``read_changes`` emits only new images, so a consumer
+        cannot retract a group's old contribution; with pre-images every
+        SUM/COUNT-style aggregate becomes delta-maintainable
+        (``plans/ivm.AggSyncJob``).
+
+        Execution shape, all O(changed data), never O(table):
+
+        1. the window's delta files → net per-key window winner (one
+           hash-aggregate, map-side combined);
+        2. pre-images: time-travel ``read_keys`` at ``from_snapshot`` over
+           the touched keys, ``broadcast_keys=False`` — only bucket ids are
+           collected (≤ n_buckets); the touched keys themselves stay on the
+           executors and semi-join against the touched buckets' scan;
+        3. post = LWW(pre ∪ window winner) — the same total order the table
+           itself resolves reads with; a change row is emitted only where
+           post ≠ pre.
+
+        The touched-key set is derived from the window scan and read twice
+        (bucket-id agg + semi join) — two passes over O(batch) delta files,
+        cheaper at scale than persisting an unbounded key set.
+
+        Requires a keyed table (pre/post images are key semantics)."""
+        key_cols = self.key_cols()
+        if key_cols is None:
+            raise ValueError("typed change feed requires key columns (keyless table)")
+        to_sid = self.current_snapshot_id() if to_snapshot is None else to_snapshot
+        feed = self.read_changes(spark, from_snapshot, to_sid)
+        from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
+
+        win = lww_winners_agg(
+            feed, key_cols, lsn_col=LSN_META_COL, op_col=OP_META_COL
+        )
+        touched = win.select(*key_cols)
+
+        end_schema = schema_from_json(self.snapshot(to_sid)["schema"])
+        payload_cols = [f.name for f in end_schema.fields]
+        phys_cols = payload_cols + [LSN_META_COL, OP_META_COL]
+
+        if from_snapshot == 0:
+            pre = spark.createDataFrame(
+                [],
+                T.StructType(list(end_schema.fields) + PHYSICAL_META_FIELDS),
+            )
+        else:
+            pre = self.read_keys(
+                spark,
+                touched,
+                include_meta=True,
+                include_tombstones=True,
+                snapshot_id=from_snapshot,
+                broadcast_keys=False,
+            )
+        # pad pre to the window-end schema (additive evolution inside the
+        # window: pre-images gain NULL columns, like the batch reader)
+        for f in end_schema.fields:
+            if f.name not in pre.columns:
+                pre = pre.withColumn(f.name, F.lit(None).cast(f.dataType))
+        pre = pre.select(*phys_cols)
+
+        post = lww_winners_agg(
+            pre.unionByName(win.select(*phys_cols)),
+            key_cols,
+            lsn_col=LSN_META_COL,
+            op_col=OP_META_COL,
+        )
+
+        def _img(df: DataFrame, name: str) -> DataFrame:
+            return df.select(
+                *key_cols,
+                F.struct(*[F.col(c) for c in phys_cols]).alias(name),
+            )
+
+        j = _img(post, "__new").join(_img(pre, "__old"), key_cols, "left_outer")
+        new_s, old_s = F.col("__new"), F.col("__old")
+        pre_live = old_s.isNotNull() & (old_s[OP_META_COL] != "D")
+        post_live = new_s[OP_META_COL] != "D"
+        changed = ~new_s.eqNullSafe(old_s)
+
+        def _row(src, ctype: str):
+            return F.struct(
+                *[src[c].alias(c) for c in payload_cols],
+                src[LSN_META_COL].alias("lsn"),
+                F.lit(ctype).alias(CHANGE_TYPE_COL),
+            )
+
+        rows = (
+            F.when(~pre_live & post_live, F.array(_row(new_s, "insert")))
+            .when(
+                pre_live & post_live & changed,
+                F.array(
+                    _row(old_s, "update_preimage"),
+                    _row(new_s, "update_postimage"),
+                ),
+            )
+            .when(pre_live & ~post_live, F.array(_row(old_s, "delete")))
+        )
+        return j.select(F.explode(rows).alias("__c")).select("__c.*")
 
     def read_state_for_merge(
         self, spark: SparkSession, buckets: Iterable[int], evolved_schema: T.StructType

@@ -35,6 +35,11 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
 #                             sniffing stage, richer byte-level outputs)
 #   q_doc_fingerprint      -> the fingerprint feeds q_dedup_exact and
 #                             q_corpus_filter's exact-dedup stage (both gated)
+#   q_final_state_sql      -> shares its oracle VERBATIM with q_cdc_replay
+#                             (the engine replay is gated against that SQL)
+#   q_tombstones           -> a filter (op='D') of q_lww_dedup's gated output;
+#                             tombstone retention itself is gated end-to-end
+#                             by q_cdc_replay/q_table_changes + test_lake
 # The extras stay oracle-gated via tools/check_oracles.py (run by default)
 # and pytest; they are not dropped capabilities.
 _EXTRA_NAMES = (
@@ -45,6 +50,8 @@ _EXTRA_NAMES = (
     "q_lsh_buckets",
     "q_media_meta",
     "q_doc_fingerprint",
+    "q_final_state_sql",
+    "q_tombstones",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

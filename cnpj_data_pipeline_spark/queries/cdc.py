@@ -317,6 +317,58 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_changes_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPED change feed with pre/post images (Delta readChangeFeed shape):
+    insert / update_preimage / update_postimage / delete rows for the net
+    window state-after-epoch-1 → head of the replayed lake table.
+
+    The plain feed (q_table_changes) emits only new images — enough to
+    replicate, not to RETRACT; the typed feed adds the old image of every
+    updated/deleted key, read via a bucket-pruned TIME-TRAVEL lookup at the
+    window-start snapshot (touched keys stay on the executors; only bucket
+    ids reach the driver). Post = LWW(pre ∪ window winners): a late,
+    lower-LSN replay that loses to pre-window state emits nothing. This is
+    what makes every SUM/COUNT aggregate delta-maintainable downstream
+    (q_ivm_agg)."""
+    table = _replayed_table(spark, sf_dir)
+    from_sid = max(
+        s["snapshot_id"] for s in table.snapshots() if s.get("epoch") == 1
+    )
+    return table.read_changes_typed(spark, from_sid)
+
+
+def q_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE: a materialized GROUP BY view
+    (per-conversation turn count + total chars) over the replayed table,
+    maintained purely from typed change windows — the base state is never
+    re-scanned and the view is never rebuilt.
+
+    Per epoch: typed window (O(changed data)) → insert/retract deltas per
+    affected group (one hash agg) → bucket-pruned lookup of ONLY those
+    groups' current values → O(affected groups) merge. Groups emptied by
+    deletes are tombstoned out. The final view must equal the full GROUP BY
+    recompute over the base's final state — the SQL oracle — while having
+    cost O(Σ changed data), the property that makes a fleet of always-fresh
+    aggregates affordable at 10^10 rows (the reference's consumers
+    re-aggregate Postgres on every query)."""
+    from cnpj_data_pipeline_spark.plans.ivm import AggSyncJob
+
+    base = _replayed_table(spark, sf_dir)
+    job = AggSyncJob(
+        base.root,
+        os.path.join(_mk_scratch("cdc_ivm_"), "view"),
+        ["conv_id"],
+        {"total_chars": "coalesce(length(text), 0)"},
+        cfg=EngineConfig(n_buckets=16, salt_factor=2),
+    )
+    job.run_once(spark)
+    return job.read(spark).select(
+        "conv_id",
+        F.col("n_rows").alias("n_turns"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
 def q_derived_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CDC CONSUMER: a derived lake table (per-turn text stats)
     maintained incrementally by tailing the base table's change feed —
@@ -541,9 +593,52 @@ QUERIES = {
     "q_point_lookup": q_point_lookup,
     "q_stateful_conv_state": q_stateful_conv_state,
     "q_table_changes": q_table_changes,
+    "q_changes_typed": q_changes_typed,
+    "q_ivm_agg": q_ivm_agg,
     "q_derived_table_sync": q_derived_table_sync,
     "q_conv_render": q_conv_render,
 }
+
+# pre/post winner state for the typed-feed oracle: pre = LWW fold of epochs
+# <= 1 (the window-start snapshot), post = fold of all epochs; a change row
+# exists only for keys touched by the window (epochs >= 2)
+_TYPED_J_CTE = """
+pre AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY lsn DESC, ts DESC, op DESC, coalesce(text, '') DESC,
+                 coalesce(tool, '') DESC, coalesce(role, '') DESC
+    ) AS rn
+    FROM changes WHERE epoch <= 1
+  ) WHERE rn = 1
+),
+post AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx
+        ORDER BY lsn DESC, ts DESC, op DESC, coalesce(text, '') DESC,
+                 coalesce(tool, '') DESC, coalesce(role, '') DESC
+    ) AS rn
+    FROM changes
+  ) WHERE rn = 1
+),
+touched AS (SELECT DISTINCT conv_id, turn_idx FROM changes WHERE epoch >= 2),
+j AS (
+  SELECT t.conv_id, t.turn_idx,
+         p.role AS p_role, p.text AS p_text, p.tool AS p_tool,
+         p.ts AS p_ts, p.lsn AS p_lsn, p.op AS p_op,
+         q.role AS q_role, q.text AS q_text, q.tool AS q_tool,
+         q.ts AS q_ts, q.lsn AS q_lsn, q.op AS q_op,
+         (p.lsn IS DISTINCT FROM q.lsn OR p.ts IS DISTINCT FROM q.ts
+          OR p.op IS DISTINCT FROM q.op OR p.role IS DISTINCT FROM q.role
+          OR p.text IS DISTINCT FROM q.text
+          OR p.tool IS DISTINCT FROM q.tool) AS changed
+  FROM touched t
+  LEFT JOIN pre p USING (conv_id, turn_idx)
+  JOIN post q USING (conv_id, turn_idx)
+)
+"""
 
 _FINAL_STATE_SQL = f"""
 WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
@@ -637,6 +732,33 @@ ORACLES = {
                count(*) AS n_turns,
                CAST(sum(length(text)) AS BIGINT) AS total_chars,
                string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS rendered
+        FROM live GROUP BY conv_id
+    """,
+    "q_changes_typed": f"""
+        WITH {CHANGES_CTE.strip()}, {_TYPED_J_CTE.strip()}
+        SELECT conv_id, turn_idx, q_role AS role, q_text AS text,
+               q_tool AS tool, q_ts AS ts, q_lsn AS lsn,
+               'insert' AS change_type
+        FROM j WHERE (p_op IS NULL OR p_op = 'D') AND q_op <> 'D'
+        UNION ALL
+        SELECT conv_id, turn_idx, p_role, p_text, p_tool, p_ts, p_lsn,
+               'update_preimage'
+        FROM j WHERE p_op IS NOT NULL AND p_op <> 'D' AND q_op <> 'D' AND changed
+        UNION ALL
+        SELECT conv_id, turn_idx, q_role, q_text, q_tool, q_ts, q_lsn,
+               'update_postimage'
+        FROM j WHERE p_op IS NOT NULL AND p_op <> 'D' AND q_op <> 'D' AND changed
+        UNION ALL
+        SELECT conv_id, turn_idx, p_role, p_text, p_tool, p_ts, p_lsn,
+               'delete'
+        FROM j WHERE p_op IS NOT NULL AND p_op <> 'D' AND q_op = 'D'
+    """,
+    "q_ivm_agg": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
+        live AS (SELECT * FROM winners WHERE op <> 'D')
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
         FROM live GROUP BY conv_id
     """,
     "q_derived_table_sync": f"""
