@@ -872,7 +872,7 @@ class LakeTable:
         self,
         *,
         op: str,
-        epoch: int | None,
+        epoch: int | Iterable[int] | None,
         bucket_updates: dict[int, dict],
         new_schema: T.StructType | None = None,
         mode: str = "replace",
@@ -905,24 +905,38 @@ class LakeTable:
         ``expected_parent`` is the snapshot id the caller planned/read its
         input state at (defaults to the head seen on the first attempt).
         ``merged``: whether the updated buckets hold exactly one winner row
-        per key afterwards; appending to a non-empty bucket always clears it."""
+        per key afterwards; appending to a non-empty bucket always clears it.
+
+        ``epoch`` may be an ITERABLE of epochs: one atomic commit marks the
+        whole set applied (the catch-up-window path — a consumer folding K
+        pending epochs into one merge). All-or-nothing: if ANY of them was
+        applied concurrently the commit raises, because the staged data is
+        the fold of the full window and cannot subtract the overlap."""
+        if epoch is None:
+            epochs: list[int] = []
+        elif isinstance(epoch, int):
+            epochs = [epoch]
+        else:
+            epochs = sorted({int(e) for e in epoch})
         baseline_sid = expected_parent
         attempts = 0
         while True:
             cur = self.snapshot()
             if baseline_sid is None:
                 baseline_sid = cur["snapshot_id"]
-            if epoch is not None and epoch in cur["applied_epochs"]:
+            overlap = set(epochs) & set(cur["applied_epochs"])
+            if overlap:
                 raise EpochAlreadyAppliedError(
-                    f"epoch {epoch} was applied by a concurrent commit "
-                    f"(head={cur['snapshot_id']}); refusing to double-apply"
+                    f"epoch(s) {sorted(overlap)} were applied by a concurrent "
+                    f"commit (head={cur['snapshot_id']}); refusing to "
+                    "double-apply"
                 )
             if cur["snapshot_id"] != baseline_sid:
                 self._validate_rebase(
                     cur, baseline_sid, bucket_updates, mode, new_n_buckets
                 )
             sid = self._build_and_cas(
-                cur, op, epoch, bucket_updates, new_schema, mode, merged,
+                cur, op, epochs, bucket_updates, new_schema, mode, merged,
                 new_n_buckets,
             )
             if sid is not None:
@@ -972,7 +986,7 @@ class LakeTable:
         self,
         cur: dict,
         op: str,
-        epoch: int | None,
+        epochs: list[int],
         bucket_updates: dict[int, dict],
         new_schema: T.StructType | None,
         mode: str,
@@ -982,6 +996,9 @@ class LakeTable:
         """One commit attempt against ``cur``: build the snapshot, try the
         exclusive manifest create. Returns the new id, or None on CAS loss."""
         keyless = cur["key_cols"] is None
+        # scalar label for lineage/back-compat readers; the full window set
+        # rides in "epochs" and the cumulative ledger in "applied_epochs"
+        epoch = max(epochs) if epochs else None
         sid = cur["snapshot_id"] + 1
         # a bucket-count change invalidates every old bucket assignment, so
         # the update set must be the COMPLETE new layout (rebucket rewrite)
@@ -1037,8 +1054,7 @@ class LakeTable:
                 }
             )
         applied = list(cur["applied_epochs"])
-        if epoch is not None and epoch not in applied:
-            applied.append(epoch)
+        applied.extend(e for e in epochs if e not in applied)
         if new_schema is not None:
             # union with the CURRENT head's schema (not the baseline's): a
             # concurrent evolve commit that won the race keeps its columns
@@ -1051,6 +1067,7 @@ class LakeTable:
             "snapshot_id": sid,
             "parent_id": cur["snapshot_id"],
             "epoch": epoch,
+            "epochs": epochs,
             "op": op,
             "schema": schema_json,
             "key_cols": cur["key_cols"],

@@ -124,7 +124,7 @@ def _merge_kernel(key_cols: list[str]):
     return kernel
 
 
-def _skipped_by_race(table: LakeTable, epoch: int, t0: float) -> dict:
+def _skipped_by_race(table: LakeTable, epoch, t0: float) -> dict:
     """A concurrent writer applied this epoch between our entry check and our
     commit CAS — exactly-once means our staged files stay orphaned (GC'd by
     clean_orphans) and the apply reports itself as skipped."""
@@ -143,12 +143,17 @@ def apply_changes(
     spark: SparkSession,
     table: LakeTable,
     changes: DataFrame,
-    epoch: int,
+    epoch: int | Sequence[int],
     cfg: EngineConfig | None = None,
     batch_rows_hint: int | None = None,
 ) -> dict:
     """Apply one change batch (epoch) to the lake table with exactly-once,
-    LWW, schema-evolution and skew-safe semantics. Returns metrics."""
+    LWW, schema-evolution and skew-safe semantics. Returns metrics.
+
+    ``epoch`` may be a SEQUENCE of epochs when ``changes`` is the fold of a
+    multi-epoch catch-up window (the consumer backlog path): the merge runs
+    once over the whole window and the commit atomically marks every epoch
+    in it applied — all-or-nothing, same exactly-once ledger."""
     cfg = cfg or EngineConfig()
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -159,7 +164,9 @@ def apply_changes(
         phases[name] = round(now - _last[0], 3)
         _last[0] = now
 
-    if epoch in table.applied_epochs():
+    epoch_set = {epoch} if isinstance(epoch, int) else set(epoch)
+    already = epoch_set & table.applied_epochs()
+    if already == epoch_set:
         # Idempotent replay guard — the reference's processed-files skip
         # (main.py:100-131), at change-batch granularity.
         return {
@@ -170,6 +177,12 @@ def apply_changes(
             "seconds": 0.0,
             "snapshot_id": table.current_snapshot_id(),
         }
+    if already:
+        raise ValueError(
+            f"window epochs {sorted(already)} already applied but "
+            f"{sorted(epoch_set - already)} are not — a folded batch cannot "
+            "be partially replayed; re-plan the window over pending epochs"
+        )
 
     snap = table.snapshot()
     key_cols = list(snap["key_cols"]) if snap["key_cols"] is not None else None

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from cnpj_data_pipeline_spark.config import EngineConfig
 from cnpj_data_pipeline_spark.lake.format import CHANGE_TYPE_COL, LakeTable
 from cnpj_data_pipeline_spark.operators.merge import apply_changes
+from cnpj_data_pipeline_spark.plans.sync import _pending_windows
 
 N_ROWS_COL = "n_rows"  # implicit COUNT(*) measure: the view's liveness signal
 
@@ -113,8 +114,12 @@ class AggSyncJob:
             self.n_buckets or src.n_buckets(),
         )
 
-    def _merge_epoch(
-        self, spark: SparkSession, view: LakeTable, deltas: DataFrame, epoch: int
+    def _merge_window(
+        self,
+        spark: SparkSession,
+        view: LakeTable,
+        deltas: DataFrame,
+        epochs: list[int],
     ) -> dict:
         mcols = list(self.measures) + [N_ROWS_COL]
         deltas = deltas.persist()
@@ -146,16 +151,29 @@ class AggSyncJob:
                 *self.group_cols,
                 *mcols,
                 F.when(F.col(N_ROWS_COL) <= 0, "D").otherwise("U").alias("op"),
-                F.lit(epoch).cast("long").alias("lsn"),
+                # max epoch of the window: later windows always outrank
+                # earlier ones in the view's LWW order
+                F.lit(max(epochs)).cast("long").alias("lsn"),
             )
-            return apply_changes(spark, view, env, epoch=epoch, cfg=self.cfg)
+            return apply_changes(spark, view, env, epoch=epochs, cfg=self.cfg)
         finally:
             deltas.unpersist()
 
     # ---------------- public API ----------------
 
-    def run_once(self, spark: SparkSession) -> dict:
-        """Maintain the view through every pending base epoch."""
+    def run_once(
+        self, spark: SparkSession, max_window_epochs: int | None = None
+    ) -> dict:
+        """Maintain the view through every pending base epoch.
+
+        Pending epochs fold into CATCH-UP WINDOWS (``_pending_windows``):
+        one typed read + one delta merge per run of consecutive pending
+        epochs. The typed feed is computed over the NET window, so folding
+        K epochs costs ONE pre-image lookup and one merge instead of K —
+        and intermediate states a key passed through inside the window are
+        never materialized at all. ``max_window_epochs`` bounds one apply;
+        windows never span an already-applied epoch (its deltas would
+        double-count — the feed-vs-ledger invariant)."""
         t0 = time.monotonic()
         src = LakeTable.load(self.source_root)
         applies = _apply_snapshots(src)
@@ -166,19 +184,19 @@ class AggSyncJob:
         )
         done = view.applied_epochs() if view is not None else set()
         synced, rows = [], 0
-        prev = 0
-        for s in applies:
-            if s["epoch"] in done:
-                prev = s["snapshot_id"]
-                continue
-            typed = src.read_changes_typed(spark, prev, s["snapshot_id"])
+        for window, prev_sid in _pending_windows(
+            applies, done, max_window_epochs
+        ):
+            typed = src.read_changes_typed(
+                spark, prev_sid, window[-1]["snapshot_id"]
+            )
             deltas = self._deltas(typed)
             if view is None:
                 view = self._ensure_view(deltas, src)
-            m = self._merge_epoch(spark, view, deltas, s["epoch"])
-            synced.append(s["epoch"])
+            epochs = [s["epoch"] for s in window]
+            m = self._merge_window(spark, view, deltas, epochs)
+            synced.extend(epochs)
             rows += m["rows_applied"]
-            prev = s["snapshot_id"]
         lag = len(applies) - (len(view.applied_epochs()) if view else 0)
         return {
             "epochs_synced": synced,
@@ -186,6 +204,24 @@ class AggSyncJob:
             "epochs_behind": max(lag, 0),
             "seconds": round(time.monotonic() - t0, 3),
         }
+
+    def run_follow(
+        self,
+        spark: SparkSession,
+        poll_seconds: float = 5.0,
+        max_polls: int | None = None,
+        max_window_epochs: int | None = None,
+    ) -> dict:
+        """Poll loop: sync, sleep, repeat (the always-fresh-view shape)."""
+        totals = {"epochs_synced": [], "rows_applied": 0, "polls": 0}
+        while True:
+            m = self.run_once(spark, max_window_epochs=max_window_epochs)
+            totals["epochs_synced"].extend(m["epochs_synced"])
+            totals["rows_applied"] += m["rows_applied"]
+            totals["polls"] += 1
+            if max_polls is not None and totals["polls"] >= max_polls:
+                return totals
+            time.sleep(poll_seconds)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """The maintained view's current state (live groups only)."""

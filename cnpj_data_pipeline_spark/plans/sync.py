@@ -51,6 +51,37 @@ def _apply_snapshots(table: LakeTable) -> list[dict]:
     ]
 
 
+def _pending_windows(
+    applies: list[dict],
+    done: set[int],
+    max_window_epochs: int | None = None,
+) -> list[tuple[list[dict], int]]:
+    """Group the PENDING apply snapshots into contiguous catch-up windows:
+    ``(snapshots, window_start_sid)`` pairs where every snapshot in the run
+    is unapplied and consecutive in the lineage. A window NEVER spans an
+    already-applied epoch — the folded feed would re-read (and for delta
+    consumers, double-count) that epoch's changes. ``max_window_epochs``
+    caps one window's length (admission control for huge backlogs)."""
+    windows: list[tuple[list[dict], int]] = []
+    run: list[dict] = []
+    prev = 0
+    for s in applies:
+        if s["epoch"] in done:
+            if run:
+                windows.append((run, prev))
+                run = []
+            prev = s["snapshot_id"]
+            continue
+        run.append(s)
+        if max_window_epochs is not None and len(run) >= max_window_epochs:
+            windows.append((run, prev))
+            prev = run[-1]["snapshot_id"]
+            run = []
+    if run:
+        windows.append((run, prev))
+    return windows
+
+
 class FeedSyncJob:
     def __init__(
         self,
@@ -102,26 +133,38 @@ class FeedSyncJob:
             self.n_buckets or src.n_buckets(),
         )
 
-    def run_once(self, spark: SparkSession) -> dict:
-        """Sync every pending base epoch; returns consumer metrics."""
+    def run_once(
+        self, spark: SparkSession, max_window_epochs: int | None = None
+    ) -> dict:
+        """Sync every pending base epoch; returns consumer metrics.
+
+        Pending epochs are folded into CATCH-UP WINDOWS: one change-feed read
+        + one merge covers a whole run of consecutive pending epochs (LWW is
+        associative, so folding the window equals applying its epochs one by
+        one), and the window's epochs are marked applied in one atomic
+        commit. A consumer resuming after a long pause pays one merge, not
+        one per missed epoch. ``max_window_epochs`` bounds a single apply
+        (memory/latency admission, the consumer-side twin of the ingest's
+        ``max_epochs_per_run``); windows also break at any already-applied
+        epoch so a fold can never re-include applied changes."""
         t0 = time.monotonic()
         src = LakeTable.load(self.source_root)
         derived = self._ensure_derived(spark, src)
         applies = _apply_snapshots(src)
         done = derived.applied_epochs()
         synced, rows = [], 0
-        prev = 0
-        for s in applies:
-            if s["epoch"] in done:
-                prev = s["snapshot_id"]
-                continue
-            feed = src.read_changes(spark, prev, s["snapshot_id"])
-            m = apply_changes(
-                spark, derived, self._envelope(feed), epoch=s["epoch"], cfg=self.cfg
+        for window, prev_sid in _pending_windows(
+            applies, done, max_window_epochs
+        ):
+            feed = src.read_changes(
+                spark, prev_sid, window[-1]["snapshot_id"]
             )
-            synced.append(s["epoch"])
+            epochs = [s["epoch"] for s in window]
+            m = apply_changes(
+                spark, derived, self._envelope(feed), epoch=epochs, cfg=self.cfg
+            )
+            synced.extend(epochs)
             rows += m["rows_applied"]
-            prev = s["snapshot_id"]
         lag = len(_apply_snapshots(src)) - len(derived.applied_epochs())
         return {
             "epochs_synced": synced,

@@ -537,3 +537,32 @@ def test_streaming_cdf_rejects_midstream_evolve(spark, tmp_table, tmp_path):
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
     assert streamed.filter("tool_meta is not null").count() > 0
+
+
+def test_mirror_backlog_folds_with_evolve_inside_window(spark, tmp_table, tmp_path):
+    """A replica catching up on a 3-epoch backlog (with a schema evolution
+    INSIDE the folded window) applies ONE merge: one apply commit on the
+    replica, all epochs in its ledger, state and evolved schema equal to the
+    base's."""
+    from cnpj_data_pipeline_spark.plans.sync import FeedSyncJob
+
+    cfg = EngineConfig(n_buckets=8)
+    ch = gen_changes(spark, n_events=2_000, n_convs=40, n_epochs=3,
+                     evolve_at_epoch=1, delete_ratio=0.1)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    for e, batch in epoch_batches(ch, 3, drop_evolved_before=1):
+        apply_changes(spark, base, batch, epoch=e, cfg=cfg)
+
+    replica_root = str(tmp_path / "replica")
+    job = FeedSyncJob(tmp_table, replica_root, cfg=cfg)
+    m = job.run_once(spark)
+    assert m["epochs_synced"] == [0, 1, 2]
+
+    replica = LakeTable.load(replica_root)
+    applies = [s for s in replica.snapshots() if s.get("epoch") is not None]
+    assert len(applies) == 1
+    assert sorted(replica.applied_epochs()) == [0, 1, 2]
+    assert "tool_meta" in replica.schema().fieldNames()
+    b = base.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    r = replica.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(r[b.columns], b, check_dtype=False)

@@ -76,7 +76,7 @@ def test_cas_loser_rebases_without_losing_either_commit(tmp_path):
 
     # writer B ALSO built against the old head — one low-level attempt loses
     lost = b._build_and_cas(
-        head, "append", None, {1: _append_update("b", 0)}, None, "append",
+        head, "append", [], {1: _append_update("b", 0)}, None, "append",
         True, None,
     )
     assert lost is None  # CAS loss: sid 1 was taken by A

@@ -145,3 +145,73 @@ def test_ivm_crash_resume_exactly_once(spark, tmp_table, tmp_path):
     )
     # the view itself is a lake table with a real epoch ledger
     assert sorted(LakeTable.load(view_root).applied_epochs()) == [0, 1, 2]
+
+
+def test_ivm_backlog_folds_into_one_window(spark, tmp_table, tmp_path):
+    """K pending epochs sync as ONE typed window + ONE view commit (the
+    catch-up path): the view's snapshot chain grows by a single apply, its
+    ledger carries all K epochs, and the state equals the recompute."""
+    cfg = EngineConfig(n_buckets=8)
+    ch = gen_changes(spark, n_events=3_000, n_convs=40, n_epochs=4,
+                     delete_ratio=0.1, late_ratio=0.1)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    for e, batch in epoch_batches(ch, 4):
+        apply_changes(spark, base, batch, epoch=e, cfg=cfg)
+
+    job = AggSyncJob(tmp_table, str(tmp_path / "view"), ["conv_id"],
+                     MEASURES, cfg=cfg)
+    m = job.run_once(spark)
+    assert m["epochs_synced"] == [0, 1, 2, 3]
+    view = LakeTable.load(str(tmp_path / "view"))
+    applies = [s for s in view.snapshots() if s.get("epoch") is not None]
+    assert len(applies) == 1, "backlog must fold into one apply commit"
+    assert sorted(applies[0].get("epochs", [])) == [0, 1, 2, 3]
+    assert sorted(view.applied_epochs()) == [0, 1, 2, 3]
+    got, exp = _view_state(spark, job), _recompute(spark, base)
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_ivm_max_window_epochs_bounds_applies(spark, tmp_table, tmp_path):
+    """max_window_epochs=2 over a 4-epoch backlog -> two bounded applies,
+    same final state (admission control without semantic drift)."""
+    cfg = EngineConfig(n_buckets=8)
+    ch = gen_changes(spark, n_events=2_000, n_convs=30, n_epochs=4,
+                     delete_ratio=0.1)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    for e, batch in epoch_batches(ch, 4):
+        apply_changes(spark, base, batch, epoch=e, cfg=cfg)
+
+    job = AggSyncJob(tmp_table, str(tmp_path / "view"), ["conv_id"],
+                     MEASURES, cfg=cfg)
+    m = job.run_once(spark, max_window_epochs=2)
+    assert m["epochs_synced"] == [0, 1, 2, 3]
+    view = LakeTable.load(str(tmp_path / "view"))
+    applies = [s for s in view.snapshots() if s.get("epoch") is not None]
+    assert len(applies) == 2
+    got, exp = _view_state(spark, job), _recompute(spark, base)
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_pending_windows_never_span_done_epochs():
+    """Pure planner invariant: a catch-up window must break at any
+    already-applied epoch (its deltas would double-count in a fold) and at
+    the max_window_epochs cap; window start sids chain correctly."""
+    from cnpj_data_pipeline_spark.plans.sync import _pending_windows
+
+    applies = [
+        {"epoch": e, "snapshot_id": sid}
+        for e, sid in [(0, 1), (1, 2), (2, 3), (3, 5), (4, 6)]
+    ]
+    # epoch 2 already applied: windows are [0,1] from sid 0 and [3,4] from sid 3
+    wins = _pending_windows(applies, done={2}, max_window_epochs=None)
+    assert [([s["epoch"] for s in w], p) for w, p in wins] == [
+        ([0, 1], 0),
+        ([3, 4], 3),
+    ]
+    # cap of 2 splits the clean backlog into chained windows
+    wins = _pending_windows(applies, done=set(), max_window_epochs=2)
+    assert [([s["epoch"] for s in w], p) for w, p in wins] == [
+        ([0, 1], 0),
+        ([2, 3], 2),
+        ([4], 5),
+    ]
