@@ -236,11 +236,32 @@ class LakeTable:
         schema: T.StructType,
         key_cols: Sequence[str] | None,
         n_buckets: int,
+        bucket_cols: Sequence[str] | None = None,
     ) -> "LakeTable":
         """``key_cols=None`` declares a KEYLESS append-only table (the
         reference's no-PK ``socios`` path, src/database/postgres.py:213-214,
         init-db/postgres.sql:104-119): every change row is a pure insert with
-        lineage/exactly-once, no LWW resolution, no tombstones."""
+        lineage/exactly-once, no LWW resolution, no tombstones.
+
+        ``bucket_cols`` (default: the full key) clusters the layout on a
+        SUBSET of the key — e.g. a (conv_id, turn_idx)-keyed table bucketed
+        on conv_id alone keeps every turn of a conversation in one bucket,
+        so conversation-level lookups and FK fan-outs (a parent row's change
+        touching all its children) prune to one bucket instead of scanning
+        the table (``read_keys(on=bucket_cols)``), and tables sharing the
+        bucket spec are storage-co-partitioned for bucket-wise joins. The
+        trade: a single hot conversation concentrates in one bucket — the
+        merge's (bucket, salt-of-full-key) shuffle still spreads its WORK,
+        only the file layout concentrates. Must be a subset of ``key_cols``
+        (a key's versions must never span buckets)."""
+        if bucket_cols is not None:
+            if key_cols is None:
+                raise ValueError("bucket_cols requires a keyed table")
+            if not bucket_cols or not set(bucket_cols) <= set(key_cols):
+                raise ValueError(
+                    f"bucket_cols {list(bucket_cols)} must be a non-empty "
+                    f"subset of key_cols {list(key_cols)}"
+                )
         t = cls(root)
         if os.path.exists(t._pointer_path()):
             raise FileExistsError(f"table already exists at {root}")
@@ -253,11 +274,13 @@ class LakeTable:
             "op": "create",
             "schema": schema.json(),
             "key_cols": list(key_cols) if key_cols is not None else None,
+            "bucket_cols": list(bucket_cols) if bucket_cols is not None else None,
             "n_buckets": int(n_buckets),
             "buckets": {},
             "applied_epochs": [],
             "lineage": [],
             "rows_total": 0,
+            "props": {},
             "committed_at": _utcnow_iso(),
         }
         t._write_snapshot(snap)
@@ -332,6 +355,21 @@ class LakeTable:
     def key_cols(self) -> list[str] | None:
         kc = self.snapshot()["key_cols"]
         return list(kc) if kc is not None else None
+
+    @staticmethod
+    def _bucket_cols_of(snap: dict) -> list[str] | None:
+        """The columns the layout hashes on: ``bucket_cols`` if declared,
+        else the full key (pre-bucket_cols snapshots lack the field)."""
+        bc = snap.get("bucket_cols") or snap["key_cols"]
+        return list(bc) if bc is not None else None
+
+    def bucket_cols(self) -> list[str] | None:
+        return self._bucket_cols_of(self.snapshot())
+
+    def props(self) -> dict:
+        """Table properties (merged across commits) — the consumer-offset /
+        frontier store (see ``commit(props=...)``)."""
+        return dict(self.snapshot().get("props") or {})
 
     def n_buckets(self) -> int:
         return int(self.snapshot()["n_buckets"])
@@ -426,6 +464,7 @@ class LakeTable:
         include_tombstones: bool = False,
         snapshot_id: int | None = None,
         broadcast_keys: bool = True,
+        on: Sequence[str] | None = None,
     ) -> DataFrame:
         """Point / multi-get lookup with BUCKET PRUNING: the requested keys
         are hashed to their buckets and only those buckets' files are
@@ -449,17 +488,35 @@ class LakeTable:
           is the one that scales with |keys|.
 
         ``snapshot_id`` reads the keys' state AT that snapshot (time-travel
-        mget — the pre-image read of the typed change feed)."""
+        mget — the pre-image read of the typed change feed).
+
+        ``on`` selects the match columns (default: the full key). Passing a
+        KEY PREFIX — most usefully ``on=bucket_cols`` on a prefix-bucketed
+        table, e.g. all turns of a set of conversations — returns every row
+        whose prefix matches. Bucket pruning applies whenever ``on`` covers
+        the table's bucket columns (the bucket hash is computable from the
+        lookup keys); otherwise the lookup degrades to a full-bucket scan +
+        semi join, loudly assumed by the caller."""
         snap = self.snapshot(snapshot_id)
         key_cols = snap["key_cols"]
         if key_cols is None:
             raise ValueError("point lookup requires key columns (keyless table)")
-        kd = keys.select(*key_cols).distinct()
-        if broadcast_keys:
+        on = list(on) if on is not None else list(key_cols)
+        if not set(on) <= set(key_cols):
+            raise ValueError(
+                f"lookup columns {on} must be a subset of key_cols {key_cols}"
+            )
+        bcols = self._bucket_cols_of(snap)
+        prunable = set(bcols) <= set(on)
+        kd = keys.select(*on).distinct()
+        file_index = None
+        if not prunable:
+            buckets = None  # cannot compute bucket ids from these columns
+        elif broadcast_keys:
             pairs = (
                 kd.select(
-                    bucket_expr(key_cols, snap["n_buckets"]).alias("__b"),
-                    F.col(key_cols[0]).alias("__k"),
+                    bucket_expr(bcols, snap["n_buckets"]).alias("__b"),
+                    F.col(on[0]).alias("__k"),
                 )
                 .distinct()
                 .collect()
@@ -468,17 +525,18 @@ class LakeTable:
             for r in pairs:
                 keys_by_bucket.setdefault(int(r["__b"]), []).append(r["__k"])
             buckets = sorted(keys_by_bucket)
-            file_index = self.prune_key_files(snap, keys_by_bucket)
+            if on[0] == key_cols[0]:
+                # file-level kmin/kmax stats are on the leading key column
+                file_index = self.prune_key_files(snap, keys_by_bucket)
         else:
             buckets = sorted(
                 int(r["__b"])
                 for r in kd.select(
-                    bucket_expr(key_cols, snap["n_buckets"]).alias("__b")
+                    bucket_expr(bcols, snap["n_buckets"]).alias("__b")
                 )
                 .distinct()
                 .collect()
             )
-            file_index = None
         df = self.read(
             spark,
             snapshot_id=snapshot_id,
@@ -488,7 +546,7 @@ class LakeTable:
             file_index=file_index,
         )
         join_keys = F.broadcast(kd) if broadcast_keys else kd
-        return df.join(join_keys, on=list(key_cols), how="left_semi")
+        return df.join(join_keys, on=on, how="left_semi")
 
     def prune_key_files(
         self, snap: dict, keys_by_bucket: dict[int, list]
@@ -770,7 +828,7 @@ class LakeTable:
         else:
             df = spark.read.schema(phys).parquet(*files)
         return df.withColumn(
-            BUCKET_COL, bucket_expr(snap["key_cols"], snap["n_buckets"])
+            BUCKET_COL, bucket_expr(self._bucket_cols_of(snap), snap["n_buckets"])
         )
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
@@ -880,6 +938,8 @@ class LakeTable:
         new_n_buckets: int | None = None,
         expected_parent: int | None = None,
         max_retries: int = 10,
+        props: dict | None = None,
+        expected_props: dict | None = None,
     ) -> int:
         """Atomically publish a new snapshot under OPTIMISTIC CONCURRENCY:
         build the snapshot against the current head, then attempt the
@@ -911,7 +971,16 @@ class LakeTable:
         whole set applied (the catch-up-window path — a consumer folding K
         pending epochs into one merge). All-or-nothing: if ANY of them was
         applied concurrently the commit raises, because the staged data is
-        the fold of the full window and cannot subtract the overlap."""
+        the fold of the full window and cannot subtract the overlap.
+
+        ``props`` are TABLE PROPERTIES: a small JSON dict merged (key-wise)
+        into the table's persistent property map, atomically with the data —
+        the consumer-offset/frontier store for jobs whose progress is not an
+        integer epoch (e.g. a join view tracking a frontier per source).
+        ``expected_props`` is the CAS guard: the commit aborts with
+        :class:`CommitConflictError` unless the CURRENT head still holds
+        exactly these values (a racing consumer instance advanced the
+        frontier first — the exactly-once skip, like EpochAlreadyApplied)."""
         if epoch is None:
             epochs: list[int] = []
         elif isinstance(epoch, int):
@@ -931,13 +1000,27 @@ class LakeTable:
                     f"commit (head={cur['snapshot_id']}); refusing to "
                     "double-apply"
                 )
+            if expected_props:
+                cur_props = cur.get("props") or {}
+                stale = {
+                    k: cur_props.get(k)
+                    for k, v in expected_props.items()
+                    if cur_props.get(k) != v
+                }
+                if stale:
+                    raise CommitConflictError(
+                        f"table properties moved underneath this commit "
+                        f"(expected {expected_props}, head has {stale}): a "
+                        "concurrent consumer instance advanced the frontier "
+                        "— re-plan from the current head"
+                    )
             if cur["snapshot_id"] != baseline_sid:
                 self._validate_rebase(
                     cur, baseline_sid, bucket_updates, mode, new_n_buckets
                 )
             sid = self._build_and_cas(
                 cur, op, epochs, bucket_updates, new_schema, mode, merged,
-                new_n_buckets,
+                new_n_buckets, props,
             )
             if sid is not None:
                 return sid
@@ -992,6 +1075,7 @@ class LakeTable:
         mode: str,
         merged: bool,
         new_n_buckets: int | None,
+        props: dict | None = None,
     ) -> int | None:
         """One commit attempt against ``cur``: build the snapshot, try the
         exclusive manifest create. Returns the new id, or None on CAS loss."""
@@ -1071,6 +1155,8 @@ class LakeTable:
             "op": op,
             "schema": schema_json,
             "key_cols": cur["key_cols"],
+            "bucket_cols": cur.get("bucket_cols"),
+            "props": {**(cur.get("props") or {}), **(props or {})},
             "n_buckets": int(new_n_buckets) if new_n_buckets is not None else cur["n_buckets"],
             "buckets": buckets,
             "applied_epochs": applied,
@@ -1310,7 +1396,9 @@ class LakeTable:
             df = spark.createDataFrame([], phys)
         from cnpj_data_pipeline_spark.config import SALT_COL
 
-        df = df.withColumn(BUCKET_COL, bucket_expr(key_cols, new_n_buckets))
+        df = df.withColumn(
+            BUCKET_COL, bucket_expr(self._bucket_cols_of(snap), new_n_buckets)
+        )
         salt_src = (
             [F.col(c) for c in key_cols] if key_cols else [F.col(LSN_META_COL)]
         )
@@ -1571,6 +1659,11 @@ class LakeTable:
             "op": "rollback",
             "schema": target["schema"],
             "key_cols": target["key_cols"],
+            "bucket_cols": target.get("bucket_cols"),
+            # props revert WITH the data, like applied_epochs: a consumer
+            # frontier stored on this table must rewind to the target state
+            # so the consumer re-applies the rolled-back windows
+            "props": target.get("props") or {},
             "n_buckets": target["n_buckets"],
             "buckets": target["buckets"],
             "applied_epochs": target["applied_epochs"],

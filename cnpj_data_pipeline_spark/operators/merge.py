@@ -143,9 +143,11 @@ def apply_changes(
     spark: SparkSession,
     table: LakeTable,
     changes: DataFrame,
-    epoch: int | Sequence[int],
+    epoch: int | Sequence[int] | None,
     cfg: EngineConfig | None = None,
     batch_rows_hint: int | None = None,
+    props: dict | None = None,
+    expected_props: dict | None = None,
 ) -> dict:
     """Apply one change batch (epoch) to the lake table with exactly-once,
     LWW, schema-evolution and skew-safe semantics. Returns metrics.
@@ -153,7 +155,13 @@ def apply_changes(
     ``epoch`` may be a SEQUENCE of epochs when ``changes`` is the fold of a
     multi-epoch catch-up window (the consumer backlog path): the merge runs
     once over the whole window and the commit atomically marks every epoch
-    in it applied — all-or-nothing, same exactly-once ledger."""
+    in it applied — all-or-nothing, same exactly-once ledger.
+
+    ``epoch=None`` opts OUT of the integer-epoch ledger; the caller must
+    then supply ``props``/``expected_props`` as its exactly-once guard (the
+    frontier-CAS path, e.g. a join view tracking one frontier per source —
+    see ``LakeTable.commit``). A stale frontier surfaces as
+    :class:`CommitConflictError` from the commit."""
     cfg = cfg or EngineConfig()
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -164,9 +172,18 @@ def apply_changes(
         phases[name] = round(now - _last[0], 3)
         _last[0] = now
 
-    epoch_set = {epoch} if isinstance(epoch, int) else set(epoch)
+    if epoch is None and expected_props is None:
+        raise ValueError(
+            "epoch=None requires expected_props — some exactly-once guard "
+            "must protect the apply"
+        )
+    epoch_set = (
+        {epoch} if isinstance(epoch, int)
+        else set() if epoch is None
+        else set(epoch)
+    )
     already = epoch_set & table.applied_epochs()
-    if already == epoch_set:
+    if epoch_set and already == epoch_set:
         # Idempotent replay guard — the reference's processed-files skip
         # (main.py:100-131), at change-batch granularity.
         return {
@@ -186,6 +203,7 @@ def apply_changes(
 
     snap = table.snapshot()
     key_cols = list(snap["key_cols"]) if snap["key_cols"] is not None else None
+    bucket_cols = LakeTable._bucket_cols_of(snap)
     n_buckets = int(snap["n_buckets"])
 
     # -- schema evolution (additive): table schema ∪ batch payload schema
@@ -198,7 +216,7 @@ def apply_changes(
     if "epoch" in ch.columns:
         ch = ch.drop("epoch")
     ch = _align(ch, evolved, extra=["op", "lsn"])
-    ch = ch.withColumn(BUCKET_COL, bucket_expr(key_cols, n_buckets))
+    ch = ch.withColumn(BUCKET_COL, bucket_expr(bucket_cols, n_buckets))
 
     # NOTE: no separate within-batch LWW pass here. The merge kernel below
     # applies the same total order across state ∪ changes, so batch-internal
@@ -244,6 +262,8 @@ def apply_changes(
                 new_schema=evolved if evolved_changed else None,
                 mode="append",
                 expected_parent=snap["snapshot_id"],
+                props=props,
+                expected_props=expected_props,
             )
         except EpochAlreadyAppliedError:
             return _skipped_by_race(table, epoch, t0)
@@ -310,6 +330,8 @@ def apply_changes(
                 new_schema=evolved if evolved_changed else None,
                 mode="append",
                 expected_parent=snap["snapshot_id"],
+                props=props,
+                expected_props=expected_props,
             )
         except EpochAlreadyAppliedError:
             return _skipped_by_race(table, epoch, t0)
@@ -354,7 +376,10 @@ def apply_changes(
     _mark("touched_scan")
     if not touched:
         try:
-            sid = table.commit(op="merge", epoch=epoch, bucket_updates={})
+            sid = table.commit(
+                op="merge", epoch=epoch, bucket_updates={},
+                props=props, expected_props=expected_props,
+            )
         except EpochAlreadyAppliedError:
             return _skipped_by_race(table, epoch, t0)
         return {
@@ -464,6 +489,8 @@ def apply_changes(
             bucket_updates=updates,
             new_schema=evolved if evolved_changed else None,
             expected_parent=snap["snapshot_id"],
+            props=props,
+            expected_props=expected_props,
         )
     except EpochAlreadyAppliedError:
         return _skipped_by_race(table, epoch, t0)

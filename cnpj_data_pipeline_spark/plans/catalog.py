@@ -59,6 +59,7 @@ class TableSpec:
     key_cols: tuple[str, ...] | None
     depends_on: tuple[str, ...] = ()
     n_buckets: int | None = None  # override the job default per table
+    bucket_cols: tuple[str, ...] | None = None  # layout prefix (FK locality)
 
 
 class TableCatalog:
@@ -124,6 +125,9 @@ class MultiTableIngestJob:
                     spec.schema,
                     key_cols=list(spec.key_cols) if spec.key_cols else spec.key_cols,
                     n_buckets=spec.n_buckets or self.cfg.n_buckets,
+                    bucket_cols=(
+                        list(spec.bucket_cols) if spec.bucket_cols else None
+                    ),
                 )
         return out
 

@@ -40,6 +40,10 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
 #   q_tombstones           -> a filter (op='D') of q_lww_dedup's gated output;
 #                             tombstone retention itself is gated end-to-end
 #                             by q_cdc_replay/q_table_changes + test_lake
+#   q_table_changes        -> the plain feed is gated end-to-end by
+#                             q_derived_table_sync (FeedSyncJob consumes
+#                             read_changes) and its net-window LWW semantics
+#                             are subsumed by q_changes_typed (round 3)
 # The extras stay oracle-gated via tools/check_oracles.py (run by default)
 # and pytest; they are not dropped capabilities.
 _EXTRA_NAMES = (
@@ -52,6 +56,7 @@ _EXTRA_NAMES = (
     "q_doc_fingerprint",
     "q_final_state_sql",
     "q_tombstones",
+    "q_table_changes",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

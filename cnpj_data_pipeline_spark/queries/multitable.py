@@ -59,6 +59,10 @@ CATALOG = TableCatalog(
             TRANSCRIPT_SCHEMA,
             key_cols=("conv_id", "turn_idx"),
             depends_on=("convs",),
+            # FK-locality layout: all turns of a conversation in one bucket,
+            # co-partitioned with convs — parent-change fan-outs and
+            # conversation lookups prune to one bucket (plans/join.py)
+            bucket_cols=("conv_id",),
         ),
         TableSpec("labels", LABEL_SCHEMA, key_cols=None, depends_on=("convs",)),
     ]
@@ -153,6 +157,30 @@ def q_multi_table_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED JOIN VIEW, incrementally maintained: turns LEFT-joined to
+    their conversation's LWW title — built ONCE from both lake tables'
+    change feeds by :class:`JoinSyncJob` (child typed window + parent
+    fan-out, frontier-CAS exactly-once in table props), then read as a plain
+    table. The reference re-joins Postgres per query; here readers pay a
+    scan. Child fan-out lookups prune on the conv-bucketed layout
+    (``bucket_cols=('conv_id',)``)."""
+    from cnpj_data_pipeline_spark.plans.join import JoinSyncJob
+
+    job = _multi_replay(spark, sf_dir)
+    view = JoinSyncJob(
+        job.table_path("turns"),
+        job.table_path("convs"),
+        os.path.join(_mk_scratch("cdc_join_"), "view"),
+        cfg=EngineConfig(n_buckets=16, salt_factor=2),
+        parent_cols=["title"],  # convs.ts collides with turns.ts (flat view)
+    )
+    view.run_once(spark)
+    return view.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "title"
+    )
+
+
 def q_asof_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF (temporal) join: every turn change event is joined to the
     conversation title revision in force at its LSN (revisions = the 'U'
@@ -214,6 +242,7 @@ QUERIES = {
     "q_multi_table_replay": q_multi_table_replay,
     "q_append_only_log": q_append_only_log,
     "q_asof_titles": q_asof_titles,
+    "q_join_view": q_join_view,
 }
 
 ORACLES = {
@@ -236,6 +265,14 @@ ORACLES = {
     "q_append_only_log": f"""
         WITH {LABELS_CTE.strip()}
         SELECT conv_id, label, lsn, ts FROM labels
+    """,
+    "q_join_view": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
+        {CONV_CHANGES_CTE.strip()}
+        SELECT w.conv_id, w.turn_idx, w.role, w.text, c.title
+        FROM winners w
+        LEFT JOIN conv_winners c ON w.conv_id = c.conv_id
+        WHERE w.op <> 'D'
     """,
     "q_asof_titles": f"""
         WITH {CHANGES_CTE.strip()},
