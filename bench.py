@@ -73,8 +73,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q_cdc_replay",
     "q_table_changes",
+    "q_changes_typed",
+    "q_ivm_agg",
     "q_derived_table_sync",
     "q_multi_table_replay",
+    "q_join_view",
     "q_csv_batch_ingest",
     "q_lww_dedup",
     "q_final_state_sql",

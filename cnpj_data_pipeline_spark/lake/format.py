@@ -734,9 +734,13 @@ class LakeTable:
            itself resolves reads with; a change row is emitted only where
            post ≠ pre.
 
-        The touched-key set is derived from the window scan and read twice
-        (bucket-id agg + semi join) — two passes over O(batch) delta files,
-        cheaper at scale than persisting an unbounded key set.
+        The two bounded intermediates — the window's net winners and the
+        touched keys' pre-images, both O(changed keys) — are PERSISTED
+        (memory-and-disk): each appears 2-3 times in the final plan (union,
+        join probe, semi-join build) and Spark does not reuse non-identical
+        subtrees across those branches; without the cache the window scan +
+        aggregate would run ~3×. The cache is released by Spark's context
+        cleaner once the consumer drops the returned DataFrame.
 
         Requires a keyed table (pre/post images are key semantics)."""
         key_cols = self.key_cols()
@@ -746,9 +750,11 @@ class LakeTable:
         feed = self.read_changes(spark, from_snapshot, to_sid)
         from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
 
+        from pyspark import StorageLevel
+
         win = lww_winners_agg(
             feed, key_cols, lsn_col=LSN_META_COL, op_col=OP_META_COL
-        )
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         touched = win.select(*key_cols)
 
         end_schema = schema_from_json(self.snapshot(to_sid)["schema"])
@@ -774,7 +780,7 @@ class LakeTable:
         for f in end_schema.fields:
             if f.name not in pre.columns:
                 pre = pre.withColumn(f.name, F.lit(None).cast(f.dataType))
-        pre = pre.select(*phys_cols)
+        pre = pre.select(*phys_cols).persist(StorageLevel.MEMORY_AND_DISK)
 
         post = lww_winners_agg(
             pre.unionByName(win.select(*phys_cols)),
