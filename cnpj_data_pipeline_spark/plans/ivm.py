@@ -226,3 +226,138 @@ class AggSyncJob:
     def read(self, spark: SparkSession) -> DataFrame:
         """The maintained view's current state (live groups only)."""
         return LakeTable.load(self.view_root).read(spark)
+
+
+class GroupRefreshSyncJob:
+    """Incrementally-maintained GROUP BY view for aggregates that are NOT
+    delta-maintainable — MIN/MAX (retracting the current extremum needs the
+    runner-up), exact COUNT(DISTINCT), medians. The standard IVM fallback:
+    per sync window, RE-AGGREGATE only the AFFECTED GROUPS from the base
+    table, never the whole table.
+
+    Per window: the plain change feed's distinct group values are the
+    affected set (a late-losing replay only triggers a value-identical
+    refresh, never a wrong value — the recompute reads base STATE, not the
+    event); the base rows of those groups are read back — bucket-PRUNED via
+    ``read_keys(on=group_cols)`` when the grouping is a key subset (the
+    ``bucket_cols`` FK layout makes the common conv-level grouping prune to
+    the touched buckets), else one scan + semi join (loud in the docstring,
+    the honest cost of grouping off-key) — re-aggregated with the declared
+    SQL aggregate expressions, and merged O(affected groups). Groups with no
+    surviving rows are tombstoned.
+
+    Cost per window is O(rows of affected groups), vs ``AggSyncJob``'s
+    O(changed rows): the price of non-invertible aggregates. Exactly-once
+    and catch-up windows are identical to ``AggSyncJob`` (the view's own
+    epoch ledger; ``_pending_windows``)."""
+
+    def __init__(
+        self,
+        source_root: str,
+        view_root: str,
+        group_cols: list[str],
+        measures: dict[str, str],
+        cfg: EngineConfig | None = None,
+        n_buckets: int | None = None,
+    ):
+        """``measures``: name -> full SQL AGGREGATE expression over the
+        group's base rows (e.g. ``{"max_chars": "max(length(text))",
+        "n_roles": "count(distinct role)"}``)."""
+        bad = [m for m in measures if m in set(group_cols)]
+        if bad:
+            raise ValueError(f"measure names collide with group columns: {bad}")
+        self.source_root = source_root
+        self.view_root = view_root
+        self.group_cols = list(group_cols)
+        self.measures = dict(measures)
+        self.cfg = cfg or EngineConfig()
+        self.n_buckets = n_buckets
+
+    def _affected_rows(
+        self, spark: SparkSession, src: LakeTable, groups: DataFrame
+    ) -> DataFrame:
+        key_cols = src.key_cols() or []
+        if set(self.group_cols) <= set(key_cols):
+            return src.read_keys(
+                spark, groups, on=self.group_cols, broadcast_keys=False
+            )
+        # grouping off the key: no layout pruning possible — one full scan
+        # + semi join per window (documented cost; co-bucket the table on
+        # the group columns to avoid it)
+        return src.read(spark).join(groups, on=self.group_cols, how="left_semi")
+
+    def _recompute(self, rows: DataFrame) -> DataFrame:
+        aggs = [F.expr(e).alias(name) for name, e in self.measures.items()]
+        return rows.groupBy(*self.group_cols).agg(*aggs)
+
+    def _ensure_view(self, fresh: DataFrame, src: LakeTable) -> LakeTable:
+        if LakeTable.exists(self.view_root):
+            return LakeTable.load(self.view_root)
+        return LakeTable.create(
+            self.view_root,
+            fresh.schema,
+            self.group_cols,
+            self.n_buckets or src.n_buckets(),
+        )
+
+    def run_once(
+        self, spark: SparkSession, max_window_epochs: int | None = None
+    ) -> dict:
+        t0 = time.monotonic()
+        src = LakeTable.load(self.source_root)
+        applies = _apply_snapshots(src)
+        view = (
+            LakeTable.load(self.view_root)
+            if LakeTable.exists(self.view_root)
+            else None
+        )
+        done = view.applied_epochs() if view is not None else set()
+        synced, rows_applied = [], 0
+        for window, prev_sid in _pending_windows(
+            applies, done, max_window_epochs
+        ):
+            feed = src.read_changes(
+                spark, prev_sid, window[-1]["snapshot_id"]
+            )
+            groups = feed.select(*self.group_cols).distinct().persist()
+            try:
+                fresh = self._recompute(
+                    self._affected_rows(spark, src, groups)
+                )
+                if view is None:
+                    view = self._ensure_view(fresh, src)
+                epochs = [s["epoch"] for s in window]
+                # groups in the affected set with no surviving base rows
+                # get tombstoned (anti join: affected minus recomputed)
+                gone = groups.join(
+                    fresh.select(*self.group_cols),
+                    on=self.group_cols,
+                    how="left_anti",
+                )
+                mcols = list(self.measures)
+                env = fresh.select(
+                    *self.group_cols, *mcols,
+                    F.lit("U").alias("op"),
+                ).unionByName(
+                    gone.select(
+                        *self.group_cols,
+                        *[F.lit(None).alias(m) for m in mcols],
+                        F.lit("D").alias("op"),
+                    ),
+                    allowMissingColumns=False,
+                ).withColumn("lsn", F.lit(max(epochs)).cast("long"))
+                m = apply_changes(spark, view, env, epoch=epochs, cfg=self.cfg)
+                synced.extend(epochs)
+                rows_applied += m["rows_applied"]
+            finally:
+                groups.unpersist()
+        lag = len(applies) - (len(view.applied_epochs()) if view else 0)
+        return {
+            "epochs_synced": synced,
+            "rows_applied": rows_applied,
+            "epochs_behind": max(lag, 0),
+            "seconds": round(time.monotonic() - t0, 3),
+        }
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return LakeTable.load(self.view_root).read(spark)

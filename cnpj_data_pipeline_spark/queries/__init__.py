@@ -28,6 +28,8 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
 #   q_minhash_signatures   -> subsumed by q_minhash_lsh_pairs (consumes it)
 #   q_simhash              -> subsumed by q_simhash_neardup   (consumes it)
 #   q_ivf_cells            -> subsumed by q_ivf_train_cells   (assign + train)
+#   q_ivf_train_cells      -> consumed by q_ivf_ann_topk_trained (the trained
+#                             search is gated end-to-end on those cells)
 #   q_ngram_jaccard_pairs  -> consumed by q_neardup_clusters/_canonical
 #                             (round 3: the pair graph feeds the CC queries)
 #   q_lsh_buckets          -> consumed by q_embedding_neardup
@@ -50,6 +52,7 @@ _EXTRA_NAMES = (
     "q_minhash_signatures",
     "q_simhash",
     "q_ivf_cells",
+    "q_ivf_train_cells",
     "q_ngram_jaccard_pairs",
     "q_lsh_buckets",
     "q_media_meta",

@@ -181,6 +181,33 @@ def q_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-REFRESH IVM (non-invertible aggregates): per-conversation MAX
+    text length and DISTINCT role count, maintained by re-aggregating only
+    the groups each change window touches — the fallback for aggregates
+    delta-IVM cannot retract (deleting the extremum needs the runner-up).
+    Refresh reads prune on the conv-bucketed ``turns`` layout."""
+    from cnpj_data_pipeline_spark.plans.ivm import GroupRefreshSyncJob
+
+    job = _multi_replay(spark, sf_dir)
+    view = GroupRefreshSyncJob(
+        job.table_path("turns"),
+        os.path.join(_mk_scratch("cdc_minmax_"), "view"),
+        ["conv_id"],
+        {
+            "max_chars": "max(coalesce(length(text), 0))",
+            "n_roles": "count(distinct role)",
+        },
+        cfg=EngineConfig(n_buckets=16, salt_factor=2),
+    )
+    view.run_once(spark)
+    return view.read(spark).select(
+        "conv_id",
+        F.col("max_chars").cast("long").alias("max_chars"),
+        F.col("n_roles").cast("long").alias("n_roles"),
+    )
+
+
 def q_asof_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF (temporal) join: every turn change event is joined to the
     conversation title revision in force at its LSN (revisions = the 'U'
@@ -243,6 +270,7 @@ QUERIES = {
     "q_append_only_log": q_append_only_log,
     "q_asof_titles": q_asof_titles,
     "q_join_view": q_join_view,
+    "q_ivm_minmax": q_ivm_minmax,
 }
 
 ORACLES = {
@@ -273,6 +301,14 @@ ORACLES = {
         FROM winners w
         LEFT JOIN conv_winners c ON w.conv_id = c.conv_id
         WHERE w.op <> 'D'
+    """,
+    "q_ivm_minmax": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
+        live AS (SELECT * FROM winners WHERE op <> 'D')
+        SELECT conv_id,
+               CAST(max(coalesce(length(text), 0)) AS BIGINT) AS max_chars,
+               CAST(count(DISTINCT role) AS BIGINT) AS n_roles
+        FROM live GROUP BY conv_id
     """,
     "q_asof_titles": f"""
         WITH {CHANGES_CTE.strip()},
