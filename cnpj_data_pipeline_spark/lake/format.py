@@ -191,15 +191,44 @@ def _json_stat(v):
     return None  # dates/decimals etc.: skip rather than mis-serialize
 
 
+def _stat_key(v):
+    """Normalize a value (Parquet footer stat OR a caller's range-predicate
+    bound) into the one JSON-storable, consistently-comparable domain the
+    manifest column stats live in: bytes → utf-8 str, timestamps → epoch
+    microseconds (naive treated as UTC), dates → ISO string, scalars as-is.
+    Both sides of every pruning comparison pass through here, so the
+    comparison is self-consistent whatever Parquet hands back."""
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return None
+
+
 def _file_stats(
     path: str, lsn_col: str = LSN_META_COL, key_col: str | None = None
 ) -> dict:
-    """Row count + min/max LSN (and, when ``key_col`` is given, min/max of
-    the leading key column) from the Parquet footer only (no data read) —
-    the Iceberg-manifest trick that makes watermark/pruning metadata free."""
+    """Row count + min/max LSN + per-column min/max (``cstats``) from the
+    Parquet footer only (no data read) — the Iceberg-manifest trick that
+    makes watermark/pruning metadata free. The footer is parsed once; while
+    we're there, every top-level column with JSON-able stats is harvested
+    (the key column rides separately as kmin/kmax for read_keys), enabling
+    file skipping on ANY scalar predicate column (read_range) at zero extra
+    IO."""
     md = _pq.ParquetFile(path).metadata
     rows = md.num_rows
     lo = hi = klo = khi = None
+    cstats: dict[str, list] = {}
+    covered: dict[str, int] = {}  # rgs with valid stats, per column
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -207,15 +236,40 @@ def _file_stats(
             if col.statistics is None or not col.statistics.has_min_max:
                 continue
             st = col.statistics
-            if col.path_in_schema == lsn_col:
+            name = col.path_in_schema
+            if name == lsn_col:
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            elif key_col is not None and col.path_in_schema == key_col:
+            elif key_col is not None and name == key_col:
                 kmin, kmax = _json_stat(st.min), _json_stat(st.max)
                 if kmin is not None and kmax is not None:
                     klo = kmin if klo is None else min(klo, kmin)
                     khi = kmax if khi is None else max(khi, kmax)
-    out = {"rows": rows, "min_lsn": lo, "max_lsn": hi}
+            if "." in name or name == OP_META_COL:
+                continue  # nested leaves / op flag: not pruning targets
+            cmin, cmax = _stat_key(st.min), _stat_key(st.max)
+            if cmin is None or cmax is None:
+                continue
+            covered[name] = covered.get(name, 0) + 1
+            if name not in cstats:
+                cstats[name] = [cmin, cmax]
+            else:
+                cur = cstats[name]
+                cur[0] = min(cur[0], cmin)
+                cur[1] = max(cur[1], cmax)
+    out = {
+        "rows": rows,
+        "min_lsn": lo,
+        "max_lsn": hi,
+        # only columns every row group has valid stats for: a partially
+        # covered range understates the file's true span, and pruning on an
+        # understated range would wrongly skip matching rows
+        "cstats": {
+            k: v
+            for k, v in cstats.items()
+            if covered.get(k, 0) == md.num_row_groups
+        },
+    }
     if key_col is not None:
         out["kmin"], out["kmax"] = klo, khi
     return out
@@ -400,9 +454,14 @@ class LakeTable:
         include_tombstones: bool = False,
         buckets: Iterable[int] | None = None,
         file_index: dict[int, list[str]] | None = None,
+        snapshot_override: dict | None = None,
     ) -> DataFrame:
         """Read the table at a snapshot. Old files written before a schema
         evolution are read with the evolved schema (missing columns → NULL).
+
+        ``snapshot_override`` reads a SYNTHETIC snapshot dict instead of a
+        committed one — the write-audit-publish path uses it to preview the
+        table state a staged batch WOULD produce, without committing.
 
         Merge-on-read: buckets whose ``merged`` flag is false hold multiple
         versions per key (delta generations); the LWW window resolves the
@@ -413,7 +472,11 @@ class LakeTable:
         Keyless (append-only) tables are a plain scan: every appended row is
         visible, no LWW, and no tombstone filtering (delete semantics need a
         key)."""
-        snap = self.snapshot(snapshot_id)
+        snap = (
+            snapshot_override
+            if snapshot_override is not None
+            else self.snapshot(snapshot_id)
+        )
         keyless = snap["key_cols"] is None
         phys = T.StructType(
             list(schema_from_json(snap["schema"]).fields) + PHYSICAL_META_FIELDS
@@ -580,6 +643,95 @@ class LakeTable:
                     kept.append(os.path.join(self.root, f))
             out[b] = kept
         return out
+
+    def prune_files_by_range(
+        self, snap: dict, col: str, lo=None, hi=None
+    ) -> tuple[dict[int, list[str]], dict]:
+        """File-skipping index for a range predicate on ANY scalar column,
+        from the manifest's per-file column stats (``fstats[4]``). Returns
+        ``(file_index, report)`` where the index maps bucket → kept absolute
+        file paths and the report counts total/kept files.
+
+        Soundness with merge-on-read: an UNMERGED bucket's LWW winner for a
+        key may live in any generation file, so dropping one could surface a
+        stale in-range loser — unmerged buckets are never pruned (all files
+        kept; the exact filter still applies after the LWW resolve). Merged
+        buckets and keyless tables hold only final rows, so any file whose
+        stats range misses the predicate can be skipped outright. Files
+        without stats for ``col`` (legacy manifests, evolved-in columns,
+        stats-less writers) are always kept — pruning is an optimization,
+        never a filter."""
+        keyless = snap["key_cols"] is None
+        lo_k, hi_k = _stat_key(lo), _stat_key(hi)
+        idx: dict[int, list[str]] = {}
+        total = kept_n = 0
+        for b, info in snap["buckets"].items():
+            files = info["files"]
+            total += len(files)
+            if not (keyless or info.get("merged", True)):
+                idx[int(b)] = [os.path.join(self.root, f) for f in files]
+                kept_n += len(files)
+                continue
+            fstats = list(info.get("fstats") or [])
+            fstats += [None] * (len(files) - len(fstats))
+            kept = []
+            for f, fs in zip(files, fstats):
+                rng = None
+                if (
+                    isinstance(fs, (list, tuple))
+                    and len(fs) > 4
+                    and isinstance(fs[4], dict)
+                ):
+                    rng = fs[4].get(col)
+                keep = True
+                if rng is not None and rng[0] is not None and rng[1] is not None:
+                    try:
+                        if hi_k is not None and rng[0] > hi_k:
+                            keep = False
+                        if keep and lo_k is not None and rng[1] < lo_k:
+                            keep = False
+                    except TypeError:
+                        keep = True  # stat/bound type mismatch: must scan
+                if keep:
+                    kept.append(os.path.join(self.root, f))
+            idx[int(b)] = kept
+            kept_n += len(kept)
+        return idx, {"files_total": total, "files_kept": kept_n}
+
+    def read_range(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        include_meta: bool = False,
+        include_tombstones: bool = False,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Range scan with MANIFEST-LEVEL file skipping: ``lo <= col <= hi``
+        (either bound may be None for a half-open range). Two pruning
+        levels stack under the exact predicate: files whose footer-harvested
+        min/max for ``col`` miss the range are never opened (metadata-only,
+        before Spark plans the scan), and Spark's own Parquet pushdown then
+        skips row groups inside the kept files. The classic use is a
+        time-window read of an append-only event log, where arrival order
+        makes per-file ``ts`` ranges nearly disjoint — IO becomes
+        O(window), not O(table)."""
+        snap = self.snapshot(snapshot_id)
+        idx, _report = self.prune_files_by_range(snap, col, lo, hi)
+        df = self.read(
+            spark,
+            snapshot_id=snapshot_id,
+            include_meta=include_meta,
+            include_tombstones=include_tombstones,
+            buckets=sorted(idx),
+            file_index=idx,
+        )
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     # maintenance ops rewrite files without logical changes — the change
     # feed skips them. ONE list shared by the batch reader and the streaming
@@ -880,9 +1032,11 @@ class LakeTable:
     ) -> dict[int, dict]:
         """Inventory freshly staged files: bucket -> {files, rows, max_lsn,
         fstats}, stats from Parquet footers only. ``fstats`` is per-file
-        ``[rows, max_lsn, kmin, kmax]`` (leading-key min/max — the data is
-        key-clustered within each compacted file, so these ranges drive
-        ``read_keys``'s file-level pruning, Iceberg-manifest style).
+        ``[rows, max_lsn, kmin, kmax, cstats]``: leading-key min/max (the
+        data is key-clustered within each compacted file, so these ranges
+        drive ``read_keys``'s file-level pruning) plus per-column min/max
+        for every scalar column (``read_range``'s predicate file skipping),
+        Iceberg-manifest style.
 
         When ``spark`` is given and the staged file count is non-trivial the
         footer reads fan out over the executors (one tiny stats row per
@@ -928,7 +1082,8 @@ class LakeTable:
                     else max(info["max_lsn"], st["max_lsn"])
                 )
             info["fstats"].append(
-                [st["rows"], st["max_lsn"], st.get("kmin"), st.get("kmax")]
+                [st["rows"], st["max_lsn"], st.get("kmin"), st.get("kmax"),
+                 st.get("cstats") or None]
             )
         return out
 
@@ -1224,6 +1379,273 @@ class LakeTable:
             os.replace(tmp, self._pointer_path())
 
         _retry_io(_write)
+
+    # ------------- write-audit-publish (staged commits) -------------
+    #
+    # Iceberg's WAP pattern re-expressed on this format: a writer stages a
+    # fully merged batch (data files written, footer stats harvested) but
+    # records it as a DESCRIPTOR under meta/ instead of committing. No
+    # reader can see it (visibility is only via committed manifests); an
+    # auditor previews the WOULD-BE table state through a synthetic
+    # snapshot; publish turns the descriptor into a normal optimistic
+    # commit (append-mode, so it REBASES cleanly over anything that landed
+    # since staging); abandon quarantines the batch without it ever having
+    # been visible. The reference has no analogue — bad batches reach the
+    # database and are repaired after the fact; here rollback() remains for
+    # that, but WAP prevents the bad publish entirely.
+
+    def _staged_desc_path(self, token: str) -> str:
+        return os.path.join(self.meta_dir, f"staged-{token}.json")
+
+    def stage_commit(
+        self,
+        *,
+        op: str,
+        epochs: list[int],
+        bucket_updates: dict[int, dict],
+        new_schema: T.StructType | None,
+        stage_dir: str,
+    ) -> str:
+        """Persist a pending (staged, unpublished) commit descriptor and
+        return its token. The staged data files stay invisible; the
+        descriptor is what protects them from orphan GC until the batch is
+        published or abandoned."""
+        snap = self.snapshot()
+        token = _uuid.uuid4().hex[:16]
+        desc = {
+            "token": token,
+            "op": op,
+            "epochs": sorted(int(e) for e in epochs),
+            "mode": "append",
+            "n_buckets": snap["n_buckets"],
+            "bucket_updates": {str(b): u for b, u in bucket_updates.items()},
+            "new_schema": new_schema.json() if new_schema is not None else None,
+            "baseline_sid": snap["snapshot_id"],
+            "stage_dir": os.path.relpath(stage_dir, self.root),
+            "created_at": _utcnow_iso(),
+        }
+        path = self._staged_desc_path(token)
+
+        def _write() -> None:
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(desc, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+
+        _retry_io(_write)
+        return token
+
+    def load_staged(self, token: str) -> dict:
+        def _read() -> dict:
+            with open(self._staged_desc_path(token)) as f:
+                return json.load(f)
+
+        return _retry_io(_read)
+
+    def list_staged(self) -> list[dict]:
+        """All pending staged batches, oldest first — the maintenance view
+        (an audit job that died between stage and publish/abandon leaves a
+        descriptor behind; this is how it's found)."""
+        out = []
+        for p in glob.glob(os.path.join(self.meta_dir, "staged-*.json")):
+            try:
+                with open(p) as f:
+                    out.append(json.load(f))
+            except (OSError, ValueError):
+                pass
+        return sorted(out, key=lambda d: d.get("created_at", ""))
+
+    def staged_snapshot(self, token: str) -> dict:
+        """The SYNTHETIC snapshot the staged batch would produce if published
+        right now: current head + the descriptor's bucket appends, with the
+        same merged/gens arithmetic as a real append commit. Raises
+        :class:`CommitConflictError` if the layout changed underneath the
+        staged files, :class:`EpochAlreadyAppliedError` if a concurrent
+        writer already applied the batch's epochs (the preview would double
+        count)."""
+        desc = self.load_staged(token)
+        cur = self.snapshot()
+        if cur["n_buckets"] != desc["n_buckets"]:
+            raise CommitConflictError(
+                "bucket layout changed underneath the staged batch "
+                f"({desc['n_buckets']} -> {cur['n_buckets']}); abandon and "
+                "re-stage"
+            )
+        overlap = set(desc["epochs"]) & set(cur["applied_epochs"])
+        if overlap:
+            raise EpochAlreadyAppliedError(
+                f"staged epoch(s) {sorted(overlap)} were applied by a "
+                "concurrent writer; the staged batch is obsolete"
+            )
+        keyless = cur["key_cols"] is None
+        buckets = {b: dict(info) for b, info in cur["buckets"].items()}
+        for b, info in desc["bucket_updates"].items():
+            prev = buckets.get(
+                b, {"max_lsn": None, "files": [], "rows": 0, "merged": True}
+            )
+            files = list(prev.get("files", [])) + list(info["files"])
+            gens = prev.get("gens", 1 if prev.get("files") else 0) + (
+                1 if info["files"] else 0
+            )
+            max_lsn = info.get("max_lsn")
+            pmax = prev.get("max_lsn")
+            if max_lsn is None or (pmax is not None and pmax > max_lsn):
+                max_lsn = pmax
+            buckets[b] = {
+                "files": files,
+                "rows": prev.get("rows", 0) + info["rows"],
+                "max_lsn": max_lsn,
+                "merged": True if keyless else gens <= 1,
+                "gens": gens,
+            }
+        if desc.get("new_schema"):
+            schema_json = union_schema(
+                schema_from_json(cur["schema"]),
+                schema_from_json(desc["new_schema"]),
+            ).json()
+        else:
+            schema_json = cur["schema"]
+        return {**cur, "buckets": buckets, "schema": schema_json,
+                "staged_token": token}
+
+    def read_staged(
+        self,
+        spark: SparkSession,
+        token: str,
+        include_meta: bool = False,
+        include_tombstones: bool = False,
+        only_delta: bool = False,
+    ) -> DataFrame:
+        """Audit read of a staged batch. ``only_delta=True`` returns just the
+        staged rows themselves (with ``__lsn``/``__op`` meta — the batch an
+        upstream bug would have corrupted); ``False`` returns the full table
+        state the publish WOULD produce (current head ∪ staged deltas, LWW
+        resolved at read time). Either way nothing is committed and no other
+        reader can observe the staged data."""
+        if only_delta:
+            desc = self.load_staged(token)
+            if desc.get("new_schema"):
+                schema = union_schema(
+                    self.schema(), schema_from_json(desc["new_schema"])
+                )
+            else:
+                schema = self.schema()
+            phys = T.StructType(list(schema.fields) + PHYSICAL_META_FIELDS)
+            files = [
+                os.path.join(self.root, f)
+                for info in desc["bucket_updates"].values()
+                for f in info["files"]
+            ]
+            if not files:
+                return spark.createDataFrame([], phys)
+            return spark.read.schema(phys).parquet(*files)
+        return self.read(
+            spark,
+            include_meta=include_meta,
+            include_tombstones=include_tombstones,
+            snapshot_override=self.staged_snapshot(token),
+        )
+
+    def publish_staged(self, token: str, max_retries: int = 10) -> int:
+        """Turn the staged batch into a committed snapshot (the WAP
+        publish). Append-mode, so it rebases over anything committed since
+        staging, under the same optimistic-concurrency CAS as a direct
+        apply. Idempotent across a crash between commit and descriptor
+        removal: if the epochs are already applied AND the head references
+        this descriptor's files, the earlier publish won — the descriptor is
+        dropped and the head returned. If a DIFFERENT writer applied the
+        epochs, the staged files are abandoned and
+        :class:`EpochAlreadyAppliedError` propagates (exactly-once)."""
+        desc = self.load_staged(token)
+        updates = {int(b): u for b, u in desc["bucket_updates"].items()}
+        new_schema = (
+            schema_from_json(desc["new_schema"]) if desc.get("new_schema") else None
+        )
+        try:
+            sid = self.commit(
+                op=desc["op"],
+                epoch=desc["epochs"] or None,
+                bucket_updates=updates,
+                new_schema=new_schema,
+                mode="append",
+                max_retries=max_retries,
+            )
+        except EpochAlreadyAppliedError:
+            head = self.snapshot()
+            referenced = {
+                f for info in head["buckets"].values() for f in info["files"]
+            }
+            ours = {
+                f for info in desc["bucket_updates"].values()
+                for f in info["files"]
+            }
+            if ours and ours <= referenced:
+                # our own earlier publish committed, then crashed before
+                # removing the descriptor — finish the cleanup, don't GC
+                # committed data
+                try:
+                    os.remove(self._staged_desc_path(token))
+                except OSError:
+                    pass
+                return head["snapshot_id"]
+            self.abandon_staged(token)
+            raise
+        try:
+            os.remove(self._staged_desc_path(token))
+        except OSError:
+            pass
+        return sid
+
+    def abandon_staged(self, token: str) -> dict:
+        """Quarantine a staged batch: delete its data files and descriptor.
+        Files the current head references are NEVER deleted (the batch was
+        actually published — a crashed publish's descriptor); in that case
+        only the descriptor is dropped and ``already_published`` is true."""
+        desc = self.load_staged(token)
+        head = self.snapshot()
+        referenced = {
+            f for info in head["buckets"].values() for f in info["files"]
+        }
+        ours = [
+            f for info in desc["bucket_updates"].values() for f in info["files"]
+        ]
+        published = bool(ours) and set(ours) <= referenced
+        files_removed = 0
+        bytes_removed = 0
+        if not published:
+            for rel in ours:
+                fp = os.path.join(self.root, rel)
+                try:
+                    bytes_removed += os.path.getsize(fp)
+                    os.remove(fp)
+                    files_removed += 1
+                except OSError:
+                    pass
+            stage_abs = os.path.join(self.root, desc.get("stage_dir", ""))
+            if desc.get("stage_dir") and os.path.isdir(stage_abs):
+                for dirpath, _dn, _fn in os.walk(stage_abs, topdown=False):
+                    self._rmdir_with_artifacts(dirpath)
+        try:
+            os.remove(self._staged_desc_path(token))
+        except OSError:
+            pass
+        return {
+            "token": token,
+            "files_removed": files_removed,
+            "bytes_removed": bytes_removed,
+            "already_published": published,
+        }
+
+    def _staged_referenced_files(self) -> set[str]:
+        """Files pending under staged-commit descriptors — protected from
+        orphan GC until their batch is published or abandoned."""
+        out: set[str] = set()
+        for d in self.list_staged():
+            for info in d.get("bucket_updates", {}).values():
+                out.update(info.get("files", []))
+        return out
 
     # ---------------- maintenance ----------------
 
@@ -1564,8 +1986,11 @@ class LakeTable:
         ``grace_sec`` are kept: they may be a LIVE writer's staging, which is
         unreferenced right up until its manifest links (the round-2 advice
         fix — GC without a grace window could eat a concurrent commit's
-        data)."""
-        referenced: set[str] = set()
+        data). Files pending under a staged-commit (write-audit-publish)
+        descriptor are protected REGARDLESS of age — a batch can sit in
+        audit far longer than any grace window; only publish or
+        abandon_staged releases them."""
+        referenced: set[str] = self._staged_referenced_files()
         for mp in glob.glob(os.path.join(self.meta_dir, "snapshot-*.json")):
             try:
                 with open(mp) as f:

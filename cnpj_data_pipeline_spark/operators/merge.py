@@ -139,6 +139,39 @@ def _skipped_by_race(table: LakeTable, epoch, t0: float) -> dict:
     }
 
 
+def _staged_result(
+    table: LakeTable,
+    epoch,
+    epochs: list[int],
+    updates: dict[int, dict],
+    new_schema,
+    stage: str,
+    t0: float,
+    phases: dict,
+    evolved_changed: bool,
+) -> dict:
+    """Persist the pending-commit descriptor (WAP stage) and report it."""
+    token = table.stage_commit(
+        op="evolve" if evolved_changed else "append",
+        epochs=epochs,
+        bucket_updates=updates,
+        new_schema=new_schema,
+        stage_dir=stage,
+    )
+    return {
+        "epoch": epoch,
+        "skipped": False,
+        "staged": True,
+        "token": token,
+        "rows_staged": sum(u["rows"] for u in updates.values()),
+        "rows_applied": 0,
+        "buckets_touched": len(updates),
+        "seconds": round(time.monotonic() - t0, 3),
+        "snapshot_id": None,
+        "phases": phases,
+    }
+
+
 def apply_changes(
     spark: SparkSession,
     table: LakeTable,
@@ -148,6 +181,7 @@ def apply_changes(
     batch_rows_hint: int | None = None,
     props: dict | None = None,
     expected_props: dict | None = None,
+    stage_only: bool = False,
 ) -> dict:
     """Apply one change batch (epoch) to the lake table with exactly-once,
     LWW, schema-evolution and skew-safe semantics. Returns metrics.
@@ -161,7 +195,15 @@ def apply_changes(
     then supply ``props``/``expected_props`` as its exactly-once guard (the
     frontier-CAS path, e.g. a join view tracking one frontier per source —
     see ``LakeTable.commit``). A stale frontier surfaces as
-    :class:`CommitConflictError` from the commit."""
+    :class:`CommitConflictError` from the commit.
+
+    ``stage_only=True`` is the WRITE-AUDIT-PUBLISH entry: the full merge
+    pipeline runs (shuffle, LWW, staged parquet, footer stats) but instead
+    of committing, a pending-commit descriptor is persisted and its token
+    returned (``metrics["token"]``) — the batch stays invisible until
+    ``LakeTable.publish_staged(token)`` or is dropped by
+    ``abandon_staged``. Append-mode paths only (MoR / keyless): a staged
+    CoW rewrite could not rebase over intervening commits at publish time."""
     cfg = cfg or EngineConfig()
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -176,6 +218,11 @@ def apply_changes(
         raise ValueError(
             "epoch=None requires expected_props — some exactly-once guard "
             "must protect the apply"
+        )
+    if stage_only and (epoch is None or props or expected_props):
+        raise ValueError(
+            "stage_only requires an integer epoch ledger and no table "
+            "properties — the publish is a plain append commit"
         )
     epoch_set = (
         {epoch} if isinstance(epoch, int)
@@ -205,6 +252,11 @@ def apply_changes(
     key_cols = list(snap["key_cols"]) if snap["key_cols"] is not None else None
     bucket_cols = LakeTable._bucket_cols_of(snap)
     n_buckets = int(snap["n_buckets"])
+    if stage_only and key_cols is not None and cfg.write_mode != "mor":
+        raise ValueError(
+            "stage_only (write-audit-publish) requires the merge-on-read "
+            "write path — a staged CoW rewrite cannot rebase at publish time"
+        )
 
     # -- schema evolution (additive): table schema ∪ batch payload schema
     base_schema = table.schema()
@@ -254,6 +306,12 @@ def apply_changes(
         _mark("append_write")
         updates = table.collect_staged(stage, spark)
         _mark("collect_staged")
+        if stage_only:
+            return _staged_result(
+                table, epoch, sorted(epoch_set), updates,
+                evolved if evolved_changed else None, stage, t0, phases,
+                evolved_changed,
+            )
         try:
             sid = table.commit(
                 op="evolve" if evolved_changed else "append",
@@ -322,6 +380,12 @@ def apply_changes(
         _mark("merge_write")
         updates = table.collect_staged(stage, spark)
         _mark("collect_staged")
+        if stage_only:
+            return _staged_result(
+                table, epoch, sorted(epoch_set), updates,
+                evolved if evolved_changed else None, stage, t0, phases,
+                evolved_changed,
+            )
         try:
             sid = table.commit(
                 op="evolve" if evolved_changed else "append",

@@ -42,6 +42,8 @@ class IngestJob:
         fail_after: int | None = None,
         max_epochs: int | None = None,
         max_rows: int | None = None,
+        audit_checks=None,
+        on_audit_failure: str = "raise",
     ) -> list[dict]:
         """Apply an iterable of (epoch, DataFrame[, rows_hint]) batches in order.
 
@@ -54,8 +56,29 @@ class IngestJob:
         livelock on a single over-budget batch) and counts footer-stat row
         hints, so enforcement is metadata-only.
 
+        ``audit_checks`` routes every batch through the WRITE-AUDIT-PUBLISH
+        gate (``plans.wap``): the merge stages invisibly, the checks run as
+        one aggregate job, and only a passing batch publishes. On failure:
+        ``on_audit_failure="raise"`` (default) quarantines the staged files
+        and raises :class:`~cnpj_data_pipeline_spark.plans.wap.AuditFailedError`
+        — the epoch stays PENDING, so a fixed re-extraction re-runs it
+        exactly-once; ``"quarantine"`` records the epoch as consumed with
+        ZERO rows via a metadata-only ``op="quarantine"`` commit whose table
+        properties carry the audit verdict (auditable skip — deliberate and
+        visible, unlike the reference's mark-failed-as-processed bug,
+        main.py:180-189) and the stream keeps draining. Re-admitting a
+        quarantined epoch after an upstream fix is a ``rollback`` to the
+        pre-quarantine snapshot.
+
         ``fail_after``: test hook — raise after N successful applies to
         simulate a mid-stream crash (resume tests re-run without it)."""
+        if on_audit_failure not in ("raise", "quarantine"):
+            raise ValueError(f"unknown on_audit_failure {on_audit_failure!r}")
+        wap = None
+        if audit_checks is not None:
+            from cnpj_data_pipeline_spark.plans.wap import WapIngestJob
+
+            wap = WapIngestJob(self.table_path, audit_checks, cfg=self.cfg)
         table = self.ensure_table()
         metrics = []
         done = 0
@@ -72,9 +95,32 @@ class IngestJob:
                 and rows_admitted + hint > max_rows
             ):
                 break
-            m = apply_changes(
-                spark, table, df, epoch, self.cfg, batch_rows_hint=hint
-            )
+            if wap is not None:
+                m = wap.apply(spark, df, epoch, batch_rows_hint=hint)
+                if not m.get("skipped") and not m.get("published", True):
+                    from cnpj_data_pipeline_spark.plans.wap import (
+                        AuditFailedError,
+                    )
+
+                    if on_audit_failure == "raise":
+                        raise AuditFailedError(epoch, m["audit_failures"])
+                    import json as _json
+
+                    sid = table.commit(
+                        op="quarantine",
+                        epoch=epoch,
+                        bucket_updates={},
+                        props={
+                            f"quarantine.{epoch}": _json.dumps(
+                                m["audit_failures"], default=str
+                            )
+                        },
+                    )
+                    m.update(quarantined=True, snapshot_id=sid)
+            else:
+                m = apply_changes(
+                    spark, table, df, epoch, self.cfg, batch_rows_hint=hint
+                )
             m["events_per_sec"] = (
                 m["rows_applied"] / m["seconds"] if m["seconds"] > 0 else None
             )
@@ -93,10 +139,13 @@ class IngestJob:
         fail_after: int | None = None,
         max_epochs: int | None = None,
         max_rows: int | None = None,
+        audit_checks=None,
+        on_audit_failure: str = "raise",
     ) -> list[dict]:
         """Tail a WAL directory: discover pending epochs (skipping lineage-
         recorded ones — the resume path) and apply them in order, at most
-        ``max_epochs``/``max_rows`` per run (bounded admission)."""
+        ``max_epochs``/``max_rows`` per run (bounded admission), each batch
+        optionally gated by write-audit-publish (``audit_checks``)."""
         table = self.ensure_table()
         return self.run_batches(
             spark,
@@ -104,6 +153,8 @@ class IngestJob:
             fail_after=fail_after,
             max_epochs=max_epochs,
             max_rows=max_rows,
+            audit_checks=audit_checks,
+            on_audit_failure=on_audit_failure,
         )
 
     def lag_summary(self, stream_root: str) -> dict:

@@ -46,6 +46,16 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
 #                             q_derived_table_sync (FeedSyncJob consumes
 #                             read_changes) and its net-window LWW semantics
 #                             are subsumed by q_changes_typed (round 3)
+#   q_changes_envelope     -> the raw envelope projection is the input every
+#                             gated replay/feed query consumes end-to-end;
+#                             its slot goes to q_wap_audit (the
+#                             write-audit-publish gate, a new capability)
+#   q_epoch_stats          -> plain COUNT(*) GROUP BY over the envelope; the
+#                             aggregate family is gated by q_pricing_summary/
+#                             q_region_sales and epoch accounting by every
+#                             replay's ledger; its slot goes to
+#                             q_time_window_scan (manifest-stats file
+#                             skipping, a new capability)
 # The extras stay oracle-gated via tools/check_oracles.py (run by default)
 # and pytest; they are not dropped capabilities.
 _EXTRA_NAMES = (
@@ -60,6 +70,8 @@ _EXTRA_NAMES = (
     "q_final_state_sql",
     "q_tombstones",
     "q_table_changes",
+    "q_changes_envelope",
+    "q_epoch_stats",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

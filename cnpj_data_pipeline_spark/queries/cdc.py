@@ -578,8 +578,50 @@ def q_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.join(early, ["conv_id", "turn_idx"], "left_anti")
 
 
+WAP_BAD_EPOCH = 2
+
+
+def q_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH replay: every epoch runs the full merge pipeline
+    into an INVISIBLE staged commit, is audited (one aggregate job: row
+    count, text null-rate, key null check), and only then published — a
+    rebasing append commit. Epoch 2's batch is corrupted in flight (text
+    NULLed, the classic upstream renamed-field extraction bug); the
+    null-rate gate quarantines it before any reader could see it, so the
+    final state is the SQL LWW fold WITHOUT epoch 2's events. The reference
+    repairs bad batches after the fact; WAP prevents the bad publish."""
+    from cnpj_data_pipeline_spark.plans.wap import (
+        WapIngestJob,
+        keys_not_null,
+        max_null_rate,
+        min_rows,
+    )
+
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    lake = os.path.join(_mk_scratch("cdc_wap_"), "lake")
+    LakeTable.create(lake, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets)
+    job = WapIngestJob(
+        lake,
+        [
+            min_rows(1),
+            max_null_rate("text", 0.9),
+            keys_not_null(["conv_id", "turn_idx"]),
+        ],
+        cfg=cfg,
+    )
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        if e == WAP_BAD_EPOCH:
+            batch = batch.withColumn("text", F.lit(None).cast("string"))
+        m = job.apply(spark, batch, epoch=e)
+        assert m["published"] == (e != WAP_BAD_EPOCH), m
+    return LakeTable.load(lake).read(spark)
+
+
 QUERIES = {
     "q_changes_envelope": q_changes_envelope,
+    "q_wap_audit": q_wap_audit,
     "q_lww_dedup": q_lww_dedup,
     "q_final_state_sql": q_final_state_sql,
     "q_cdc_replay": q_cdc_replay,
@@ -646,8 +688,19 @@ SELECT conv_id, turn_idx, role, text, tool, ts
 FROM winners WHERE op <> 'D'
 """
 
+# the WAP replay quarantines epoch 2, so the oracle folds only the published
+# epochs' events — the winners window over `changes` minus the bad epoch
+_WAP_SQL = f"""
+WITH {CHANGES_CTE.strip()},
+kept AS (SELECT * FROM changes WHERE epoch <> {WAP_BAD_EPOCH}),
+{WINNERS_CTE.strip().replace("FROM changes", "FROM kept")}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM winners WHERE op <> 'D'
+"""
+
 ORACLES = {
     "q_changes_envelope": f"WITH {CHANGES_CTE.strip()} SELECT * FROM changes",
+    "q_wap_audit": _WAP_SQL,
     "q_lww_dedup": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
         SELECT conv_id, turn_idx, role, text, tool, ts, op, lsn FROM winners

@@ -208,6 +208,29 @@ def q_ivm_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_window_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-STATS time-window scan of the keyless append-only label log:
+    ``read_range`` skips every data file whose footer-harvested ts min/max
+    misses the window BEFORE Spark plans the scan (file-level pruning above
+    Parquet's own row-group pushdown) — the O(window)-IO read an event log
+    needs at 10^10 rows. Window: the last 7 days of the log, bounds taken
+    from the table's own max ts (deterministic from the data)."""
+    import datetime as _dtm
+
+    job = _multi_replay(spark, sf_dir)
+    t = LakeTable.load(job.table_path("labels"))
+    hi = t.read(spark).agg(F.max("ts")).collect()[0][0]
+    lo = hi - _dtm.timedelta(days=7)
+    return (
+        t.read_range(spark, "ts", lo=lo)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_labels"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
 def q_asof_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF (temporal) join: every turn change event is joined to the
     conversation title revision in force at its LSN (revisions = the 'U'
@@ -271,6 +294,7 @@ QUERIES = {
     "q_asof_titles": q_asof_titles,
     "q_join_view": q_join_view,
     "q_ivm_minmax": q_ivm_minmax,
+    "q_time_window_scan": q_time_window_scan,
 }
 
 ORACLES = {
@@ -293,6 +317,15 @@ ORACLES = {
     "q_append_only_log": f"""
         WITH {LABELS_CTE.strip()}
         SELECT conv_id, label, lsn, ts FROM labels
+    """,
+    "q_time_window_scan": f"""
+        WITH {LABELS_CTE.strip()}
+        SELECT conv_id,
+               CAST(count(*) AS BIGINT) AS n_labels,
+               max(ts) AS last_ts
+        FROM labels
+        WHERE ts >= (SELECT max(ts) FROM labels) - INTERVAL 7 DAY
+        GROUP BY conv_id
     """,
     "q_join_view": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},

@@ -8,9 +8,11 @@ Cluster usage::
     ... expire --keep-last 10
     ... rebucket --n-buckets 16384
 
-Each op runs as its own job against the table root (single-writer protocol:
-don't run concurrently with ingest) and commits atomically — a crash leaves
-the previous snapshot intact. Prints one JSON line of op metrics.
+Each op runs as its own job against the table root and commits under the
+optimistic-concurrency protocol: racing a concurrent ingest writer is safe —
+a stale rewrite aborts with CommitConflictError instead of losing either
+commit (re-run the op), and a crash leaves the previous snapshot intact.
+Prints one JSON line of op metrics.
 """
 
 from __future__ import annotations
@@ -55,6 +57,18 @@ def main() -> None:
 
     sub.add_parser("stats", help="metadata-only table summary (no Spark job)")
 
+    sub.add_parser("list-staged", help="pending write-audit-publish batches")
+
+    p = sub.add_parser("abandon-staged",
+                       help="quarantine a staged WAP batch (delete its "
+                            "invisible files; published data never touched)")
+    p.add_argument("--token", required=True)
+
+    p = sub.add_parser("publish-staged",
+                       help="publish a staged WAP batch (e.g. after a manual "
+                            "audit, or re-driving a crashed audit job)")
+    p.add_argument("--token", required=True)
+
     args = ap.parse_args()
 
     from cnpj_data_pipeline_spark import LakeTable
@@ -64,6 +78,18 @@ def main() -> None:
     # metadata-only ops never spin up a Spark session
     if args.op == "stats":
         print(json.dumps(table.describe()))
+        return
+    if args.op == "list-staged":
+        print(json.dumps({"op": "list-staged", "staged": table.list_staged()}))
+        return
+    if args.op == "abandon-staged":
+        print(json.dumps({"op": "abandon-staged",
+                          **table.abandon_staged(args.token)}))
+        return
+    if args.op == "publish-staged":
+        sid = table.publish_staged(args.token)
+        print(json.dumps({"op": "publish-staged", "snapshot_id": sid,
+                          "token": args.token}))
         return
     if args.op == "rollback":
         sid = table.rollback(args.to_snapshot)
