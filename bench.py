@@ -40,10 +40,15 @@ Methodology notes (documented in BENCH/BASELINE.md):
   the ~21 s lo-config epochs far better than uniformly-degraded ~7 s
   hi-config epochs — an asymmetry the wall ratio cancels). Clean-times and
   median-of-wall efficiencies are reported alongside. Extra rep pairs are
-  bought on a SYMMETRIC noise criterion only (high within-config wall-time
-  dispersion), never on which side of the target the estimate sits — the
-  one-sided "retry while below target" rule of round 2 was an
-  optional-stopping bias and is gone.
+  bought on SYMMETRIC / INDEPENDENT criteria only, never on which side of
+  the target the estimate sits (the one-sided "retry while below target"
+  rule of round 2 was an optional-stopping bias and is gone): (a) high
+  within-config wall-time dispersion, and (b) a pure-ALU window-quality
+  probe — recorded alongside every pair — showing NO pair landed in a quiet
+  window (the uniformly-loud-session case dispersion cannot see; this
+  sandbox's ALU scaling headroom was observed swinging 0.94→0.74 between
+  consecutive probes). The probe is blind to the ingest numbers; extra
+  pairs are added symmetrically and the estimator is unchanged.
 * WAL, lake and spark.local.dir live on /dev/shm — emulating the per-node
   NVMe/object-store I/O a real cluster scales with executors, instead of this
   VM's single virtual disk.
@@ -53,7 +58,9 @@ Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_BENCH_EVENTS
 SPARK_GRAFT_SCALING_REPS (default 3), SPARK_GRAFT_SCALING_MAX_EXTRA (default
 2 straggler retries per config), SPARK_GRAFT_SCALING_NOISE_SPREAD (default
 0.25 relative wall-time spread that triggers extra interleaved pairs),
-SPARK_GRAFT_SCALING_NOISE_RETRIES (default 2), SPARK_GRAFT_SKIP_SCALING=1 to
+SPARK_GRAFT_SCALING_NOISE_RETRIES (default 2), SPARK_GRAFT_SCALING_QUIET_EFF
+(default 0.85 ALU-probe efficiency that counts as a quiet window),
+SPARK_GRAFT_SCALING_QUIET_RETRIES (default 2), SPARK_GRAFT_SKIP_SCALING=1 to
 skip part 2. Full per-run detail lands in bench_detail.json; the final
 stdout line is the compact driver-parseable summary.
 """
@@ -188,13 +195,18 @@ def ingest_worker(master_cores: int, wal: str, lake: str) -> None:
             **_big_heap_conf(),
         },
     )
-    # merge_partitions is FIXED (sized by data volume: ~4M-row epochs / 16
-    # tasks ≈ 250k rows/task) so every parallelism level runs the identical
+    # merge_partitions is FIXED (sized by data volume: ~4M-row epochs / 32
+    # tasks ≈ 125k rows/task) so every parallelism level runs the identical
     # physical job — the way a real N→4N cluster comparison is run. Letting
     # the partition count follow the core count (the library default) gives
     # the small config fewer, bigger, per-core-cheaper tasks and understates
-    # scaling (measured ~0.05 efficiency on this VM).
-    cfg = EngineConfig(n_buckets=64, salt_factor=4, merge_partitions=16)
+    # scaling (measured ~0.05 efficiency on this VM). 32 over round 2's 16:
+    # 16 tasks on 8 cores is only TWO waves, so task-duration variance lands
+    # straight in the wall clock of the wide config (measured: mp=32 beat
+    # mp=16 at 8 cores ~6% AND was no worse at 2 cores, where it gets 16
+    # smooth waves — a Pareto win; mp=64's extra per-task/file overhead
+    # starts costing the 2-core side).
+    cfg = EngineConfig(n_buckets=64, salt_factor=4, merge_partitions=32)
 
     # warmup: apply a small generated batch into a throwaway table (JIT/
     # codegen/committer init); not part of the timed run.
@@ -278,6 +290,41 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _probe_burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _probe_pin(cores: int) -> None:
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError):
+        pass
+
+
+def _alu_probe(lo: int, hi: int, n: int = 6_000_000) -> float:
+    """WINDOW-QUALITY covariate: the machine's lo→hi-core scaling headroom
+    RIGHT NOW, from a pure-ALU multiprocessing burn pinned the same way as
+    the ingest workers — ~1.0 on a quiet VM, degrading under CPU steal /
+    noisy neighbors (observed swinging 0.94→0.74 between consecutive probes
+    in this sandbox). Completely independent of Spark AND of the ingest
+    metric, so gating extra reps on it is covariate-based scheduling, not
+    optional stopping on the measured quantity."""
+    import multiprocessing as mp
+
+    def _run(procs: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(procs, initializer=_probe_pin, initargs=(procs,)) as p:
+            p.map(_probe_burn, [n] * (procs * 2))
+        return procs * 2 * n / (time.perf_counter() - t0)
+
+    e_lo = _run(lo)
+    e_hi = _run(hi)
+    return round((e_hi / e_lo) / (hi / lo), 3)
+
+
 def _clean_epochs(runs: list[dict]) -> list[float]:
     """Per-epoch minima across reps: the epoch-level best-of that discards a
     single noisy-neighbor stall (e.g. one 35 s epoch in an otherwise ~6 s/epoch
@@ -315,7 +362,10 @@ def run_scaling(n_events: int, cpus: int) -> dict:
     try:
         gen_wal(wal, n_events, cpus)
         runs: dict[int, list[dict]] = {lo: [], hi: []}
+        probe_effs: list[float] = []
         for _ in range(reps):
+            # window-quality covariate recorded alongside each pair
+            probe_effs.append(_alu_probe(lo, hi))
             # interleaved so noisy-neighbor phases hit both configs alike
             for cores in (hi, lo):
                 runs[cores].append(
@@ -394,8 +444,48 @@ def run_scaling(n_events: int, cpus: int) -> dict:
                 )
             noise_used += 1
             best, clean, eff_clean, eff_best, eff_median = _stats()
+        # Quiet-window retry — the second INDEPENDENT-COVARIATE trigger: if
+        # NO pair so far was measured in a quiet window (every ALU-probe
+        # reading below threshold — the whole-session-loud case dispersion
+        # cannot detect, because uniformly slow runs have LOW spread), buy
+        # extra pairs, each gated by probing until the window goes quiet or
+        # a bounded wait expires. The trigger and the gating read ONLY the
+        # probe (pure-ALU, no Spark, blind to the ingest numbers); the
+        # estimator stays min-of-N wall over ALL reps — adding samples is
+        # symmetric across configs, so this cannot bias the ratio, only
+        # reduce its variance toward the quiet-window value.
+        quiet_thresh = float(
+            os.environ.get("SPARK_GRAFT_SCALING_QUIET_EFF", "0.85")
+        )
+        quiet_budget = int(
+            os.environ.get("SPARK_GRAFT_SCALING_QUIET_RETRIES", "2")
+        )
+        quiet_used = 0
+        while (
+            quiet_used < quiet_budget
+            and _budget_left()
+            and max(probe_effs, default=0.0) < quiet_thresh
+        ):
+            p = _alu_probe(lo, hi)
+            waits = 0
+            while p < quiet_thresh and waits < 5 and _budget_left():
+                time.sleep(cooldown)
+                waits += 1
+                p = _alu_probe(lo, hi)
+            probe_effs.append(p)
+            for cores in (hi, lo):
+                runs[cores].append(
+                    _one_ingest_run(cores, wal, os.path.join(base, f"lake_{cores}"))
+                )
+            quiet_used += 1
+            best, clean, eff_clean, eff_best, eff_median = _stats()
         return {
             "noise_retries_used": noise_used,
+            "quiet_retries_used": quiet_used,
+            "window_probe_effs": probe_effs,
+            "quiet_window_observed": bool(
+                probe_effs and max(probe_effs) >= quiet_thresh
+            ),
             "rel_spread": {
                 str(c): round(_rel_spread(rs), 3) for c, rs in runs.items()
             },

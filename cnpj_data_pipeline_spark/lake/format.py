@@ -1038,11 +1038,19 @@ class LakeTable:
         for every scalar column (``read_range``'s predicate file skipping),
         Iceberg-manifest style.
 
-        When ``spark`` is given and the staged file count is non-trivial the
-        footer reads fan out over the executors (one tiny stats row per
-        file comes back); the driver never opens data files one-by-one —
+        When ``spark`` is given and the staged file count is large enough
+        that a distributed pass beats its own fixed job overhead, the footer
+        reads fan out over the executors (one tiny stats row per file comes
+        back); the driver never opens thousands of data files one-by-one —
         this keeps the commit phase flat from 64 buckets to 2^14 (the
-        round-2 verdict's one remaining O(n_buckets) driver loop)."""
+        round-2 verdict's one remaining O(n_buckets) driver loop). Below the
+        cutover the driver reads the footers itself: at ~0.3 ms/footer a
+        64-file epoch costs ~20 ms serially, while a parallelize+collect
+        job costs a fixed ~0.3-0.5 s — paying that PER EPOCH is pure Amdahl
+        tax on the fast-config side of the scaling gate (measured: 8-core
+        ingest wall regressed 25.6 -> 28.5 s when the cutover sat at 64).
+        ``SPARK_GRAFT_STATS_DISTRIBUTED_MIN`` overrides the break-even
+        point (default 1024 files ~= 0.3 s serial ~= one job's overhead)."""
         key_cols = self.key_cols()
         key_col = key_cols[0] if key_cols else None
         pairs: list[tuple[int, str]] = []
@@ -1051,7 +1059,10 @@ class LakeTable:
             for fp in sorted(glob.glob(os.path.join(bdir, "*.parquet"))):
                 pairs.append((b, fp))
 
-        if spark is not None and len(pairs) >= 64:
+        dist_min = int(
+            os.environ.get("SPARK_GRAFT_STATS_DISTRIBUTED_MIN", "1024")
+        )
+        if spark is not None and len(pairs) >= dist_min:
             lsn_col = LSN_META_COL
             kc = key_col
             paths = [fp for _, fp in pairs]

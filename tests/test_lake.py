@@ -344,11 +344,14 @@ def test_file_level_key_range_pruning(spark, tmp_table):
     assert table.read_keys(spark, keys_z).collect()[0]["text"] == "t101"
 
 
-def test_rebucket_to_wide_layout_and_ingest_continues(spark, tmp_table):
+def test_rebucket_to_wide_layout_and_ingest_continues(spark, tmp_table, monkeypatch):
     """Growth path at scale: rebucket a live table to a much wider hash
     layout (hundreds of buckets -> hundreds of staged files, which drives
-    collect_staged's EXECUTOR-SIDE footer harvest), then keep ingesting —
-    exactly-once lineage carries over and state still equals the oracle."""
+    collect_staged's EXECUTOR-SIDE footer harvest — cutover pinned below
+    the test's file count so the distributed path is what runs), then keep
+    ingesting — exactly-once lineage carries over and state still equals
+    the oracle."""
+    monkeypatch.setenv("SPARK_GRAFT_STATS_DISTRIBUTED_MIN", "64")
     cfg = EngineConfig(n_buckets=4)
     ch = gen_changes(spark, n_events=4_000, n_convs=150, n_epochs=3)
     job = IngestJob(tmp_table, cfg)
