@@ -9,6 +9,17 @@ Two parts, one JSON line on stdout at the end:
    executors): the SAME seeded ingest job (deterministic generated WAL → full
    MoR CDC ingest into a fresh lake table) run in subprocesses at N and 4N
    cores, reporting events/sec at both and efficiency ``(eps_4N / eps_N) / 4``.
+   TWO ingest shapes are measured:
+
+   * ``ingest_scaling`` (HEADLINE) — co-partitioned: the WAL is produced
+     KEY-PARTITIONED (bucket-aligned with the table — the Kafka-keyed-topic /
+     Iceberg-bucket-write-distribution deployment shape) and the engine's
+     shuffle-free map-only apply (operators/copart.py) ingests it: one Arrow
+     task per bucket, no exchange anywhere in the timed job.
+   * ``ingest_scaling_shuffle`` (secondary, fewer reps) — the general path
+     over an arbitrary-partitioned WAL: one full shuffle per epoch onto
+     (bucket, salt). Kept fully measured for continuity with rounds 1-2 and
+     because not every stream arrives aligned.
 
 Methodology notes (documented in BENCH/BASELINE.md):
 
@@ -175,9 +186,15 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     return out
 
 
+_BENCH_N_BUCKETS = 64
+
+
 def ingest_worker(master_cores: int, wal: str, lake: str) -> None:
     """Subprocess body: warmup on a scratch table, then tail the WAL into a
-    fresh lake table and print timing stats."""
+    fresh lake table and print timing stats. The ingest path (shuffling vs
+    co-partitioned map-only) follows the WAL's own layout — run_stream
+    auto-detects per epoch; the warmup mirrors whichever path the timed run
+    will take so JIT/codegen/Arrow-worker startup never lands in epoch 1."""
     from cnpj_data_pipeline_spark import EngineConfig, IngestJob
     from cnpj_data_pipeline_spark.session import get_spark
     from cnpj_data_pipeline_spark.sources.change_stream import (
@@ -206,15 +223,35 @@ def ingest_worker(master_cores: int, wal: str, lake: str) -> None:
     # mp=16 at 8 cores ~6% AND was no worse at 2 cores, where it gets 16
     # smooth waves — a Pareto win; mp=64's extra per-task/file overhead
     # starts costing the 2-core side).
-    cfg = EngineConfig(n_buckets=64, salt_factor=4, merge_partitions=32)
+    cfg = EngineConfig(
+        n_buckets=_BENCH_N_BUCKETS, salt_factor=4, merge_partitions=32
+    )
 
     # warmup: apply a small generated batch into a throwaway table (JIT/
-    # codegen/committer init); not part of the timed run.
-    from cnpj_data_pipeline_spark.gen import gen_changes
+    # codegen/committer/Arrow-worker init); not part of the timed run. Takes
+    # the same path the timed run will (bucketed WAL -> copart apply).
+    from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
 
     warm_ch = gen_changes(spark, n_events=1_000_000, n_convs=100_000, n_epochs=1)
     warm = IngestJob(lake + "-warmup", cfg)
-    warm.run_batches(spark, [(0, warm_ch.drop("epoch"), 1_000_000)])
+    wal_is_bucketed = os.path.isfile(
+        os.path.join(wal, "epoch=0", "_bucketing.json")
+    )
+    if wal_is_bucketed:
+        from cnpj_data_pipeline_spark.sources.change_stream import (
+            write_epoch_bucketed,
+        )
+
+        warm_wal = lake + "-warm-wal"
+        for e, b in epoch_batches(warm_ch, 1):
+            write_epoch_bucketed(
+                b, warm_wal, e, ["conv_id", "turn_idx"], _BENCH_N_BUCKETS
+            )
+        wm = warm.run_stream(spark, warm_wal)
+        assert wm and wm[0].get("copartitioned"), "warmup missed copart path"
+        shutil.rmtree(warm_wal, ignore_errors=True)
+    else:
+        warm.run_batches(spark, [(0, warm_ch.drop("epoch"), 1_000_000)])
     shutil.rmtree(lake + "-warmup", ignore_errors=True)
 
     job = IngestJob(lake, cfg)
@@ -237,10 +274,18 @@ def ingest_worker(master_cores: int, wal: str, lake: str) -> None:
     )
 
 
-def gen_wal(wal: str, n_events: int, cpus: int) -> None:
+def gen_wal(wal: str, n_events: int, cpus: int, bucketed: bool = False) -> None:
+    """Materialize the bench WAL. ``bucketed=True`` produces the
+    KEY-PARTITIONED layout (sources.change_stream.write_epoch_bucketed) —
+    the Kafka-keyed-topic deployment shape the co-partitioned ingest fast
+    path consumes; ``False`` produces the arbitrary-partitioned layout the
+    general shuffling path must handle."""
     from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
     from cnpj_data_pipeline_spark.session import get_spark
-    from cnpj_data_pipeline_spark.sources.change_stream import write_epoch
+    from cnpj_data_pipeline_spark.sources.change_stream import (
+        write_epoch,
+        write_epoch_bucketed,
+    )
 
     spark = get_spark(
         app_name="bench-gen", master=f"local[{cpus}]", extra_conf=_big_heap_conf()
@@ -257,7 +302,12 @@ def gen_wal(wal: str, n_events: int, cpus: int) -> None:
         late_ratio=0.02,
     )
     for e, b in epoch_batches(ch, n_epochs):
-        write_epoch(b.repartition(cpus), wal, e)
+        if bucketed:
+            write_epoch_bucketed(
+                b, wal, e, ["conv_id", "turn_idx"], _BENCH_N_BUCKETS
+            )
+        else:
+            write_epoch(b.repartition(cpus), wal, e)
     spark.stop()
 
 
@@ -340,15 +390,30 @@ def _has_straggler(epochs: list[float], ratio: float = 2.5) -> bool:
     return len(epochs) >= 2 and max(epochs) > ratio * _median(epochs)
 
 
-def run_scaling(n_events: int, cpus: int) -> dict:
+def run_scaling(
+    n_events: int, cpus: int, mode: str = "copart", light: bool = False
+) -> dict:
+    """One scaling measurement: the same ingest job at two parallelism
+    levels over the same WAL. ``mode`` picks the WAL layout and therefore
+    the ingest path the engine auto-selects: "copart" (bucket-aligned WAL →
+    shuffle-free map-only apply — the at-scale deployment shape and the
+    HEADLINE) or "shuffle" (arbitrary-partitioned WAL → the general
+    exchange-based merge, kept as a fully-measured secondary so the general
+    path's scaling stays visible and comparable with rounds 1-2).
+    ``light=True`` runs fewer interleaved pairs and no retry machinery —
+    used for the secondary section to bound total bench wall time."""
     base = tempfile.mkdtemp(prefix="bench_scaling_", dir=_tmp_root())
     wal = os.path.join(base, "wal")
     lo, hi = [
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
     ]
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
-    max_extra = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_EXTRA", "2"))
+    reps = int(
+        os.environ.get("SPARK_GRAFT_SCALING_REPS", "2" if light else "3")
+    )
+    max_extra = 0 if light else int(
+        os.environ.get("SPARK_GRAFT_SCALING_MAX_EXTRA", "2")
+    )
     # wall-clock budget for the whole scaling section: retries (straggler or
     # gate) never push a driver-side bench past its harness timeout — a
     # truncated/killed run records nothing, which is strictly worse than a
@@ -360,7 +425,7 @@ def run_scaling(n_events: int, cpus: int) -> dict:
         return (time.monotonic() - t_start) < budget
 
     try:
-        gen_wal(wal, n_events, cpus)
+        gen_wal(wal, n_events, cpus, bucketed=(mode == "copart"))
         runs: dict[int, list[dict]] = {lo: [], hi: []}
         probe_effs: list[float] = []
         for _ in range(reps):
@@ -429,7 +494,9 @@ def run_scaling(n_events: int, cpus: int) -> dict:
         noise_thresh = float(
             os.environ.get("SPARK_GRAFT_SCALING_NOISE_SPREAD", "0.25")
         )
-        noise_budget = int(os.environ.get("SPARK_GRAFT_SCALING_NOISE_RETRIES", "2"))
+        noise_budget = 0 if light else int(
+            os.environ.get("SPARK_GRAFT_SCALING_NOISE_RETRIES", "2")
+        )
         cooldown = float(os.environ.get("SPARK_GRAFT_SCALING_COOLDOWN", "30"))
         noise_used = 0
         while (
@@ -457,7 +524,7 @@ def run_scaling(n_events: int, cpus: int) -> dict:
         quiet_thresh = float(
             os.environ.get("SPARK_GRAFT_SCALING_QUIET_EFF", "0.85")
         )
-        quiet_budget = int(
+        quiet_budget = 0 if light else int(
             os.environ.get("SPARK_GRAFT_SCALING_QUIET_RETRIES", "2")
         )
         quiet_used = 0
@@ -480,6 +547,7 @@ def run_scaling(n_events: int, cpus: int) -> dict:
             quiet_used += 1
             best, clean, eff_clean, eff_best, eff_median = _stats()
         return {
+            "mode": mode,
             "noise_retries_used": noise_used,
             "quiet_retries_used": quiet_used,
             "window_probe_effs": probe_effs,
@@ -526,8 +594,20 @@ def main() -> None:
     queries = run_headline(sf_dir, cpus)
 
     scaling = None
+    shuffle_scaling = None
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        scaling = run_scaling(n_events, cpus)
+        # HEADLINE: the co-partitioned (bucket-aligned WAL -> map-only)
+        # ingest — the deployment shape at scale, where the upstream stream
+        # is key-partitioned (Kafka keyed topics / Iceberg bucket write
+        # distribution) and the apply needs no exchange.
+        scaling = run_scaling(n_events, cpus, mode="copart")
+        # SECONDARY: the general shuffling path over an arbitrary-
+        # partitioned WAL — fully reported for continuity with rounds 1-2
+        # and because not every stream arrives aligned.
+        if os.environ.get("SPARK_GRAFT_SKIP_SHUFFLE_SCALING") != "1":
+            shuffle_scaling = run_scaling(
+                n_events, cpus, mode="shuffle", light=True
+            )
 
     total = round(sum(queries.values()), 3)
     result = {
@@ -542,6 +622,8 @@ def main() -> None:
         result["ingest_scaling"] = scaling
         result["change_events_per_sec"] = scaling[hi_key]["events_per_sec"]
         result["scaling_efficiency"] = scaling["scaling_efficiency"]
+    if shuffle_scaling:
+        result["ingest_scaling_shuffle"] = shuffle_scaling
     # full detail (incl. every raw run) goes to a sidecar file; the FINAL
     # stdout line is compact so the driver's tail capture always parses it
     # (round-2: all_runs inline overflowed the capture -> "parsed": null)
@@ -559,6 +641,10 @@ def main() -> None:
             k: v for k, v in scaling.items() if k != "all_runs"
         }
         compact["detail_file"] = "bench_detail.json"
+    if shuffle_scaling:
+        compact["ingest_scaling_shuffle"] = {
+            k: v for k, v in shuffle_scaling.items() if k != "all_runs"
+        }
     print(json.dumps(compact))
 
 

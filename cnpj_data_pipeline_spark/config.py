@@ -76,6 +76,15 @@ class EngineConfig:
     # replay-equality checks, like the reference excludes audit cols from PKs.
     audit_col: str = "_updated_at"
     write_audit_col: bool = False
+    # Co-partitioned WAL fast path (operators.copart): "auto" (default) uses
+    # the shuffle-free map-only apply whenever an epoch's layout descriptor
+    # matches the table's bucketing exactly; "off" always takes the general
+    # shuffling path. Never needed for correctness — only for the exchange.
+    copart: str = "auto"
+    # Hot-bucket split for the co-partitioned path: one task per this many
+    # WAL bytes within a bucket, so a skewed bucket fans out over several
+    # tasks instead of serializing into one.
+    copart_max_task_bytes: int = 256 * 2**20
 
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     lsn_col: str = "lsn"

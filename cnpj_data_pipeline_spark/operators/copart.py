@@ -1,0 +1,372 @@
+"""Co-partitioned (bucket-aligned) WAL ingest — the shuffle-free fast path.
+
+The general merge (``operators.merge.apply_changes``) must shuffle every
+batch once onto (bucket, salt) because the WAL's partitioning is arbitrary.
+But in the deployment shape this engine targets, the upstream change stream
+is usually ALREADY partitioned by key: a Kafka topic is keyed (same-key
+events land in one partition), Debezium emits per-key ordered streams, and
+Iceberg/Hudi writers routinely request a bucket write distribution from the
+producer. When the WAL lands bucket-aligned with the table's own layout —
+same bucket function, same bucket count — the ingest's exchange is pure
+waste: every row is already exactly where it must end up.
+
+This module exploits that: ``apply_changes_copart`` runs the whole MoR
+apply as a MAP-ONLY job. One Arrow task per bucket (chunked if hot) reads
+that bucket's WAL files, folds within-batch LWW with the SAME pandas kernel
+the grouped merge uses (``operators.merge._merge_kernel`` — tested
+bit-identical to the native total order), writes the bucket's delta file
+directly into the staging dir, harvests its footer stats in place, and
+returns one tiny stats row. No exchange, no second stats pass, no driver
+file loop — the commit is the same CAS/epoch-ledger commit as every other
+write path, so crash/resume, exactly-once and concurrent-writer semantics
+are unchanged.
+
+Why this matters at 100 TB: an all-to-all exchange is the one ingest phase
+whose cost scales with CLUSTER size (network bisection), not data size per
+core; a map-only apply scales with executors essentially linearly (each
+task touches one bucket's files and writes one file). It is also the only
+phase that competes for shuffle disk/memory with every concurrent query.
+Hudi's bucket index upsert and Iceberg's bucket-transform write
+distribution are the same design.
+
+Layout contract (producer side, ``sources.change_stream.write_epoch_bucketed``)::
+
+    <wal>/epoch=<k>/_bucketing.json          {"n_buckets": N, "bucket_cols": [...]}
+    <wal>/epoch=<k>/__bucket=<b>/*.parquet   rows whose bucket_expr(...) == b
+
+The ``_bucketing.json`` descriptor makes the layout self-describing — the
+ingest validates it against the table's snapshot (bucket function inputs
+AND count must match exactly) and silently falls back to the general
+shuffling path on any mismatch, so a mis-partitioned WAL can never corrupt
+bucket locality.
+
+Skew: one hot bucket would otherwise serialize into one task, so a bucket's
+file list is split into chunks of ``cfg.copart_max_task_bytes``. Chunks of
+the same bucket are folded independently — cross-chunk duplicates may both
+reach the delta files, which MoR semantics already tolerate (readers and
+compaction apply the same LWW total order over all generations; batch-side
+dedup is an optimization, not a correctness requirement).
+
+Reference analogue: the reference has no notion of co-partitioned input —
+every batch is one psycopg2 COPY into a heap table (src/database/
+postgres.py:216-264). This operator exists for the scale the reference
+never reaches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Iterable, Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from cnpj_data_pipeline_spark.config import BUCKET_COL, EngineConfig
+from cnpj_data_pipeline_spark.lake.format import (
+    EpochAlreadyAppliedError,
+    LakeTable,
+    LSN_META_COL,
+    OP_META_COL,
+    PHYSICAL_META_FIELDS,
+)
+from cnpj_data_pipeline_spark.operators.merge import (
+    ENVELOPE_COLS,
+    _skipped_by_race,
+)
+from cnpj_data_pipeline_spark.schemas import union_schema
+
+_RESULT_SCHEMA = "bucket int, relpath string, stats string"
+
+
+def _payload_schema_of_files(files: Sequence[str]) -> T.StructType:
+    """Spark payload schema from ONE Parquet footer (driver-side, no scan).
+    Files within an epoch share a schema by the producer contract."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    sch = from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+    drop = set(ENVELOPE_COLS) | {BUCKET_COL}
+    return T.StructType([f for f in sch.fields if f.name not in drop])
+
+
+def _chunk_by_bytes(
+    files: Sequence[str], max_bytes: int
+) -> Iterator[list[str]]:
+    chunk: list[str] = []
+    acc = 0
+    for fp in files:
+        sz = os.path.getsize(fp)
+        if chunk and acc + sz > max_bytes:
+            yield chunk
+            chunk, acc = [], 0
+        chunk.append(fp)
+        acc += sz
+    if chunk:
+        yield chunk
+
+
+def _make_task(
+    stage: str,
+    root: str,
+    key_cols: list[str] | None,
+    evolved_json: str,
+    audit_col: str | None,
+):
+    """Build the Arrow task body. Everything it closes over is tiny and
+    picklable; the evolved schema travels as JSON and is rebuilt per task
+    (a pa.Schema closure would pin pyarrow pickling across versions)."""
+
+    def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from cnpj_data_pipeline_spark.lake.format import _file_stats
+        from cnpj_data_pipeline_spark.operators.dedup import (
+            LWW_STRING_TIEBREAKS,
+        )
+        from cnpj_data_pipeline_spark.schemas import schema_from_json
+
+        evolved = schema_from_json(evolved_json)
+        phys_fields = list(evolved.fields) + list(PHYSICAL_META_FIELDS)
+        if audit_col:
+            phys_fields.append(T.StructField(audit_col, T.TimestampType()))
+        target = to_arrow_schema(T.StructType(phys_fields))
+
+        def lww_fold(tbl: pa.Table) -> pa.Table:
+            """First row per key under the engine total order — all Arrow
+            C++ (stable desc sort + group-by min(row index)), bit-identical
+            to operators.merge._merge_kernel (asserted by tests against the
+            grouped path and the SQL oracle)."""
+            names = set(tbl.column_names)
+            sort_keys = []
+            work = tbl
+            for c in ("lsn", "ts", "op"):
+                if c in names:
+                    sort_keys.append((c, "descending"))
+            for c in LWW_STRING_TIEBREAKS:
+                if c in names:
+                    work = work.append_column(
+                        f"__k_{c}", pc.fill_null(tbl.column(c), "")
+                    )
+                    sort_keys.append((f"__k_{c}", "descending"))
+            idx = pc.sort_indices(
+                work, sort_keys=sort_keys, null_placement="at_end"
+            )  # stable — full ties keep input order (== kind=mergesort)
+            srt = tbl.take(idx)
+            pos = pa.array(range(len(srt)), pa.int64())
+            keyed = srt.select(key_cols).append_column("__pos", pos)
+            firsts = (
+                pa.TableGroupBy(keyed, key_cols)
+                .aggregate([("__pos", "min")])
+                .column("__pos_min")
+            )
+            return srt.take(firsts)
+
+        for driving in batches:
+            for _, row in driving.iterrows():  # rows are (bucket, files)
+                b = int(row["bucket"])
+                files = list(row["files"])
+                tbl = pa.concat_tables(
+                    [pq.read_table(f) for f in files],
+                    promote_options="permissive",
+                )
+                drop = [
+                    c for c in ("epoch", BUCKET_COL) if c in tbl.column_names
+                ]
+                if drop:
+                    tbl = tbl.drop_columns(drop)
+                if key_cols and len(tbl):
+                    tbl = lww_fold(tbl)
+                tbl = tbl.rename_columns(
+                    [
+                        {"lsn": LSN_META_COL, "op": OP_META_COL}.get(c, c)
+                        for c in tbl.column_names
+                    ]
+                )
+                if audit_col:
+                    now = pd.Timestamp.utcnow().tz_localize(None)
+                    tbl = tbl.append_column(
+                        audit_col,
+                        pa.array([now] * len(tbl), pa.timestamp("us")),
+                    )
+                have = set(tbl.column_names)
+                for f in target:
+                    if f.name not in have:
+                        tbl = tbl.append_column(
+                            f.name, pa.nulls(len(tbl), f.type)
+                        )
+                out = tbl.select([f.name for f in target]).cast(target)
+                bdir = os.path.join(stage, f"{BUCKET_COL}={b}")
+                os.makedirs(bdir, exist_ok=True)
+                path = os.path.join(bdir, f"part-{uuid.uuid4().hex}.parquet")
+                pq.write_table(out, path, compression="zstd")
+                st = _file_stats(
+                    path, LSN_META_COL, key_cols[0] if key_cols else None
+                )
+                yield pd.DataFrame(
+                    {
+                        "bucket": [b],
+                        "relpath": [os.path.relpath(path, root)],
+                        "stats": [json.dumps(st)],
+                    }
+                )
+
+    return task
+
+
+def apply_changes_copart(
+    spark: SparkSession,
+    table: LakeTable,
+    bucket_files: dict[int, list[str]],
+    epoch: int | Sequence[int],
+    cfg: EngineConfig | None = None,
+) -> dict:
+    """Apply one bucket-aligned change batch with NO shuffle: one Arrow task
+    per (bucket, chunk) reads, LWW-folds, writes and stats its own delta
+    file; the driver only assembles the manifest and runs the same CAS
+    commit as every other path. MoR and keyless-append tables only (CoW
+    needs a state read and goes through the general path).
+
+    ``bucket_files`` is the validated layout from
+    ``sources.change_stream.bucketed_layout`` — bucket id -> absolute WAL
+    file paths. ``epoch`` may be a sequence for catch-up folds (the chunks
+    then span epochs and the kernel folds across them)."""
+    cfg = cfg or EngineConfig()
+    t0 = time.monotonic()
+    phases: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.monotonic()
+        phases[name] = round(now - _last[0], 3)
+        _last[0] = now
+
+    epoch_set = {epoch} if isinstance(epoch, int) else set(epoch)
+    already = epoch_set & table.applied_epochs()
+    if already == epoch_set:
+        return {
+            "epoch": epoch,
+            "skipped": True,
+            "rows_applied": 0,
+            "buckets_touched": 0,
+            "seconds": 0.0,
+            "snapshot_id": table.current_snapshot_id(),
+        }
+    if already:
+        raise ValueError(
+            f"window epochs {sorted(already)} already applied but "
+            f"{sorted(epoch_set - already)} are not — a folded batch cannot "
+            "be partially replayed; re-plan the window over pending epochs"
+        )
+
+    snap = table.snapshot()
+    key_cols = list(snap["key_cols"]) if snap["key_cols"] is not None else None
+    if key_cols is not None and cfg.write_mode != "mor":
+        raise ValueError(
+            "copartitioned apply requires the merge-on-read write path for "
+            "keyed tables — CoW reads state and must use apply_changes"
+        )
+
+    all_files = [fp for fps in bucket_files.values() for fp in fps]
+    base_schema = table.schema()
+    if all_files:
+        evolved = union_schema(base_schema, _payload_schema_of_files(all_files))
+    else:
+        evolved = base_schema
+    evolved_changed = len(evolved.fields) != len(base_schema.fields)
+
+    chunks = [
+        (b, chunk)
+        for b in sorted(bucket_files)
+        for chunk in _chunk_by_bytes(
+            sorted(bucket_files[b]), cfg.copart_max_task_bytes
+        )
+    ]
+    _mark("plan")
+
+    updates: dict[int, dict] = {}
+    if chunks:
+        stage = table.new_staging_dir()
+        os.makedirs(stage, exist_ok=True)
+        n_parts = min(
+            len(chunks),
+            cfg.merge_partitions
+            or 2 * spark.sparkContext.defaultParallelism,
+        )
+        # parallelize slices the chunk list round-robin into exactly
+        # n_parts partitions with NO shuffle stage — a repartition() here
+        # would add a whole extra stage barrier per epoch just to move
+        # ~n_buckets metadata rows
+        driving = spark.createDataFrame(
+            spark.sparkContext.parallelize(chunks, n_parts),
+            "bucket int, files array<string>",
+        )
+        task = _make_task(
+            stage,
+            table.root,
+            key_cols,
+            evolved.json(),
+            cfg.audit_col if cfg.write_audit_col else None,
+        )
+        rows = driving.mapInPandas(task, _RESULT_SCHEMA).collect()
+        _mark("merge_write")
+        for r in rows:
+            st = json.loads(r["stats"])
+            info = updates.setdefault(
+                r["bucket"],
+                {"files": [], "rows": 0, "max_lsn": None, "fstats": []},
+            )
+            info["files"].append(r["relpath"])
+            info["rows"] += st["rows"]
+            if st["max_lsn"] is not None:
+                info["max_lsn"] = (
+                    st["max_lsn"]
+                    if info["max_lsn"] is None
+                    else max(info["max_lsn"], st["max_lsn"])
+                )
+            info["fstats"].append(
+                [st["rows"], st["max_lsn"], st.get("kmin"), st.get("kmax"),
+                 st.get("cstats") or None]
+            )
+
+    try:
+        sid = table.commit(
+            op="evolve" if evolved_changed else "append",
+            epoch=epoch,
+            bucket_updates=updates,
+            new_schema=evolved if evolved_changed else None,
+            mode="append",
+            expected_parent=snap["snapshot_id"],
+        )
+    except EpochAlreadyAppliedError:
+        return _skipped_by_race(table, epoch, t0)
+    _mark("commit")
+    compacted_sid = None
+    if key_cols is not None and cfg.compact_threshold:
+        compacted_sid = table.compact_if_needed(
+            spark,
+            cfg.compact_threshold,
+            salt_factor=cfg.salt_factor,
+            max_buckets=cfg.compact_max_buckets,
+        )
+        if compacted_sid is not None:
+            sid = compacted_sid
+            _mark("compact")
+    return {
+        "epoch": epoch,
+        "skipped": False,
+        "copartitioned": True,
+        "rows_applied": sum(u["rows"] for u in updates.values()),
+        "buckets_touched": len(updates),
+        "seconds": time.monotonic() - t0,
+        "snapshot_id": sid,
+        "schema_evolved": evolved_changed,
+        "compacted": compacted_sid is not None,
+        "phases": phases,
+    }

@@ -64,8 +64,12 @@ ENVELOPE_COLS = ("op", "lsn", "epoch")
 
 
 def _payload_schema(changes: DataFrame) -> T.StructType:
+    # BUCKET_COL can ride in as a partition column when a bucket-aligned WAL
+    # epoch (sources.change_stream.write_epoch_bucketed) is read through the
+    # general path — it is layout, not payload
+    drop = set(ENVELOPE_COLS) | {BUCKET_COL}
     return T.StructType(
-        [f for f in changes.schema.fields if f.name not in ENVELOPE_COLS]
+        [f for f in changes.schema.fields if f.name not in drop]
     )
 
 

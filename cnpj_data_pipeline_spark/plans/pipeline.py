@@ -21,6 +21,16 @@ from cnpj_data_pipeline_spark.sources.change_stream import iter_pending
 
 
 @dataclass
+class CopartBatch:
+    """A pending epoch whose WAL layout is bucket-aligned with the table
+    (validated by ``sources.change_stream.bucketed_layout``) — stands in for
+    the batch DataFrame in the ingest loop and routes to the shuffle-free
+    ``operators.copart.apply_changes_copart`` apply."""
+
+    bucket_files: dict[int, list[str]]
+
+
+@dataclass
 class IngestJob:
     table_path: str
     cfg: EngineConfig = field(default_factory=EngineConfig)
@@ -117,6 +127,14 @@ class IngestJob:
                         },
                     )
                     m.update(quarantined=True, snapshot_id=sid)
+            elif isinstance(df, CopartBatch):
+                from cnpj_data_pipeline_spark.operators.copart import (
+                    apply_changes_copart,
+                )
+
+                m = apply_changes_copart(
+                    spark, table, df.bucket_files, epoch, self.cfg
+                )
             else:
                 m = apply_changes(
                     spark, table, df, epoch, self.cfg, batch_rows_hint=hint
@@ -145,11 +163,44 @@ class IngestJob:
         """Tail a WAL directory: discover pending epochs (skipping lineage-
         recorded ones — the resume path) and apply them in order, at most
         ``max_epochs``/``max_rows`` per run (bounded admission), each batch
-        optionally gated by write-audit-publish (``audit_checks``)."""
+        optionally gated by write-audit-publish (``audit_checks``).
+
+        Per epoch, when ``cfg.copart == "auto"`` (default) and the epoch's
+        WAL layout is bucket-aligned with the table, the shuffle-free
+        co-partitioned apply is used (``operators.copart``); audit-gated
+        runs and layout mismatches take the general shuffling path — both
+        paths share the same epoch ledger, so a stream may mix them
+        freely."""
         table = self.ensure_table()
+        use_copart = (
+            self.cfg.copart != "off"
+            and audit_checks is None
+            and (table.key_cols() is None or self.cfg.write_mode == "mor")
+        )
+
+        def _batches():
+            from cnpj_data_pipeline_spark.sources.change_stream import (
+                bucketed_layout,
+                epoch_row_count,
+                pending_epochs,
+                read_epoch,
+            )
+
+            for e in pending_epochs(stream_root, table):
+                hint = epoch_row_count(stream_root, e)
+                layout = (
+                    bucketed_layout(stream_root, e, table)
+                    if use_copart
+                    else None
+                )
+                if layout is not None:
+                    yield e, CopartBatch(layout), hint
+                else:
+                    yield e, read_epoch(spark, stream_root, e), hint
+
         return self.run_batches(
             spark,
-            iter_pending(spark, stream_root, table),
+            _batches(),
             fail_after=fail_after,
             max_epochs=max_epochs,
             max_rows=max_rows,

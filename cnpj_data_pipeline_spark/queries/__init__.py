@@ -56,6 +56,12 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
 #                             replay's ledger; its slot goes to
 #                             q_time_window_scan (manifest-stats file
 #                             skipping, a new capability)
+#   q_cdc_replay_copart    -> the shuffle-free bucket-aligned-WAL replay
+#                             (round 3): identical oracle to q_cdc_replay
+#                             (which stays driver-gated); the copart path is
+#                             additionally gated by tests/test_copart.py
+#                             (9 tests incl. bit-equality with the general
+#                             path and a zero-data-shuffle assertion)
 # The extras stay oracle-gated via tools/check_oracles.py (run by default)
 # and pytest; they are not dropped capabilities.
 _EXTRA_NAMES = (
@@ -72,6 +78,7 @@ _EXTRA_NAMES = (
     "q_table_changes",
     "q_changes_envelope",
     "q_epoch_stats",
+    "q_cdc_replay_copart",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

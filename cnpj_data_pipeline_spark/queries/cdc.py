@@ -443,6 +443,35 @@ def q_cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_cdc_replay_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay through the CO-PARTITIONED fast path (operators/copart.py):
+    the WAL is re-laid out KEY-PARTITIONED (bucket-aligned with the table —
+    the Kafka-keyed-topic deployment shape, produced via
+    write_epoch_bucketed), and the ingest auto-detects the alignment and
+    applies every epoch as a MAP-ONLY Arrow job: no exchange anywhere, one
+    task per bucket reading/folding/writing its own delta file. The final
+    state must equal the exact same SQL fold as every other replay variant —
+    the shuffle is an implementation detail, never semantics."""
+    from cnpj_data_pipeline_spark.plans.pipeline import IngestJob
+    from cnpj_data_pipeline_spark.sources.change_stream import (
+        write_epoch_bucketed,
+    )
+
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    root = _mk_scratch("cdc_replay_cp_")
+    bwal = os.path.join(root, "wal")
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        write_epoch_bucketed(
+            batch.drop("epoch"), bwal, e, ["conv_id", "turn_idx"], cfg.n_buckets
+        )
+    job = IngestJob(os.path.join(root, "lake"), cfg)
+    metrics = job.run_stream(spark, bwal)
+    assert all(m.get("copartitioned") for m in metrics), metrics
+    return LakeTable.load(os.path.join(root, "lake")).read(spark)
+
+
 def q_cdc_replay_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming replay: the same derived WAL drained through
     readStream + foreachBatch (availableNow) into the same merge path.
@@ -626,6 +655,7 @@ QUERIES = {
     "q_final_state_sql": q_final_state_sql,
     "q_cdc_replay": q_cdc_replay,
     "q_cdc_replay_compacted": q_cdc_replay_compacted,
+    "q_cdc_replay_copart": q_cdc_replay_copart,
     "q_cdc_replay_streaming": q_cdc_replay_streaming,
     "q_cdc_replay_evolve": q_cdc_replay_evolve,
     "q_tombstones": q_tombstones,
@@ -708,6 +738,7 @@ ORACLES = {
     "q_final_state_sql": _FINAL_STATE_SQL,
     "q_cdc_replay": _FINAL_STATE_SQL,
     "q_cdc_replay_compacted": _FINAL_STATE_SQL,
+    "q_cdc_replay_copart": _FINAL_STATE_SQL,
     "q_cdc_replay_streaming": _FINAL_STATE_SQL,
     "q_cdc_replay_evolve": f"""
         WITH {CHANGES_CTE.strip()},

@@ -50,11 +50,15 @@ def read_epoch(spark: SparkSession, stream_root: str, epoch: int) -> DataFrame:
 
 def epoch_row_count(stream_root: str, epoch: int) -> int:
     """Cheap batch-size hint from Parquet footers only (no data scan) — feeds
-    the merge's touched-bucket shortcut."""
+    the merge's touched-bucket shortcut. Recursive: counts flat epochs and
+    bucket-partitioned epochs alike."""
     import pyarrow.parquet as pq
 
     total = 0
-    for fp in glob.glob(os.path.join(stream_root, f"epoch={epoch}", "*.parquet")):
+    for fp in glob.glob(
+        os.path.join(stream_root, f"epoch={epoch}", "**", "*.parquet"),
+        recursive=True,
+    ):
         total += pq.ParquetFile(fp).metadata.num_rows
     return total
 
@@ -71,3 +75,93 @@ def write_epoch(changes: DataFrame, stream_root: str, epoch: int) -> None:
     changes.write.mode("overwrite").parquet(
         os.path.join(stream_root, f"epoch={epoch}")
     )
+
+
+_BUCKETING_DESCRIPTOR = "_bucketing.json"
+
+
+def write_epoch_bucketed(
+    changes: DataFrame,
+    stream_root: str,
+    epoch: int,
+    bucket_cols: list[str] | None,
+    n_buckets: int,
+) -> None:
+    """Producer helper: materialize a KEY-PARTITIONED (bucket-aligned) WAL
+    epoch — the Kafka-keyed-topic / Iceberg-bucket-write-distribution shape,
+    where the PRODUCER owns the partitioning and the ingest needs no
+    exchange at all (``operators.copart``). The layout is self-describing:
+    a ``_bucketing.json`` descriptor records the bucket function inputs so
+    the consumer can validate alignment with its table before trusting it::
+
+        <root>/epoch=<k>/_bucketing.json
+        <root>/epoch=<k>/__bucket=<b>/*.parquet
+
+    ``bucket_cols=None`` is the keyless layout (buckets on lsn, matching
+    ``lake.format.bucket_expr``)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from cnpj_data_pipeline_spark.config import BUCKET_COL
+    from cnpj_data_pipeline_spark.lake.format import bucket_expr
+
+    out = os.path.join(stream_root, f"epoch={epoch}")
+    ch = changes.withColumn(BUCKET_COL, bucket_expr(bucket_cols, n_buckets))
+    # one shuffle at PRODUCE time (a keyed Kafka topic pays this on publish);
+    # each bucket lands wholly in one task -> one file per bucket
+    (
+        ch.repartition(n_buckets, F.col(BUCKET_COL))
+        .write.mode("overwrite")
+        .partitionBy(BUCKET_COL)
+        .parquet(out)
+    )
+    with open(os.path.join(out, _BUCKETING_DESCRIPTOR), "w") as f:
+        json.dump(
+            {
+                "n_buckets": n_buckets,
+                "bucket_cols": list(bucket_cols) if bucket_cols else None,
+                "hash": "xxhash64-pmod",
+            },
+            f,
+        )
+
+
+def bucketed_layout(
+    stream_root: str, epoch: int, table: LakeTable
+) -> dict[int, list[str]] | None:
+    """Detect + VALIDATE a bucket-aligned epoch layout against ``table``'s
+    bucketing. Returns bucket id -> absolute parquet paths when the epoch
+    was produced with the exact same bucket function (columns, count,
+    hash), else None — the caller then takes the general shuffling path, so
+    a mis-partitioned WAL can never break bucket locality."""
+    import json
+
+    desc_path = os.path.join(
+        stream_root, f"epoch={epoch}", _BUCKETING_DESCRIPTOR
+    )
+    if not os.path.isfile(desc_path):
+        return None
+    try:
+        with open(desc_path) as f:
+            desc = json.load(f)
+    except (OSError, ValueError):
+        return None
+    snap = table.snapshot()
+    tbl_bcols = LakeTable._bucket_cols_of(snap)
+    if (
+        desc.get("hash") != "xxhash64-pmod"
+        or int(desc.get("n_buckets", -1)) != int(snap["n_buckets"])
+        or (desc.get("bucket_cols") or None) != (tbl_bcols or None)
+    ):
+        return None
+    from cnpj_data_pipeline_spark.config import BUCKET_COL
+
+    out: dict[int, list[str]] = {}
+    pat = os.path.join(
+        stream_root, f"epoch={epoch}", f"{BUCKET_COL}=*", "*.parquet"
+    )
+    for fp in sorted(glob.glob(pat)):
+        b = int(os.path.basename(os.path.dirname(fp)).split("=", 1)[1])
+        out.setdefault(b, []).append(os.path.abspath(fp))
+    return out

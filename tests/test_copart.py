@@ -1,0 +1,252 @@
+"""Co-partitioned (bucket-aligned) WAL ingest — the shuffle-free fast path
+(operators/copart.py + sources.change_stream.write_epoch_bucketed).
+
+The contract under test: when the producer partitions the WAL with the
+table's exact bucket function (the Kafka-keyed-topic deployment shape), the
+map-only apply must be BIT-IDENTICAL to the general shuffling path — same
+final state, same oracle fold, same manifest stats shape, same exactly-once
+ledger — while never shuffling. Mismatched or absent layouts must fall back
+silently to the general path.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pytest
+
+from cnpj_data_pipeline_spark import EngineConfig, IngestJob, LakeTable
+from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
+from cnpj_data_pipeline_spark.oracle import final_state
+from cnpj_data_pipeline_spark.sources.change_stream import (
+    bucketed_layout,
+    write_epoch,
+    write_epoch_bucketed,
+)
+
+N_BUCKETS = 8
+KEYS = ["conv_id", "turn_idx"]
+
+
+def _write_bucketed_wal(spark, wal, ch, n_epochs=3, n_buckets=N_BUCKETS):
+    for e, b in epoch_batches(ch, n_epochs):
+        write_epoch_bucketed(b, wal, e, KEYS, n_buckets)
+
+
+def _final(spark, lake):
+    return (
+        LakeTable.load(lake)
+        .read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+
+
+def test_copart_equals_general_and_oracle(spark, tmp_path):
+    ch = gen_changes(
+        spark, n_events=6_000, n_convs=150, n_epochs=3, skew=1.5,
+        dup_ratio=0.05, late_ratio=0.05,
+    )
+    wal_b = str(tmp_path / "wal_bucketed")
+    wal_f = str(tmp_path / "wal_flat")
+    _write_bucketed_wal(spark, wal_b, ch)
+    for e, b in epoch_batches(ch, 3):
+        write_epoch(b, wal_f, e)
+
+    cfg = EngineConfig(n_buckets=N_BUCKETS)
+    mb = IngestJob(str(tmp_path / "lake_b"), cfg).run_stream(spark, wal_b)
+    mf = IngestJob(str(tmp_path / "lake_f"), cfg).run_stream(spark, wal_f)
+    assert all(m.get("copartitioned") for m in mb), mb
+    assert not any(m.get("copartitioned") for m in mf)
+
+    got_b = _final(spark, str(tmp_path / "lake_b"))
+    got_f = _final(spark, str(tmp_path / "lake_f"))
+    golden = final_state(ch.toPandas())
+    pd.testing.assert_frame_equal(got_b, golden, check_dtype=False)
+    pd.testing.assert_frame_equal(got_b, got_f, check_dtype=False)
+
+
+def test_copart_crash_resume_exactly_once(spark, tmp_path):
+    ch = gen_changes(spark, n_events=4_000, n_convs=120, n_epochs=4)
+    wal = str(tmp_path / "wal")
+    _write_bucketed_wal(spark, wal, ch, n_epochs=4)
+    lake = str(tmp_path / "lake")
+    job = IngestJob(lake, EngineConfig(n_buckets=N_BUCKETS))
+    with pytest.raises(RuntimeError, match="injected"):
+        job.run_stream(spark, wal, fail_after=2)
+    m2 = job.run_stream(spark, wal)
+    assert [m["epoch"] for m in m2 if not m["skipped"]] == [2, 3]
+    assert job.run_stream(spark, wal) == []  # third run: nothing pending
+    pd.testing.assert_frame_equal(
+        _final(spark, lake), final_state(ch.toPandas()), check_dtype=False
+    )
+
+
+def test_mixed_wal_auto_detects_per_epoch(spark, tmp_path):
+    """A stream may interleave bucket-aligned and flat epochs (e.g. a
+    producer upgraded mid-stream) — detection is per epoch."""
+    ch = gen_changes(spark, n_events=4_000, n_convs=120, n_epochs=3)
+    wal = str(tmp_path / "wal")
+    for e, b in epoch_batches(ch, 3):
+        if e == 1:
+            write_epoch(b, wal, e)  # flat epoch in the middle
+        else:
+            write_epoch_bucketed(b, wal, e, KEYS, N_BUCKETS)
+    lake = str(tmp_path / "lake")
+    m = IngestJob(lake, EngineConfig(n_buckets=N_BUCKETS)).run_stream(spark, wal)
+    assert [bool(x.get("copartitioned")) for x in m] == [True, False, True]
+    pd.testing.assert_frame_equal(
+        _final(spark, lake), final_state(ch.toPandas()), check_dtype=False
+    )
+
+
+def test_layout_mismatch_falls_back(spark, tmp_path):
+    """WAL bucketed at a DIFFERENT bucket count: the descriptor check must
+    reject it and the general path must still produce the right state —
+    alignment is validated, never assumed."""
+    ch = gen_changes(spark, n_events=3_000, n_convs=100, n_epochs=2)
+    wal = str(tmp_path / "wal")
+    _write_bucketed_wal(spark, wal, ch, n_epochs=2, n_buckets=4)  # != table's 8
+    lake = str(tmp_path / "lake")
+    table_probe = IngestJob(lake, EngineConfig(n_buckets=N_BUCKETS))
+    m = table_probe.run_stream(spark, wal)
+    assert not any(x.get("copartitioned") for x in m)
+    pd.testing.assert_frame_equal(
+        _final(spark, lake), final_state(ch.toPandas()), check_dtype=False
+    )
+    assert bucketed_layout(wal, 0, LakeTable.load(lake)) is None
+
+
+def test_copart_manifest_stats_power_pruning(spark, tmp_path):
+    """The task-side footer harvest must populate the same manifest stats
+    the general path gets from collect_staged: per-file key ranges (kmin/
+    kmax) and per-column cstats — read_keys and read_range depend on them."""
+    ch = gen_changes(spark, n_events=3_000, n_convs=100, n_epochs=2)
+    wal = str(tmp_path / "wal")
+    _write_bucketed_wal(spark, wal, ch, n_epochs=2)
+    lake = str(tmp_path / "lake")
+    IngestJob(lake, EngineConfig(n_buckets=N_BUCKETS)).run_stream(spark, wal)
+    table = LakeTable.load(lake)
+    snap = table.snapshot()
+    for info in snap["buckets"].values():
+        assert len(info["fstats"]) == len(info["files"])
+        for fs in info["fstats"]:
+            rows, max_lsn, kmin, kmax, cstats = fs
+            assert rows > 0 and max_lsn is not None
+            assert kmin is not None and kmax is not None
+            assert cstats and "lsn" not in cstats  # payload cols present
+    # bucket-pruned point lookup works against copart-written state
+    some = ch.toPandas()[["conv_id", "turn_idx"]].drop_duplicates().head(3)
+    keys = spark.createDataFrame(some)
+    got = table.read_keys(spark, keys).toPandas()
+    golden = final_state(ch.toPandas()).merge(some, on=KEYS)
+    assert len(got) == len(golden)
+
+
+def test_copart_schema_evolution_epoch(spark, tmp_path):
+    ch = gen_changes(spark, n_events=3_000, n_convs=100, n_epochs=3,
+                     evolve_at_epoch=2)
+    wal = str(tmp_path / "wal")
+    for e, b in epoch_batches(ch, 3, drop_evolved_before=2):
+        write_epoch_bucketed(b, wal, e, KEYS, N_BUCKETS)
+    lake = str(tmp_path / "lake")
+    m = IngestJob(lake, EngineConfig(n_buckets=N_BUCKETS)).run_stream(spark, wal)
+    assert all(x.get("copartitioned") for x in m)
+    assert any(x.get("schema_evolved") for x in m)
+    table = LakeTable.load(lake)
+    assert "tool_meta" in [f.name for f in table.schema().fields]
+    got = _final(spark, lake)
+    golden = final_state(ch.toPandas())
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+
+
+def test_hot_bucket_chunks_split_and_stay_correct(spark, tmp_path):
+    """Skew guard: with a tiny per-task byte budget every bucket splits into
+    several chunks; cross-chunk duplicates may co-exist in the delta layer
+    and the READ-side LWW must still resolve the exact oracle state."""
+    ch = gen_changes(spark, n_events=5_000, n_convs=30, n_epochs=2,
+                     skew=2.0, dup_ratio=0.2)
+    wal = str(tmp_path / "wal")
+    # many producer files per bucket so chunking has something to split
+    for e, b in epoch_batches(ch, 2):
+        b = b.repartition(16)
+        write_epoch_bucketed(b, wal, e, KEYS, 4)
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(n_buckets=4, copart_max_task_bytes=1, compact_threshold=0)
+    m = IngestJob(lake, cfg).run_stream(spark, wal)
+    assert all(x.get("copartitioned") for x in m)
+    table = LakeTable.load(lake)
+    snap = table.snapshot()
+    assert any(len(i["files"]) > 1 for i in snap["buckets"].values())
+    pd.testing.assert_frame_equal(
+        _final(spark, lake), final_state(ch.toPandas()), check_dtype=False
+    )
+
+
+def test_keyless_append_only_copart(spark, tmp_path):
+    """Keyless tables bucket on lsn; the copart path is a pure distributed
+    copy with stats — row multiset must equal the raw stream."""
+    from cnpj_data_pipeline_spark.operators.copart import apply_changes_copart
+    from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+    ch = gen_changes(spark, n_events=2_000, n_convs=80, n_epochs=2)
+    wal = str(tmp_path / "wal")
+    for e, b in epoch_batches(ch, 2):
+        write_epoch_bucketed(b, wal, e, None, 4)
+    lake = str(tmp_path / "lake")
+    table = LakeTable.create(lake, TRANSCRIPT_SCHEMA, key_cols=None, n_buckets=4)
+    cfg = EngineConfig(n_buckets=4)
+    for e in (0, 1):
+        layout = bucketed_layout(wal, e, table)
+        assert layout is not None
+        m = apply_changes_copart(spark, table, layout, e, cfg)
+        assert m["copartitioned"] and not m["skipped"]
+    got = table.read(spark).count()
+    assert got == ch.count()
+
+
+def _job_ids(spark) -> set[int]:
+    return set(spark.sparkContext.statusTracker().getJobIdsForGroup() or [])
+
+
+def _shuffle_bytes_of_jobs(spark, job_ids) -> int:
+    """Sum shuffle-write bytes over the given jobs' stages, via the JVM
+    AppStatusStore (no REST server in local mode)."""
+    tracker = spark.sparkContext.statusTracker()
+    store = spark._jsc.sc().statusStore()
+    total = 0
+    for jid in job_ids:
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            try:
+                total += int(store.lastStageAttempt(int(sid)).shuffleWriteBytes())
+            except Exception:
+                pass  # skipped/evicted stage
+    return total
+
+
+def test_no_data_shuffle_in_copart_apply(spark, tmp_path):
+    """The point of the fast path: the apply moves NO data through an
+    exchange. The only shuffle in the plan is the repartition of the tiny
+    (bucket, files) driving frame — so total shuffle bytes written by the
+    apply's jobs must be metadata-sized (< 64 KiB) while the batch itself
+    is megabytes. The general path shuffles the whole batch, so this bound
+    fails loudly if the apply ever regresses onto it."""
+    ch = gen_changes(spark, n_events=20_000, n_convs=300, n_epochs=1)
+    wal = str(tmp_path / "wal")
+    for e, b in epoch_batches(ch, 1):
+        write_epoch_bucketed(b, wal, e, KEYS, N_BUCKETS)
+    lake = str(tmp_path / "lake")
+
+    before = _job_ids(spark)
+    m = IngestJob(lake, EngineConfig(n_buckets=N_BUCKETS)).run_stream(spark, wal)
+    assert m and m[0].get("copartitioned")
+    new_jobs = _job_ids(spark) - before
+
+    new_bytes = _shuffle_bytes_of_jobs(spark, new_jobs)
+    assert new_bytes < 64 * 1024, f"copart apply shuffled {new_bytes} bytes"
