@@ -79,6 +79,12 @@ _EXTRA_NAMES = (
     "q_changes_envelope",
     "q_epoch_stats",
     "q_cdc_replay_copart",
+    # round-3 NEW training-data ops (extras so the primary registry the
+    # driver gates stays frozen at 50; oracle-gated via check_oracles):
+    "q_decontaminate",
+    "q_doc_repetition",
+    "q_pack_sequences",
+    "q_turn_structure",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

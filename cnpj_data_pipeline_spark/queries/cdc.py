@@ -443,6 +443,58 @@ def q_cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_turn_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSCRIPT STRUCTURE VALIDATION — the data-quality gate a training
+    pipeline runs on conversation data before rendering: per conversation
+    (over the replayed lake table's live state), count role-alternation
+    violations (same role twice in a row by turn order), orphan tool turns
+    (a 'tool' turn not directly preceded by an 'assistant' turn), and empty
+    turns. Downstream filters drop or repair flagged conversations.
+
+    Plan shape: the window partitions by conv_id (bounded — conversations
+    are short by construction), so unlike a global window this parallelizes
+    across all conversations; one shuffle on conv_id, no global sort."""
+    live = _replayed_table(spark, sf_dir).read(spark)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev_role = F.lag("role").over(w)
+    per_turn = live.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        prev_role.alias("prev_role"),
+        (F.col("text").isNull() | (F.col("text") == "")).alias("is_empty"),
+    )
+    return (
+        per_turn.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("int").alias("n_turns"),
+            F.sum(
+                F.when(F.col("role") == F.col("prev_role"), 1).otherwise(0)
+            ).cast("int").alias("role_repeats"),
+            F.sum(
+                F.when(
+                    (F.col("role") == "tool")
+                    & (
+                        F.col("prev_role").isNull()
+                        | (F.col("prev_role") != "assistant")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).cast("int").alias("orphan_tool_turns"),
+            F.sum(F.when(F.col("is_empty"), 1).otherwise(0)).cast("int").alias(
+                "empty_turns"
+            ),
+        )
+        .withColumn(
+            "is_clean",
+            (F.col("role_repeats") == 0)
+            & (F.col("orphan_tool_turns") == 0)
+            & (F.col("empty_turns") == 0),
+        )
+        .orderBy("conv_id")
+    )
+
+
 def q_cdc_replay_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay through the CO-PARTITIONED fast path (operators/copart.py):
     the WAL is re-laid out KEY-PARTITIONED (bucket-aligned with the table —
@@ -656,6 +708,7 @@ QUERIES = {
     "q_cdc_replay": q_cdc_replay,
     "q_cdc_replay_compacted": q_cdc_replay_compacted,
     "q_cdc_replay_copart": q_cdc_replay_copart,
+    "q_turn_structure": q_turn_structure,
     "q_cdc_replay_streaming": q_cdc_replay_streaming,
     "q_cdc_replay_evolve": q_cdc_replay_evolve,
     "q_tombstones": q_tombstones,
@@ -718,6 +771,34 @@ SELECT conv_id, turn_idx, role, text, tool, ts
 FROM winners WHERE op <> 'D'
 """
 
+_TURN_STRUCTURE_SQL = f"""
+WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
+live AS (
+  SELECT conv_id, turn_idx, role, text FROM winners WHERE op <> 'D'
+),
+t AS (
+  SELECT conv_id, role, text,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         (text IS NULL OR text = '') AS is_empty
+  FROM live
+)
+SELECT conv_id,
+       CAST(count(*) AS INTEGER) AS n_turns,
+       CAST(sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) AS INTEGER)
+         AS role_repeats,
+       CAST(sum(CASE WHEN role = 'tool'
+                      AND (prev_role IS NULL OR prev_role <> 'assistant')
+                     THEN 1 ELSE 0 END) AS INTEGER) AS orphan_tool_turns,
+       CAST(sum(CASE WHEN is_empty THEN 1 ELSE 0 END) AS INTEGER)
+         AS empty_turns,
+       (sum(CASE WHEN role = prev_role THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN role = 'tool'
+                      AND (prev_role IS NULL OR prev_role <> 'assistant')
+                     THEN 1 ELSE 0 END) = 0
+        AND sum(CASE WHEN is_empty THEN 1 ELSE 0 END) = 0) AS is_clean
+FROM t GROUP BY conv_id ORDER BY conv_id
+"""
+
 # the WAP replay quarantines epoch 2, so the oracle folds only the published
 # epochs' events — the winners window over `changes` minus the bad epoch
 _WAP_SQL = f"""
@@ -739,6 +820,7 @@ ORACLES = {
     "q_cdc_replay": _FINAL_STATE_SQL,
     "q_cdc_replay_compacted": _FINAL_STATE_SQL,
     "q_cdc_replay_copart": _FINAL_STATE_SQL,
+    "q_turn_structure": _TURN_STRUCTURE_SQL,
     "q_cdc_replay_streaming": _FINAL_STATE_SQL,
     "q_cdc_replay_evolve": f"""
         WITH {CHANGES_CTE.strip()},

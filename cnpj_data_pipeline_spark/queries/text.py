@@ -531,8 +531,201 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.orderBy("doc_id").limit(20).select("doc_id", "lang", "source", "n_chars")
 
 
+EVAL_MOD = 50  # doc_id % EVAL_MOD == 0 -> held-out "benchmark" docs
+DECON_K = 4  # n-gram width for contamination matching
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEST-SET DECONTAMINATION — the training-data op every eval pipeline
+    needs: flag training documents sharing any word-4-gram with a held-out
+    benchmark set (here: the deterministic doc_id %% 50 == 0 slice standing
+    in for an eval suite). Emits (doc_id, n_eval_grams_hit) per contaminated
+    training doc.
+
+    Plan shape at 100 TB: the EVAL side is tiny by construction (eval suites
+    are thousands of docs, the corpus is billions), so its distinct gram set
+    broadcasts; the training side explodes distinct 4-grams per doc (O(corpus
+    tokens), fully parallel) and the broadcast hash join + per-doc hash agg
+    never shuffles the corpus. Matching on n-grams (not full docs) catches
+    partial inclusion — the standard contamination definition (GPT-3 appendix
+    C uses 13-gram overlap; 4 here because the synthetic vocabulary is tiny,
+    so 13-grams never collide and 3-grams always do)."""
+    d = _docs(spark, sf_dir)
+    grams = F.explode(_shingles(k=DECON_K)).alias("gram")
+    ev = (
+        d.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(grams)
+        .distinct()
+    )
+    tr = d.filter(F.col("doc_id") % EVAL_MOD != 0).select("doc_id", grams)
+    return (
+        tr.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").cast("int").alias("n_eval_grams_hit"))
+        .orderBy("doc_id")
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION SIGNALS (Gopher-rule family): per document, the duplicate
+    word-bigram fraction and the hottest bigram's count — the boilerplate /
+    looping-text detectors a pretraining filter runs corpus-wide. A doc is
+    flagged repetitive when >10%% of its bigram instances are repeats.
+
+    Plan shape: bigrams explode per doc (O(tokens)), then ONE hash agg keyed
+    (doc_id, bigram) with map-side combine, then a per-doc rollup — both
+    aggs partial-aggregate, so a pathological doc full of one bigram
+    collapses map-side instead of skewing the shuffle."""
+    d = _docs(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1)))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    per_big = (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_big.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_bigrams"),
+            F.count("*").cast("int").alias("n_distinct_bigrams"),
+            F.max("cnt").cast("int").alias("top_bigram_n"),
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            F.round(
+                (F.col("n_bigrams") - F.col("n_distinct_bigrams"))
+                / F.col("n_bigrams").cast("double"),
+                6,
+            ),
+        )
+        .withColumn("is_repetitive", F.col("dup_bigram_frac") > 0.1)
+        .orderBy("doc_id")
+    )
+
+
+PACK_BUDGET = 4096  # tokens per training shard
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING for training shards: documents are packed per
+    language in deterministic doc_id order into fixed token-budget shards —
+    shard = floor(running-token-count-before / 4096) — and the query emits
+    per-shard manifests (doc count, token total, doc_id span). Cumulative-
+    quota packing is the distributable packing rule: a doc's shard depends
+    only on the prefix sum of token counts before it, not on bin state, so
+    it is exact under any partitioning (greedy next-fit, by contrast, is a
+    sequential recurrence).
+
+    Plan shape at 100 TB — this is deliberately NOT a naive
+    ``Window.partitionBy(lang).orderBy(doc_id)`` cumsum, which moves EVERY
+    doc of a language into ONE task (the classic global-window scaling
+    trap; Spark even warns). Instead the classic TWO-PASS DISTRIBUTED
+    PREFIX SUM: range-partition by (lang, doc_id); pass 1 computes each
+    partition's per-lang token subtotal (one tiny row per partition); the
+    driver prefix-sums that O(partitions) list; pass 2 rebuilds exact
+    global cumsums partition-locally from the broadcast offsets. Both
+    passes are Arrow-vectorized; nothing data-sized ever serializes
+    through one task."""
+    import pandas as pd
+
+    d = _docs(spark, sf_dir)
+    per_doc = d.select(
+        "lang", "doc_id", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 4)
+    # persisted: both passes traverse the SAME physical partitioning (pass 2
+    # trusts pass 1's per-pid offsets, so the exchange must not be resampled)
+    parted = per_doc.repartitionByRange(n_parts, "lang", "doc_id").persist()
+
+    # pass 1: per-partition, per-lang subtotals (tiny)
+    def _subtotals(it):
+        import pandas as _pd
+
+        from pyspark import TaskContext
+
+        sums: dict[str, int] = {}
+        firsts: dict[str, tuple] = {}
+        pid = TaskContext.get().partitionId()
+        for pdf in it:
+            for lang, grp in pdf.groupby("lang"):
+                sums[lang] = sums.get(lang, 0) + int(grp["n_tokens"].sum())
+                k = (int(grp["doc_id"].min()),)
+                if lang not in firsts or k < firsts[lang]:
+                    firsts[lang] = k
+        yield _pd.DataFrame(
+            {
+                "pid": [pid] * len(sums),
+                "lang": list(sums),
+                "subtotal": [sums[l] for l in sums],
+                "min_doc": [firsts[l][0] for l in sums],
+            }
+        )
+
+    subs = parted.mapInPandas(
+        _subtotals, "pid int, lang string, subtotal long, min_doc long"
+    ).collect()  # O(partitions x langs) rows - metadata, never data
+    # driver: offsets[pid][lang] = sum of subtotals of EARLIER partitions
+    # (range partitioning orders partitions by (lang, doc_id), but partition
+    # ids are already range-ordered; order by (lang, min_doc) per lang)
+    by_lang: dict[str, list] = {}
+    for r in subs:
+        by_lang.setdefault(r["lang"], []).append(r)
+    offsets: dict[tuple, int] = {}
+    for lang, rows in by_lang.items():
+        rows.sort(key=lambda r: (r["min_doc"], r["pid"]))
+        acc = 0
+        for r in rows:
+            offsets[(r["pid"], lang)] = acc
+            acc += r["subtotal"]
+    b_off = spark.sparkContext.broadcast(offsets)
+
+    # pass 2: exact global cumsum partition-locally, then the shard fold
+    def _assign(it):
+        import pandas as _pd
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        off = b_off.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["lang", "doc_id"])
+            local_before = pdf.groupby("lang")["n_tokens"].cumsum() - pdf[
+                "n_tokens"
+            ]
+            base = pdf["lang"].map(lambda l: off.get((pid, l), 0))
+            pdf = pdf.assign(
+                shard=((local_before + base) // PACK_BUDGET).astype("int64")
+            )
+            yield pdf[["lang", "shard", "doc_id", "n_tokens"]]
+
+    assigned = parted.mapInPandas(
+        _assign, "lang string, shard long, doc_id long, n_tokens long"
+    )
+    return (
+        assigned.groupBy("lang", "shard")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
 QUERIES = {
     "q_doc_sample": q_doc_sample,
+    "q_decontaminate": q_decontaminate,
+    "q_doc_repetition": q_doc_repetition,
+    "q_pack_sequences": q_pack_sequences,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_quality": q_doc_quality,
     "q_lang_id": q_lang_id,
@@ -632,7 +825,71 @@ _CLUSTER_CTES = f"""{_SHINGLES_CTE.strip()},
           GROUP BY d.doc_id
         )"""
 
+_GRAMS4 = f"""
+  CASE WHEN len({_TOKS}) >= 4 THEN
+    list_distinct(list_transform(range(1, len({_TOKS}) - 2),
+      i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]
+             || ' ' || {_TOKS}[i+3]))
+  ELSE [array_to_string({_TOKS}, ' ')] END
+"""
+
+_DECON_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_GRAMS4}) AS gram FROM documents WHERE doc_id % 50 = 0
+),
+tr AS (
+  SELECT doc_id, unnest({_GRAMS4}) AS gram FROM documents WHERE doc_id % 50 <> 0
+)
+SELECT tr.doc_id, CAST(count(DISTINCT tr.gram) AS INTEGER) AS n_eval_grams_hit
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.doc_id ORDER BY tr.doc_id
+"""
+
+_REPETITION_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN len({_TOKS}) >= 2 THEN
+           list_transform(range(1, len({_TOKS})),
+                          i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])
+         ELSE [array_to_string({_TOKS}, ' ')] END AS bigs
+  FROM documents
+),
+e AS (SELECT doc_id, unnest(bigs) AS bigram FROM b),
+c AS (SELECT doc_id, bigram, count(*) AS cnt FROM e GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(cnt) AS INTEGER) AS n_bigrams,
+       CAST(count(*) AS INTEGER) AS n_distinct_bigrams,
+       CAST(max(cnt) AS INTEGER) AS top_bigram_n,
+       round((sum(cnt) - count(*)) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_bigram_frac,
+       (sum(cnt) - count(*)) / CAST(sum(cnt) AS DOUBLE) > 0.1 AS is_repetitive
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_before
+  FROM t
+)
+SELECT lang,
+       CAST(floor(cum_before / 4096.0) AS BIGINT) AS shard,
+       CAST(count(*) AS INTEGER) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c GROUP BY lang, shard ORDER BY lang, shard
+"""
+
 ORACLES = {
+    "q_decontaminate": _DECON_SQL,
+    "q_doc_repetition": _REPETITION_SQL,
+    "q_pack_sequences": _PACK_SQL,
     "q_doc_sample": """
         SELECT doc_id, lang, source, n_chars
         FROM documents ORDER BY doc_id LIMIT 20
