@@ -159,6 +159,7 @@ class IngestJob:
         max_rows: int | None = None,
         audit_checks=None,
         on_audit_failure: str = "raise",
+        fold_window: int | None = None,
     ) -> list[dict]:
         """Tail a WAL directory: discover pending epochs (skipping lineage-
         recorded ones — the resume path) and apply them in order, at most
@@ -170,7 +171,17 @@ class IngestJob:
         co-partitioned apply is used (``operators.copart``); audit-gated
         runs and layout mismatches take the general shuffling path — both
         paths share the same epoch ledger, so a stream may mix them
-        freely."""
+        freely.
+
+        ``fold_window=K`` folds up to K CONSECUTIVE pending epochs into one
+        apply (the ingest-side catch-up window, mirroring the consumer-side
+        folds in plans.ivm/plans.sync): a restart facing an N-epoch backlog
+        pays N/K merges + N/K commits instead of N of each — the LWW fold is
+        associative, so a folded window is bit-identical to applying its
+        epochs one by one (asserted in tests). The commit marks every epoch
+        of the window applied atomically: a crash re-runs the WHOLE window,
+        never half of it. A window folds only epochs on the SAME path (all
+        bucket-aligned, or all general) — mixed layouts break the window."""
         table = self.ensure_table()
         use_copart = (
             self.cfg.copart != "off"
@@ -178,7 +189,7 @@ class IngestJob:
             and (table.key_cols() is None or self.cfg.write_mode == "mor")
         )
 
-        def _batches():
+        def _plans():
             from cnpj_data_pipeline_spark.sources.change_stream import (
                 bucketed_layout,
                 epoch_row_count,
@@ -197,6 +208,44 @@ class IngestJob:
                     yield e, CopartBatch(layout), hint
                 else:
                     yield e, read_epoch(spark, stream_root, e), hint
+
+        def _batches():
+            if not fold_window or fold_window <= 1:
+                yield from _plans()
+                return
+            window: list[tuple] = []
+
+            def _fold(w):
+                epochs = tuple(x[0] for x in w)
+                hint = sum(x[2] for x in w)
+                if len(w) == 1:
+                    return w[0]
+                if isinstance(w[0][1], CopartBatch):
+                    merged: dict[int, list[str]] = {}
+                    for _, cb, _h in w:
+                        for b, files in cb.bucket_files.items():
+                            merged.setdefault(b, []).extend(files)
+                    return epochs, CopartBatch(merged), hint
+                df = w[0][1]
+                for _, nxt, _h in w[1:]:
+                    df = df.unionByName(nxt, allowMissingColumns=True)
+                return epochs, df, hint
+
+            for plan in _plans():
+                same_kind = not window or isinstance(
+                    plan[1], type(window[-1][1])
+                )
+                consecutive = not window or plan[0] == window[-1][0] + 1
+                if window and (
+                    len(window) >= fold_window
+                    or not same_kind
+                    or not consecutive
+                ):
+                    yield _fold(window)
+                    window = []
+                window.append(plan)
+            if window:
+                yield _fold(window)
 
         return self.run_batches(
             spark,
@@ -227,7 +276,8 @@ class IngestJob:
             import os as _os
 
             for fp in _glob.glob(
-                _os.path.join(stream_root, f"epoch={e}", "*.parquet")
+                _os.path.join(stream_root, f"epoch={e}", "**", "*.parquet"),
+                recursive=True,
             ):
                 md = pq.ParquetFile(fp).metadata
                 for rg in range(md.num_row_groups):

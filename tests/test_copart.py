@@ -250,3 +250,59 @@ def test_no_data_shuffle_in_copart_apply(spark, tmp_path):
 
     new_bytes = _shuffle_bytes_of_jobs(spark, new_jobs)
     assert new_bytes < 64 * 1024, f"copart apply shuffled {new_bytes} bytes"
+
+
+def test_fold_window_copart_backlog(spark, tmp_path):
+    """Ingest-side catch-up: a 4-epoch bucketed backlog folded 2-at-a-time
+    must produce exactly half the commits and the identical final state
+    (the LWW fold is associative); each commit marks its whole window's
+    epochs applied atomically."""
+    ch = gen_changes(spark, n_events=4_000, n_convs=120, n_epochs=4,
+                     dup_ratio=0.1, late_ratio=0.1)
+    wal = str(tmp_path / "wal")
+    _write_bucketed_wal(spark, wal, ch, n_epochs=4)
+    lake = str(tmp_path / "lake")
+    job = IngestJob(lake, EngineConfig(n_buckets=N_BUCKETS))
+    m = job.run_stream(spark, wal, fold_window=2)
+    assert [x["epoch"] for x in m] == [(0, 1), (2, 3)]
+    assert all(x.get("copartitioned") for x in m)
+    t = LakeTable.load(lake)
+    assert t.applied_epochs() == {0, 1, 2, 3}
+    pd.testing.assert_frame_equal(
+        _final(spark, lake), final_state(ch.toPandas()), check_dtype=False
+    )
+    # resume after the folded drain: nothing pending
+    assert job.run_stream(spark, wal, fold_window=2) == []
+
+
+def test_fold_window_general_path_and_mixed_break(spark, tmp_path):
+    """Folding works on the general (shuffling) path too, and a window
+    never mixes paths: a flat epoch between bucketed ones breaks the fold."""
+    ch = gen_changes(spark, n_events=3_000, n_convs=100, n_epochs=3)
+    wal = str(tmp_path / "wal")
+    for e, b in epoch_batches(ch, 3):
+        if e == 1:
+            write_epoch(b, wal, e)
+        else:
+            write_epoch_bucketed(b, wal, e, KEYS, N_BUCKETS)
+    lake = str(tmp_path / "lake")
+    m = IngestJob(lake, EngineConfig(n_buckets=N_BUCKETS)).run_stream(
+        spark, wal, fold_window=4
+    )
+    # epoch 1 is flat -> three separate applies (windows break on path change)
+    assert [x["epoch"] for x in m] == [0, 1, 2]
+    pd.testing.assert_frame_equal(
+        _final(spark, lake), final_state(ch.toPandas()), check_dtype=False
+    )
+    # all-general fold: flat WAL, one window
+    wal2 = str(tmp_path / "wal2")
+    for e, b in epoch_batches(ch, 3):
+        write_epoch(b, wal2, e)
+    lake2 = str(tmp_path / "lake2")
+    m2 = IngestJob(lake2, EngineConfig(n_buckets=N_BUCKETS)).run_stream(
+        spark, wal2, fold_window=4
+    )
+    assert [x["epoch"] for x in m2] == [(0, 1, 2)]
+    pd.testing.assert_frame_equal(
+        _final(spark, lake2), final_state(ch.toPandas()), check_dtype=False
+    )
