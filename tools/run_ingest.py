@@ -44,6 +44,16 @@ def main() -> None:
                     help="tail via Structured Streaming (availableNow drain)")
     ap.add_argument("--checkpoint", default=None,
                     help="streaming checkpoint dir (default: <table>-ckpt)")
+    ap.add_argument("--max-epochs", type=int, default=None,
+                    help="bounded admission: at most this many epochs per run")
+    ap.add_argument("--max-rows", type=int, default=None,
+                    help="bounded admission: stop admitting past this row budget")
+    ap.add_argument("--fold-window", type=int, default=None,
+                    help="catch-up: fold up to K consecutive pending epochs "
+                         "into one apply (one merge + one atomic commit)")
+    ap.add_argument("--copart", choices=["auto", "off"], default="auto",
+                    help="shuffle-free apply for bucket-aligned WAL epochs "
+                         "(auto-detected per epoch via _bucketing.json)")
     args = ap.parse_args()
 
     from cnpj_data_pipeline_spark import EngineConfig, IngestJob, LakeTable
@@ -56,6 +66,7 @@ def main() -> None:
         write_mode=args.write_mode,
         compact_threshold=args.compact_threshold,
         compact_max_buckets=args.compact_max_buckets,
+        copart=args.copart,
     )
     spark = get_spark(
         app_name="cdc-ingest",
@@ -86,7 +97,13 @@ def main() -> None:
             "rows_total": table.snapshot()["rows_total"],
         }
     else:
-        metrics = job.run_stream(spark, args.wal)
+        metrics = job.run_stream(
+            spark,
+            args.wal,
+            max_epochs=args.max_epochs,
+            max_rows=args.max_rows,
+            fold_window=args.fold_window,
+        )
         out = {"mode": "batch", **job.metrics_summary(metrics)}
     print(json.dumps(out))
     spark.stop()
