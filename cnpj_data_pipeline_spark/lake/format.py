@@ -1667,12 +1667,20 @@ class LakeTable:
         op: str,
         salt_factor: int = 4,
         lsn_horizon: int | None = None,
+        strategy: str = "map",
     ) -> int:
-        """Shared kernel for compact/vacuum: read the victims' physical rows,
-        resolve the per-key LWW winner (single shuffle: repartition on
-        (bucket, salt-of-key), window over (bucket, salt, key) reuses that
-        partitioning), optionally drop tombstone winners below the LSN horizon,
-        rewrite the buckets as single-generation state, commit."""
+        """Shared kernel for compact/vacuum: resolve the victims' per-key
+        LWW winner, optionally drop tombstone winners below the LSN horizon,
+        rewrite the buckets as single-generation key-clustered state, commit.
+
+        ``strategy="map"`` (default): NO exchange — a committed bucket's
+        generations already live together on disk, so one Arrow task per
+        bucket folds/sorts/writes/stats its own state
+        (``operators.copart.rewrite_buckets_map``); the rewritten bucket is
+        exactly ONE key-sorted file. ``strategy="shuffle"``: the original
+        salted repartition kernel — the escape hatch for tables whose single
+        buckets exceed one executor's memory (a mis-sized layout; rebucket
+        is the real fix)."""
         from cnpj_data_pipeline_spark.config import SALT_COL
         from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
 
@@ -1681,6 +1689,27 @@ class LakeTable:
         if key_cols is None:
             raise ValueError(
                 "keyless append-only tables have no LWW merge maintenance"
+            )
+        if strategy == "map":
+            from cnpj_data_pipeline_spark.operators.copart import (
+                rewrite_buckets_map,
+            )
+
+            stage = self.new_staging_dir()
+            updates = rewrite_buckets_map(
+                spark, self, victims, stage, lsn_horizon=lsn_horizon
+            )
+            for b in victims:
+                updates.setdefault(b, {"files": [], "rows": 0, "max_lsn": None})
+                if updates[b].get("max_lsn") is None:
+                    updates[b]["max_lsn"] = snap["buckets"][str(b)]["max_lsn"]
+            return self.commit(
+                op=op,
+                epoch=None,
+                bucket_updates=updates,
+                mode="replace",
+                merged=True,
+                expected_parent=snap["snapshot_id"],
             )
         df = self.read_state_for_merge(spark, victims, self.schema())
         df = df.withColumn(

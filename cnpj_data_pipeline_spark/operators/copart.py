@@ -109,6 +109,52 @@ def _chunk_by_bytes(
         yield chunk
 
 
+def _lww_fold_arrow(
+    tbl,
+    key_cols: list[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+):
+    """First row per key under the engine total order — all Arrow C++
+    (stable desc sort + group-by min(row index)), bit-identical to
+    operators.merge._merge_kernel / operators.dedup.lww_winners_agg
+    (asserted by tests against the grouped path and the SQL oracle).
+    Executor-side helper: importable on workers, no Spark objects.
+
+    ``lsn_col``/``op_col`` name the envelope columns — raw ("lsn", "op")
+    for WAL batches, physical meta names for committed table files (the
+    compaction path)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cnpj_data_pipeline_spark.operators.dedup import LWW_STRING_TIEBREAKS
+
+    names = set(tbl.column_names)
+    sort_keys = []
+    work = tbl
+    for c in (lsn_col, "ts", op_col):
+        if c in names:
+            sort_keys.append((c, "descending"))
+    for c in LWW_STRING_TIEBREAKS:
+        if c in names:
+            work = work.append_column(
+                f"__k_{c}", pc.fill_null(tbl.column(c), "")
+            )
+            sort_keys.append((f"__k_{c}", "descending"))
+    idx = pc.sort_indices(
+        work, sort_keys=sort_keys, null_placement="at_end"
+    )  # stable — full ties keep input order (== kind=mergesort)
+    srt = tbl.take(idx)
+    pos = pa.array(range(len(srt)), pa.int64())
+    keyed = srt.select(key_cols).append_column("__pos", pos)
+    firsts = (
+        pa.TableGroupBy(keyed, key_cols)
+        .aggregate([("__pos", "min")])
+        .column("__pos_min")
+    )
+    return srt.take(firsts)
+
+
 def _make_task(
     stage: str,
     root: str,
@@ -122,14 +168,11 @@ def _make_task(
 
     def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow as pa
-        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from cnpj_data_pipeline_spark.lake.format import _file_stats
-        from cnpj_data_pipeline_spark.operators.dedup import (
-            LWW_STRING_TIEBREAKS,
-        )
+        from cnpj_data_pipeline_spark.operators.copart import _lww_fold_arrow
         from cnpj_data_pipeline_spark.schemas import schema_from_json
 
         evolved = schema_from_json(evolved_json)
@@ -139,34 +182,7 @@ def _make_task(
         target = to_arrow_schema(T.StructType(phys_fields))
 
         def lww_fold(tbl: pa.Table) -> pa.Table:
-            """First row per key under the engine total order — all Arrow
-            C++ (stable desc sort + group-by min(row index)), bit-identical
-            to operators.merge._merge_kernel (asserted by tests against the
-            grouped path and the SQL oracle)."""
-            names = set(tbl.column_names)
-            sort_keys = []
-            work = tbl
-            for c in ("lsn", "ts", "op"):
-                if c in names:
-                    sort_keys.append((c, "descending"))
-            for c in LWW_STRING_TIEBREAKS:
-                if c in names:
-                    work = work.append_column(
-                        f"__k_{c}", pc.fill_null(tbl.column(c), "")
-                    )
-                    sort_keys.append((f"__k_{c}", "descending"))
-            idx = pc.sort_indices(
-                work, sort_keys=sort_keys, null_placement="at_end"
-            )  # stable — full ties keep input order (== kind=mergesort)
-            srt = tbl.take(idx)
-            pos = pa.array(range(len(srt)), pa.int64())
-            keyed = srt.select(key_cols).append_column("__pos", pos)
-            firsts = (
-                pa.TableGroupBy(keyed, key_cols)
-                .aggregate([("__pos", "min")])
-                .column("__pos_min")
-            )
-            return srt.take(firsts)
+            return _lww_fold_arrow(tbl, key_cols)
 
         for driving in batches:
             for _, row in driving.iterrows():  # rows are (bucket, files)
@@ -370,3 +386,139 @@ def apply_changes_copart(
         "compacted": compacted_sid is not None,
         "phases": phases,
     }
+
+
+def rewrite_buckets_map(
+    spark: SparkSession,
+    table: LakeTable,
+    victims: list[int],
+    stage: str,
+    lsn_horizon: int | None = None,
+    merge_partitions: int | None = None,
+) -> dict[int, dict]:
+    """MAP-ONLY bucket rewrite — the compaction/vacuum kernel without the
+    shuffle. A committed bucket's generations already live together on disk
+    (the bucket IS the partition), so re-exchanging them on (bucket, salt)
+    just to group what is already grouped is pure waste: one Arrow task per
+    victim bucket reads its generations, LWW-folds in Arrow C++ (same total
+    order as the shuffling kernel — tested bit-identical), optionally drops
+    tombstone winners below ``lsn_horizon`` (the vacuum path), sorts by key
+    (the Iceberg sort-order analogue: tight parquet row-group ranges for
+    point/range reads), writes EXACTLY ONE file, and returns its footer
+    stats inline — so the rewritten bucket is single-file, key-clustered,
+    and fully stat-ed with zero exchange and no separate stats pass. The
+    salted shuffle rewrite left ``salt_factor`` files per bucket.
+
+    Unlike the WAL apply there is no chunk split: a fold must see its whole
+    bucket. The memory contract is the table-design one (EngineConfig:
+    n_buckets is sized so one bucket's state fits an executor) — the
+    shuffling `_rewrite_buckets` path remains for tables that violate it.
+
+    Returns the commit-ready ``bucket_updates`` fragment for the victims
+    (caller owns the commit and the watermark-keep/empty-bucket fixups)."""
+    snap = table.snapshot()
+    key_cols = list(snap["key_cols"])
+    schema_json = table.schema().json()
+    bucket_files = {
+        b: [
+            os.path.join(table.root, rel)
+            for rel in snap["buckets"][str(b)]["files"]
+        ]
+        for b in victims
+        if str(b) in snap["buckets"]
+    }
+    work = [(b, files) for b, files in bucket_files.items() if files]
+    if not work:
+        return {}
+    root = table.root
+
+    def task(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from cnpj_data_pipeline_spark.lake.format import _file_stats
+        from cnpj_data_pipeline_spark.operators.copart import _lww_fold_arrow
+        from cnpj_data_pipeline_spark.schemas import schema_from_json
+
+        phys_fields = list(schema_from_json(schema_json).fields) + list(
+            PHYSICAL_META_FIELDS
+        )
+        target = to_arrow_schema(T.StructType(phys_fields))
+
+        for driving in batches:
+            for _, row in driving.iterrows():
+                b = int(row["bucket"])
+                files = list(row["files"])
+                tbl = pa.concat_tables(
+                    [pq.read_table(f) for f in files],
+                    promote_options="permissive",
+                )
+                # pad evolved-in columns older generations lack
+                have = set(tbl.column_names)
+                for f in target:
+                    if f.name not in have:
+                        tbl = tbl.append_column(
+                            f.name, pa.nulls(len(tbl), f.type)
+                        )
+                tbl = tbl.select([f.name for f in target]).cast(target)
+                folded = _lww_fold_arrow(
+                    tbl, key_cols, lsn_col=LSN_META_COL, op_col=OP_META_COL
+                )
+                if lsn_horizon is not None:
+                    keep = pc.invert(
+                        pc.and_kleene(
+                            pc.equal(folded.column(OP_META_COL), "D"),
+                            pc.less(folded.column(LSN_META_COL), lsn_horizon),
+                        )
+                    )
+                    folded = folded.filter(pc.fill_null(keep, True))
+                folded = folded.take(
+                    pc.sort_indices(
+                        folded, sort_keys=[(c, "ascending") for c in key_cols]
+                    )
+                )
+                bdir = os.path.join(stage, f"{BUCKET_COL}={b}")
+                os.makedirs(bdir, exist_ok=True)
+                path = os.path.join(bdir, f"part-{uuid.uuid4().hex}.parquet")
+                pq.write_table(folded, path, compression="zstd")
+                st = _file_stats(path, LSN_META_COL, key_cols[0])
+                import json as _json
+
+                yield pd.DataFrame(
+                    {
+                        "bucket": [b],
+                        "relpath": [os.path.relpath(path, root)],
+                        "stats": [_json.dumps(st)],
+                    }
+                )
+
+    n_parts = min(
+        len(work),
+        merge_partitions or 2 * spark.sparkContext.defaultParallelism,
+    )
+    driving = spark.createDataFrame(
+        spark.sparkContext.parallelize(work, n_parts),
+        "bucket int, files array<string>",
+    )
+    updates: dict[int, dict] = {}
+    for r in driving.mapInPandas(task, _RESULT_SCHEMA).collect():
+        st = json.loads(r["stats"])
+        info = updates.setdefault(
+            r["bucket"],
+            {"files": [], "rows": 0, "max_lsn": None, "fstats": []},
+        )
+        info["files"].append(r["relpath"])
+        info["rows"] += st["rows"]
+        if st["max_lsn"] is not None:
+            info["max_lsn"] = (
+                st["max_lsn"]
+                if info["max_lsn"] is None
+                else max(info["max_lsn"], st["max_lsn"])
+            )
+        info["fstats"].append(
+            [st["rows"], st["max_lsn"], st.get("kmin"), st.get("kmax"),
+             st.get("cstats") or None]
+        )
+    return updates
