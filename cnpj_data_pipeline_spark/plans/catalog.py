@@ -169,14 +169,36 @@ class MultiTableIngestJob:
                 wal = os.path.join(stream_root, spec.name)
                 if epoch not in table_epochs[spec.name]:
                     continue
-                m = apply_changes(
-                    spark,
-                    tables[spec.name],
-                    read_epoch(spark, wal, epoch),
-                    epoch=epoch,
-                    cfg=self.cfg,
-                    batch_rows_hint=epoch_row_count(wal, epoch),
-                )
+                # bucket-aligned epochs take the shuffle-free map-only
+                # apply, exactly like the single-table loop — per (table,
+                # epoch) detection, same ledger, silent fallback
+                layout = None
+                if self.cfg.copart != "off" and (
+                    tables[spec.name].key_cols() is None
+                    or self.cfg.write_mode == "mor"
+                ):
+                    from cnpj_data_pipeline_spark.sources.change_stream import (
+                        bucketed_layout,
+                    )
+
+                    layout = bucketed_layout(wal, epoch, tables[spec.name])
+                if layout is not None:
+                    from cnpj_data_pipeline_spark.operators.copart import (
+                        apply_changes_copart,
+                    )
+
+                    m = apply_changes_copart(
+                        spark, tables[spec.name], layout, epoch, self.cfg
+                    )
+                else:
+                    m = apply_changes(
+                        spark,
+                        tables[spec.name],
+                        read_epoch(spark, wal, epoch),
+                        epoch=epoch,
+                        cfg=self.cfg,
+                        batch_rows_hint=epoch_row_count(wal, epoch),
+                    )
                 m["table"] = spec.name
                 metrics.append(m)
                 if not m["skipped"]:

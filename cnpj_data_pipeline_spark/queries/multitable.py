@@ -119,16 +119,34 @@ def _multi_replay(spark: SparkSession, sf_dir: str) -> MultiTableIngestJob:
         return MultiTableIngestJob(os.path.join(root, "lakes"), CATALOG, cfg)
     root = _mk_scratch("cdc_multi_")
     wal_root = os.path.join(root, "wal")
-    for name, df in (
-        ("convs", conv_changes_from_events(spark, sf_dir)),
-        ("turns", changes_from_events(spark, sf_dir)),
-        ("labels", label_changes_from_events(spark, sf_dir)),
+    # stage each WAL BUCKET-ALIGNED with its table's layout (turns: the
+    # conv_id prefix layout; convs: full key; labels: keyless/lsn) — the
+    # catalog loop then takes the shuffle-free co-partitioned apply per
+    # (table, epoch), the keyed-upstream deployment shape
+    from cnpj_data_pipeline_spark.sources.change_stream import (
+        write_epoch_bucketed,
+    )
+
+    for name, df, bcols in (
+        ("convs", conv_changes_from_events(spark, sf_dir), ["conv_id"]),
+        ("turns", changes_from_events(spark, sf_dir), ["conv_id"]),
+        ("labels", label_changes_from_events(spark, sf_dir), None),
     ):
-        df.write.mode("overwrite").partitionBy("epoch").parquet(
-            os.path.join(wal_root, name)
-        )
+        df = df.persist()
+        for e in range(N_EPOCHS):
+            write_epoch_bucketed(
+                df.filter(F.col("epoch") == e).drop("epoch"),
+                os.path.join(wal_root, name),
+                e,
+                bcols,
+                cfg.n_buckets,
+            )
+        df.unpersist()
     job = MultiTableIngestJob(os.path.join(root, "lakes"), CATALOG, cfg)
-    job.run_stream(spark, wal_root)
+    metrics = job.run_stream(spark, wal_root)
+    assert all(m.get("copartitioned") or m.get("skipped") for m in metrics), [
+        (m["table"], m["epoch"]) for m in metrics if not m.get("copartitioned")
+    ]
     _REPLAY_CACHE[sf_dir] = root
     return job
 

@@ -306,3 +306,43 @@ def test_fold_window_general_path_and_mixed_break(spark, tmp_path):
     pd.testing.assert_frame_equal(
         _final(spark, lake2), final_state(ch.toPandas()), check_dtype=False
     )
+
+
+def test_multitable_catalog_copart(spark, tmp_path):
+    """The FK-DAG multi-table loop picks up bucket-aligned per-table WALs:
+    parent flat, child bucketed — per-(table, epoch) detection, final states
+    equal an all-flat run of the same stream."""
+    from cnpj_data_pipeline_spark import MultiTableIngestJob, TableCatalog, TableSpec
+    from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+    from cnpj_data_pipeline_spark.queries.multitable import CONV_SCHEMA
+
+    catalog = TableCatalog([
+        TableSpec("convs", CONV_SCHEMA, key_cols=("conv_id",)),
+        TableSpec("turns", TRANSCRIPT_SCHEMA, key_cols=("conv_id", "turn_idx"),
+                  depends_on=("convs",)),
+    ])
+    ch = gen_changes(spark, n_events=3_000, n_convs=100, n_epochs=2)
+    convs = ch.select("conv_id").distinct().selectExpr(
+        "conv_id", "'t' AS title", "CAST(1 AS LONG) AS lsn", "'I' AS op",
+        "CAST(0 AS INT) AS epoch"
+    )
+    for root in ("s_mixed", "s_flat"):
+        s = str(tmp_path / root)
+        for e, b in epoch_batches(ch, 2):
+            if root == "s_mixed":
+                write_epoch_bucketed(b, os.path.join(s, "turns"), e, KEYS, 4)
+            else:
+                write_epoch(b, os.path.join(s, "turns"), e)
+        write_epoch(convs.drop("epoch"), os.path.join(s, "convs"), 0)
+    cfg = EngineConfig(n_buckets=4)
+    m1 = MultiTableIngestJob(str(tmp_path / "lake_mixed"), catalog, cfg).run_stream(
+        spark, str(tmp_path / "s_mixed"))
+    m2 = MultiTableIngestJob(str(tmp_path / "lake_flat"), catalog, cfg).run_stream(
+        spark, str(tmp_path / "s_flat"))
+    assert any(x.get("copartitioned") for x in m1 if x["table"] == "turns")
+    assert not any(x.get("copartitioned") for x in m2)
+    f1 = (LakeTable.load(str(tmp_path / "lake_mixed" / "turns")).read(spark)
+          .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    f2 = (LakeTable.load(str(tmp_path / "lake_flat" / "turns")).read(spark)
+          .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(f1, f2, check_dtype=False)
