@@ -76,6 +76,7 @@ from cnpj_data_pipeline_spark.lake.format import (
 from cnpj_data_pipeline_spark.operators.merge import (
     ENVELOPE_COLS,
     _skipped_by_race,
+    _staged_result,
 )
 from cnpj_data_pipeline_spark.schemas import union_schema
 
@@ -242,6 +243,7 @@ def apply_changes_copart(
     bucket_files: dict[int, list[str]],
     epoch: int | Sequence[int],
     cfg: EngineConfig | None = None,
+    stage_only: bool = False,
 ) -> dict:
     """Apply one bucket-aligned change batch with NO shuffle: one Arrow task
     per (bucket, chunk) reads, LWW-folds, writes and stats its own delta
@@ -252,7 +254,12 @@ def apply_changes_copart(
     ``bucket_files`` is the validated layout from
     ``sources.change_stream.bucketed_layout`` — bucket id -> absolute WAL
     file paths. ``epoch`` may be a sequence for catch-up folds (the chunks
-    then span epochs and the kernel folds across them)."""
+    then span epochs and the kernel folds across them).
+
+    ``stage_only=True`` is the WRITE-AUDIT-PUBLISH entry, exactly as in the
+    general path: the full map-only apply runs but a pending-commit
+    descriptor is persisted instead of committing (``metrics["token"]``) —
+    the audit gate composes with the shuffle-free path."""
     cfg = cfg or EngineConfig()
     t0 = time.monotonic()
     phases: dict[str, float] = {}
@@ -307,8 +314,8 @@ def apply_changes_copart(
     _mark("plan")
 
     updates: dict[int, dict] = {}
+    stage = table.new_staging_dir()
     if chunks:
-        stage = table.new_staging_dir()
         os.makedirs(stage, exist_ok=True)
         n_parts = min(
             len(chunks),
@@ -351,6 +358,14 @@ def apply_changes_copart(
                  st.get("cstats") or None]
             )
 
+    if stage_only:
+        out = _staged_result(
+            table, epoch, sorted(epoch_set), updates,
+            evolved if evolved_changed else None, stage, t0, phases,
+            evolved_changed,
+        )
+        out["copartitioned"] = True
+        return out
     try:
         sid = table.commit(
             op="evolve" if evolved_changed else "append",

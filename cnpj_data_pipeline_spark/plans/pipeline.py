@@ -183,10 +183,8 @@ class IngestJob:
         never half of it. A window folds only epochs on the SAME path (all
         bucket-aligned, or all general) — mixed layouts break the window."""
         table = self.ensure_table()
-        use_copart = (
-            self.cfg.copart != "off"
-            and audit_checks is None
-            and (table.key_cols() is None or self.cfg.write_mode == "mor")
+        use_copart = self.cfg.copart != "off" and (
+            table.key_cols() is None or self.cfg.write_mode == "mor"
         )
 
         def _plans():

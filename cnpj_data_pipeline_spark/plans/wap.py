@@ -138,10 +138,24 @@ class WapIngestJob:
         Returns the apply metrics plus ``published``, the per-check audit
         values, and ``audit_failures`` when quarantined."""
         table = LakeTable.load(self.table_root)
-        m = apply_changes(
-            spark, table, changes, epoch, cfg=self.cfg,
-            batch_rows_hint=batch_rows_hint, stage_only=True,
-        )
+        from cnpj_data_pipeline_spark.plans.pipeline import CopartBatch
+
+        if isinstance(changes, CopartBatch):
+            # the audit gate composes with the shuffle-free bucket-aligned
+            # apply: stage via the map-only kernel, audit/publish identically
+            from cnpj_data_pipeline_spark.operators.copart import (
+                apply_changes_copart,
+            )
+
+            m = apply_changes_copart(
+                spark, table, changes.bucket_files, epoch, cfg=self.cfg,
+                stage_only=True,
+            )
+        else:
+            m = apply_changes(
+                spark, table, changes, epoch, cfg=self.cfg,
+                batch_rows_hint=batch_rows_hint, stage_only=True,
+            )
         if m.get("skipped"):
             return m
         token = m["token"]

@@ -346,3 +346,33 @@ def test_multitable_catalog_copart(spark, tmp_path):
     f2 = (LakeTable.load(str(tmp_path / "lake_flat" / "turns")).read(spark)
           .orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True))
     pd.testing.assert_frame_equal(f1, f2, check_dtype=False)
+
+
+def test_wap_audit_composes_with_copart(spark, tmp_path):
+    """Write-audit-publish over a bucket-aligned WAL: every batch stages via
+    the shuffle-free map-only kernel, audits, and publishes — final state
+    equals the oracle; a delete-storm epoch quarantines without any reader
+    seeing it."""
+    from cnpj_data_pipeline_spark.plans.wap import max_delete_rate, min_rows
+
+    ch = gen_changes(spark, n_events=4_000, n_convs=120, n_epochs=3)
+    wal = str(tmp_path / "wal")
+    _write_bucketed_wal(spark, wal, ch, n_epochs=3)
+    lake = str(tmp_path / "lake")
+    job = IngestJob(lake, EngineConfig(n_buckets=N_BUCKETS))
+    m = job.run_stream(spark, wal, audit_checks=[min_rows(1)])
+    assert all(x.get("copartitioned") for x in m), m
+    assert all(x.get("published") for x in m)
+    pd.testing.assert_frame_equal(
+        _final(spark, lake), final_state(ch.toPandas()), check_dtype=False
+    )
+    # quarantine: an absurd delete-rate bound fails every epoch; with
+    # on_audit_failure="quarantine" the stream drains, zero rows land
+    lake2 = str(tmp_path / "lake2")
+    job2 = IngestJob(lake2, EngineConfig(n_buckets=N_BUCKETS))
+    m2 = job2.run_stream(
+        spark, wal, audit_checks=[max_delete_rate(0.0)],
+        on_audit_failure="quarantine",
+    )
+    assert all(x.get("quarantined") for x in m2), m2
+    assert LakeTable.load(lake2).read(spark).count() == 0
