@@ -59,7 +59,7 @@ import json
 import os
 import time
 import uuid
-from typing import Iterable, Iterator, Sequence
+from typing import Iterator, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

@@ -17,7 +17,6 @@ from cnpj_data_pipeline_spark.config import EngineConfig
 from cnpj_data_pipeline_spark.lake.format import LakeTable
 from cnpj_data_pipeline_spark.operators.merge import apply_changes
 from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
-from cnpj_data_pipeline_spark.sources.change_stream import iter_pending
 
 
 @dataclass
