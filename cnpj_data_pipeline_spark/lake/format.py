@@ -1769,10 +1769,14 @@ class LakeTable:
         spark: SparkSession,
         buckets: Iterable[int] | None = None,
         salt_factor: int = 4,
+        strategy: str = "map",
     ) -> int:
         """Rewrite multi-generation (unmerged) buckets back to one winner row
         per key — the MoR maintenance op that bounds read amplification.
-        Tombstones survive compaction (vacuum owns their removal)."""
+        Tombstones survive compaction (vacuum owns their removal).
+        ``strategy``: see ``_rewrite_buckets`` — "map" (default, no
+        exchange) or "shuffle" (for layouts whose single bucket outgrows an
+        executor)."""
         def _once() -> int:
             snap = self.snapshot()
             if buckets is None:
@@ -1787,7 +1791,8 @@ class LakeTable:
             if not chosen:
                 return self.current_snapshot_id()
             return self._rewrite_buckets(
-                spark, chosen, op="compact", salt_factor=salt_factor
+                spark, chosen, op="compact", salt_factor=salt_factor,
+                strategy=strategy,
             )
 
         return _retry_conflicts(_once)
@@ -1798,6 +1803,7 @@ class LakeTable:
         max_gens_per_bucket: int,
         salt_factor: int = 4,
         max_buckets: int | None = None,
+        strategy: str = "map",
     ) -> int | None:
         """Compact only the buckets whose delta-generation count crossed the
         threshold; returns the new snapshot id or None if nothing to do.
@@ -1823,7 +1829,8 @@ class LakeTable:
             if max_buckets is not None:
                 chosen = chosen[:max_buckets]
             return self._rewrite_buckets(
-                spark, sorted(chosen), op="compact", salt_factor=salt_factor
+                spark, sorted(chosen), op="compact", salt_factor=salt_factor,
+                strategy=strategy,
             )
 
         return _retry_conflicts(_once)
@@ -2161,7 +2168,11 @@ class LakeTable:
         return snap["snapshot_id"]
 
     def vacuum_tombstones(
-        self, spark: SparkSession, lsn_horizon: int, salt_factor: int = 4
+        self,
+        spark: SparkSession,
+        lsn_horizon: int,
+        salt_factor: int = 4,
+        strategy: str = "map",
     ) -> int:
         """Physically drop tombstones whose LSN is below the horizon (no late
         event with a lower LSN can still arrive). Implemented as a compaction
@@ -2182,6 +2193,7 @@ class LakeTable:
                 op="vacuum",
                 salt_factor=salt_factor,
                 lsn_horizon=lsn_horizon,
+                strategy=strategy,
             )
 
         return _retry_conflicts(_once)

@@ -37,11 +37,16 @@ def main() -> None:
     p.add_argument("--threshold", type=int, default=2,
                    help="compact buckets holding >= this many generations")
     p.add_argument("--salt-factor", type=int, default=4)
+    p.add_argument("--strategy", choices=["map", "shuffle"], default="map",
+                   help="map: one Arrow task per bucket, no exchange "
+                        "(default); shuffle: salted repartition kernel for "
+                        "layouts whose single bucket outgrows an executor")
 
     p = sub.add_parser("vacuum", help="drop tombstones below an LSN horizon")
     p.add_argument("--lsn-horizon", type=int, required=True,
                    help="delete 'D' winners with lsn < horizon (late-event safety bound)")
     p.add_argument("--salt-factor", type=int, default=4)
+    p.add_argument("--strategy", choices=["map", "shuffle"], default="map")
 
     p = sub.add_parser("expire", help="GC old snapshots + orphan files")
     p.add_argument("--keep-last", type=int, default=10)
@@ -102,11 +107,13 @@ def main() -> None:
         sid = table.compact_if_needed(
             spark, args.threshold,
             salt_factor=args.salt_factor, max_buckets=args.max_buckets,
+            strategy=args.strategy,
         )
         out = {"op": "compact", "snapshot_id": sid, "noop": sid is None}
     elif args.op == "vacuum":
         sid = table.vacuum_tombstones(
-            spark, lsn_horizon=args.lsn_horizon, salt_factor=args.salt_factor
+            spark, lsn_horizon=args.lsn_horizon, salt_factor=args.salt_factor,
+            strategy=args.strategy,
         )
         out = {"op": "vacuum", "snapshot_id": sid}
     elif args.op == "expire":
