@@ -408,9 +408,10 @@ def run_scaling(
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALING_CORES", "2,8").split(",")
     ]
-    reps = int(
-        os.environ.get("SPARK_GRAFT_SCALING_REPS", "2" if light else "3")
-    )
+    # ≥3 interleaved reps in BOTH modes (VERDICT r3 #5: the shuffle path's
+    # apparent −11% was measured at reps=2, below the noise floor the
+    # copart headline gets; light mode now only drops retry machinery)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
     max_extra = 0 if light else int(
         os.environ.get("SPARK_GRAFT_SCALING_MAX_EXTRA", "2")
     )
@@ -624,9 +625,12 @@ def main() -> None:
         result["scaling_efficiency"] = scaling["scaling_efficiency"]
     if shuffle_scaling:
         result["ingest_scaling_shuffle"] = shuffle_scaling
-    # full detail (incl. every raw run) goes to a sidecar file; the FINAL
-    # stdout line is compact so the driver's tail capture always parses it
-    # (round-2: all_runs inline overflowed the capture -> "parsed": null)
+    # Full detail (incl. every raw run) goes to a sidecar file AND to an
+    # earlier stdout line; the FINAL stdout line is ≤ ~500 bytes of scalars
+    # only. Rounds 2 AND 3 both overflowed the driver's ~2 KB tail window
+    # (r3's "compact" line still inlined 26 query timings + two scaling
+    # blocks ≈ 4.5 KB -> "parsed": null); per-query timings and scaling
+    # blocks now live ONLY in bench_detail.json / the earlier line.
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
@@ -635,16 +639,33 @@ def main() -> None:
             json.dump(result, f, indent=1)
     except OSError:
         pass
-    compact = dict(result)
+    full_line = dict(result)
+    for key in ("ingest_scaling", "ingest_scaling_shuffle"):
+        if key in full_line:
+            full_line[key] = {
+                k: v for k, v in full_line[key].items() if k != "all_runs"
+            }
+    print(json.dumps(full_line))
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(queries),
+        "detail_file": "bench_detail.json",
+    }
     if scaling:
-        compact["ingest_scaling"] = {
-            k: v for k, v in scaling.items() if k != "all_runs"
-        }
-        compact["detail_file"] = "bench_detail.json"
+        hi_key = [k for k in scaling if k.startswith("local")][-1]
+        compact["change_events_per_sec"] = scaling[hi_key]["events_per_sec"]
+        compact["scaling_efficiency"] = scaling["scaling_efficiency"]
     if shuffle_scaling:
-        compact["ingest_scaling_shuffle"] = {
-            k: v for k, v in shuffle_scaling.items() if k != "all_runs"
-        }
+        hi_key = [k for k in shuffle_scaling if k.startswith("local")][-1]
+        compact["shuffle_events_per_sec"] = (
+            shuffle_scaling[hi_key]["events_per_sec"]
+        )
+        compact["scaling_efficiency_shuffle"] = (
+            shuffle_scaling["scaling_efficiency"]
+        )
     print(json.dumps(compact))
 
 

@@ -85,6 +85,14 @@ class EngineConfig:
     # WAL bytes within a bucket, so a skewed bucket fans out over several
     # tasks instead of serializing into one.
     copart_max_task_bytes: int = 256 * 2**20
+    # Paranoia gate for UNTRUSTED bucket-aligned producers: before a copart
+    # apply, re-hash every WAL row Spark-side (map-only, one extra scan of
+    # the batch, no exchange) and fail loudly if any row sits in a
+    # __bucket= directory its key doesn't hash to. The layout descriptor
+    # only proves the producer's declared intent; this proves placement.
+    # Off by default — the producer helpers in this repo hash correctly by
+    # construction.
+    copart_verify_placement: bool = False
 
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     lsn_col: str = "lsn"

@@ -79,6 +79,7 @@ import json
 import os
 import time as _time
 import uuid as _uuid
+from contextlib import contextmanager
 from typing import Callable, Iterable, Sequence
 
 import pyarrow.parquet as _pq
@@ -93,6 +94,37 @@ from cnpj_data_pipeline_spark.config import (
 from cnpj_data_pipeline_spark.schemas import schema_from_json, union_schema
 
 OP_META_COL = "__op"
+
+
+@contextmanager
+def owned_write_conf(spark: SparkSession):
+    """Pin the physical parquet encoding the TABLE FORMAT owns around a
+    Spark write job, whatever the caller session's confs say.
+
+    The reference's Postgres server made column physical types authoritative
+    regardless of client settings (init-db/postgres.sql:72-95); a lake format
+    must do the same or its files' encodings follow whoever wrote them. A
+    vanilla SparkSession writes parquet timestamps as INT96 (read back by
+    Arrow as tz-naive ``timestamp[ns]``) while the engine session writes
+    ``TIMESTAMP_MICROS`` (``timestamp[us, tz=UTC]``) — mixed-generation
+    buckets then hold two encodings. The Arrow kernels normalize per file
+    anyway (``operators.copart._normalize_to``), but uniform table files keep
+    every other reader (DuckDB, plain pyarrow, external tools) simple.
+
+    ``spark.sql.parquet.outputTimestampType`` is a session-scoped SQL conf
+    (there is no per-write DataFrameWriter option for it), so pin + restore.
+    Concurrent engine writers in one session race benignly: both pin the
+    same value."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 CHANGE_TYPE_COL = "change_type"  # typed change feed (read_changes_typed)
 
 
@@ -106,6 +138,15 @@ class CommitConflictError(RuntimeError):
 class EpochAlreadyAppliedError(CommitConflictError):
     """A concurrent writer applied the same epoch first; this commit must
     not apply it again (exactly-once). Callers treat it as a skip."""
+
+
+class FrontierConflictError(CommitConflictError):
+    """The ``expected_props`` CAS guard failed: a racing consumer instance
+    advanced the frontier property first. The epoch-ledger analogue of
+    :class:`EpochAlreadyAppliedError` — callers treat it as a benign
+    exactly-once skip, DISTINCT from other commit conflicts (rebase losses,
+    layout changes) which signal real contention and must not be masked as
+    a skip."""
 
 
 PHYSICAL_META_FIELDS = [
@@ -1180,7 +1221,7 @@ class LakeTable:
                     if cur_props.get(k) != v
                 }
                 if stale:
-                    raise CommitConflictError(
+                    raise FrontierConflictError(
                         f"table properties moved underneath this commit "
                         f"(expected {expected_props}, head has {stale}): a "
                         "concurrent consumer instance advanced the frontier "
@@ -1429,6 +1470,7 @@ class LakeTable:
             "epochs": sorted(int(e) for e in epochs),
             "mode": "append",
             "n_buckets": snap["n_buckets"],
+            "bucket_cols": self._bucket_cols_of(snap),
             "bucket_updates": {str(b): u for b, u in bucket_updates.items()},
             "new_schema": new_schema.json() if new_schema is not None else None,
             "baseline_sid": snap["snapshot_id"],
@@ -1568,19 +1610,41 @@ class LakeTable:
         this descriptor's files, the earlier publish won — the descriptor is
         dropped and the head returned. If a DIFFERENT writer applied the
         epochs, the staged files are abandoned and
-        :class:`EpochAlreadyAppliedError` propagates (exactly-once)."""
+        :class:`EpochAlreadyAppliedError` propagates (exactly-once).
+
+        Layout guard (mirrors :meth:`staged_snapshot`): a rebucket between
+        stage and publish would append files under STALE bucket ids — rows
+        landing in buckets their keys no longer hash to, silently invisible
+        to read_keys/bucket pruning and split across per-bucket LWW folds —
+        so the descriptor's n_buckets/bucket_cols are validated against the
+        current head before committing."""
         desc = self.load_staged(token)
+        head = self.snapshot()
+        if head["n_buckets"] != desc["n_buckets"] or (
+            desc.get("bucket_cols") is not None
+            and self._bucket_cols_of(head) != desc["bucket_cols"]
+        ):
+            raise CommitConflictError(
+                "bucket layout changed underneath the staged batch "
+                f"(n_buckets {desc['n_buckets']} -> {head['n_buckets']}, "
+                f"bucket_cols {desc.get('bucket_cols')} -> "
+                f"{self._bucket_cols_of(head)}); abandon and re-stage"
+            )
         updates = {int(b): u for b, u in desc["bucket_updates"].items()}
         new_schema = (
             schema_from_json(desc["new_schema"]) if desc.get("new_schema") else None
         )
         try:
+            # expected_parent = the head we just validated: if a layout
+            # change lands between this check and the CAS, _validate_rebase
+            # (n_buckets guard) aborts instead of committing stale bucket ids
             sid = self.commit(
                 op=desc["op"],
                 epoch=desc["epochs"] or None,
                 bucket_updates=updates,
                 new_schema=new_schema,
                 mode="append",
+                expected_parent=head["snapshot_id"],
                 max_retries=max_retries,
             )
         except EpochAlreadyAppliedError:
@@ -1660,57 +1724,22 @@ class LakeTable:
 
     # ---------------- maintenance ----------------
 
-    def _rewrite_buckets(
+    def _shuffle_rewrite_updates(
         self,
         spark: SparkSession,
+        snap: dict,
         victims: list[int],
-        op: str,
-        salt_factor: int = 4,
-        lsn_horizon: int | None = None,
-        strategy: str = "map",
-    ) -> int:
-        """Shared kernel for compact/vacuum: resolve the victims' per-key
-        LWW winner, optionally drop tombstone winners below the LSN horizon,
-        rewrite the buckets as single-generation key-clustered state, commit.
-
-        ``strategy="map"`` (default): NO exchange — a committed bucket's
-        generations already live together on disk, so one Arrow task per
-        bucket folds/sorts/writes/stats its own state
-        (``operators.copart.rewrite_buckets_map``); the rewritten bucket is
-        exactly ONE key-sorted file. ``strategy="shuffle"``: the original
-        salted repartition kernel — the escape hatch for tables whose single
-        buckets exceed one executor's memory (a mis-sized layout; rebucket
-        is the real fix)."""
+        salt_factor: int,
+        lsn_horizon: int | None,
+    ) -> dict[int, dict]:
+        """The salted-repartition rewrite kernel: read the victims' state,
+        resolve per-key LWW winners across (bucket, salt) tasks, write
+        key-clustered files, harvest stats. Returns the commit-ready
+        ``bucket_updates`` fragment (caller owns the commit)."""
         from cnpj_data_pipeline_spark.config import SALT_COL
         from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
 
-        snap = self.snapshot()
         key_cols = snap["key_cols"]
-        if key_cols is None:
-            raise ValueError(
-                "keyless append-only tables have no LWW merge maintenance"
-            )
-        if strategy == "map":
-            from cnpj_data_pipeline_spark.operators.copart import (
-                rewrite_buckets_map,
-            )
-
-            stage = self.new_staging_dir()
-            updates = rewrite_buckets_map(
-                spark, self, victims, stage, lsn_horizon=lsn_horizon
-            )
-            for b in victims:
-                updates.setdefault(b, {"files": [], "rows": 0, "max_lsn": None})
-                if updates[b].get("max_lsn") is None:
-                    updates[b]["max_lsn"] = snap["buckets"][str(b)]["max_lsn"]
-            return self.commit(
-                op=op,
-                epoch=None,
-                bucket_updates=updates,
-                mode="replace",
-                merged=True,
-                expected_parent=snap["snapshot_id"],
-            )
         df = self.read_state_for_merge(spark, victims, self.schema())
         df = df.withColumn(
             SALT_COL,
@@ -1743,11 +1772,100 @@ class LakeTable:
         # cluster each rewritten bucket by key (task-local sort, no extra
         # exchange): compaction is the read-optimization pass, so pay the
         # in-task sort once to make parquet row-group min/max stats selective
-        # for key-range and point reads — the Iceberg sort-order analogue
-        winners.sortWithinPartitions(BUCKET_COL, *key_cols).write.mode(
-            "overwrite"
-        ).partitionBy(BUCKET_COL).parquet(stage)
-        updates = self.collect_staged(stage, spark)
+        # for point/range reads — the Iceberg sort-order analogue
+        with owned_write_conf(spark):
+            winners.sortWithinPartitions(BUCKET_COL, *key_cols).write.mode(
+                "overwrite"
+            ).partitionBy(BUCKET_COL).parquet(stage)
+        return self.collect_staged(stage, spark)
+
+    def _bucket_bytes(self, snap: dict, bucket: int) -> int:
+        """Total on-disk bytes of one bucket's live generations (driver-side
+        stat of the victim's files only — never a tree walk)."""
+        total = 0
+        for rel in snap["buckets"].get(str(bucket), {}).get("files", ()):
+            try:
+                total += os.path.getsize(os.path.join(self.root, rel))
+            except OSError:
+                pass
+        return total
+
+    # Per-bucket routing threshold for the map-only rewrite: a bucket whose
+    # live generations exceed this many PARQUET bytes is folded by the salted
+    # shuffle kernel instead of a single Arrow task (decoded Arrow state runs
+    # ~3-5x the zstd parquet size, so 1 GiB on disk is a few GiB of task
+    # memory — the edge of one executor-thread's comfortable share). A
+    # well-sized layout (EngineConfig.n_buckets) never trips this; it exists
+    # so ONE skewed bucket degrades to a shuffle instead of an OOM.
+    MAP_REWRITE_MAX_BUCKET_BYTES = 1 << 30
+
+    def _rewrite_buckets(
+        self,
+        spark: SparkSession,
+        victims: list[int],
+        op: str,
+        salt_factor: int = 4,
+        lsn_horizon: int | None = None,
+        strategy: str = "map",
+        map_max_bucket_bytes: int | None = None,
+    ) -> int:
+        """Shared kernel for compact/vacuum: resolve the victims' per-key
+        LWW winner, optionally drop tombstone winners below the LSN horizon,
+        rewrite the buckets as single-generation key-clustered state, commit.
+
+        ``strategy="map"`` (default): NO exchange — a committed bucket's
+        generations already live together on disk, so one Arrow task per
+        bucket folds/sorts/writes/stats its own state
+        (``operators.copart.rewrite_buckets_map``); the rewritten bucket is
+        exactly ONE key-sorted file. Buckets whose on-disk bytes exceed
+        ``map_max_bucket_bytes`` (default
+        :data:`MAP_REWRITE_MAX_BUCKET_BYTES`) are AUTOMATICALLY routed
+        through the salted shuffle kernel instead — per bucket, not as a
+        global mode choice — so one skewed bucket cannot OOM a task while
+        the rest of the pass stays map-only. ``strategy="shuffle"`` forces
+        the salted repartition kernel for every victim. Either way the pass
+        is ONE atomic commit."""
+        snap = self.snapshot()
+        key_cols = snap["key_cols"]
+        if key_cols is None:
+            raise ValueError(
+                "keyless append-only tables have no LWW merge maintenance"
+            )
+        map_victims: list[int] = []
+        shuffle_victims: list[int] = []
+        if strategy == "map":
+            limit = (
+                map_max_bucket_bytes
+                if map_max_bucket_bytes is not None
+                else self.MAP_REWRITE_MAX_BUCKET_BYTES
+            )
+            for b in victims:
+                if self._bucket_bytes(snap, b) <= limit:
+                    map_victims.append(b)
+                else:
+                    shuffle_victims.append(b)
+        else:
+            shuffle_victims = list(victims)
+
+        updates: dict[int, dict] = {}
+        if map_victims:
+            from cnpj_data_pipeline_spark.operators.copart import (
+                rewrite_buckets_map,
+            )
+
+            stage = self.new_staging_dir()
+            updates.update(
+                rewrite_buckets_map(
+                    spark, self, map_victims, stage, lsn_horizon=lsn_horizon
+                )
+            )
+        if shuffle_victims:
+            updates.update(
+                self._shuffle_rewrite_updates(
+                    spark, snap, sorted(shuffle_victims), salt_factor,
+                    lsn_horizon,
+                )
+            )
         for b in victims:
             updates.setdefault(b, {"files": [], "rows": 0, "max_lsn": None})
             # keep the watermark even if the bucket emptied (resume safety)
@@ -1893,9 +2011,10 @@ class LakeTable:
         ).drop(SALT_COL)
         stage = self.new_staging_dir()
         sort_cols = list(key_cols) if key_cols else [LSN_META_COL]
-        parted.sortWithinPartitions(BUCKET_COL, *sort_cols).write.mode(
-            "overwrite"
-        ).partitionBy(BUCKET_COL).parquet(stage)
+        with owned_write_conf(spark):
+            parted.sortWithinPartitions(BUCKET_COL, *sort_cols).write.mode(
+                "overwrite"
+            ).partitionBy(BUCKET_COL).parquet(stage)
         updates = self.collect_staged(stage, spark)
         return self.commit(
             op="rebucket",

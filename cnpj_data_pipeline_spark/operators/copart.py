@@ -84,14 +84,93 @@ _RESULT_SCHEMA = "bucket int, relpath string, stats string"
 
 
 def _payload_schema_of_files(files: Sequence[str]) -> T.StructType:
-    """Spark payload schema from ONE Parquet footer (driver-side, no scan).
-    Files within an epoch share a schema by the producer contract."""
+    """Spark payload schema from Parquet footers (driver-side, no data scan).
+
+    One footer is read PER EPOCH DIRECTORY, then unioned: files within one
+    epoch share a schema by the producer contract, but a folded catch-up
+    window (``run_pending(fold_window=K)``) spans epochs that may differ by
+    an additive evolution — inferring from a single file would silently drop
+    the evolved-in column for every row in the window."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    sch = from_arrow_schema(pq.ParquetFile(files[0]).schema_arrow)
+    reps: dict[str, str] = {}
+    for fp in files:
+        epoch_parts = [
+            p for p in fp.split(os.sep) if p.startswith("epoch=")
+        ]
+        key = epoch_parts[-1] if epoch_parts else os.path.dirname(fp)
+        reps.setdefault(key, fp)
     drop = set(ENVELOPE_COLS) | {BUCKET_COL}
-    return T.StructType([f for f in sch.fields if f.name not in drop])
+    out: T.StructType | None = None
+    for fp in reps.values():
+        sch = from_arrow_schema(pq.ParquetFile(fp).schema_arrow)
+        payload = T.StructType(
+            [f for f in sch.fields if f.name not in drop]
+        )
+        out = payload if out is None else union_schema(out, payload)
+    return out
+
+
+def _normalize_to(tbl, target):
+    """Pad + project + cast ONE file's Arrow table to ``target`` (pa.Schema).
+
+    This must run PER FILE, before any ``pa.concat_tables``: a bucket's
+    generations can come from different producer sessions — the engine's own
+    session writes parquet timestamps as ``timestamp[us, tz=UTC]``, while a
+    vanilla SparkSession (default ``outputTimestampType=INT96``) yields
+    tz-naive ``timestamp[ns]`` on Arrow read — and Arrow refuses to merge
+    tz-aware with tz-naive columns. Both encodings store the same UTC
+    instants, so the per-field cast is value-preserving; missing columns
+    (pre-evolution generations) are padded with typed NULLs and extras
+    (layout columns such as ``epoch``/``__bucket``) are dropped by the
+    projection."""
+    import pyarrow as pa
+
+    have = set(tbl.column_names)
+    for f in target:
+        if f.name not in have:
+            tbl = tbl.append_column(f.name, pa.nulls(len(tbl), f.type))
+    return tbl.select(target.names).cast(target)
+
+
+def verify_bucket_placement(
+    spark: SparkSession,
+    table: LakeTable,
+    bucket_files: dict[int, list[str]],
+) -> None:
+    """Optional placement proof for untrusted producers
+    (``cfg.copart_verify_placement``): re-hash every WAL row with the
+    table's own bucket function SPARK-SIDE and compare against the
+    ``__bucket=`` directory the producer placed it in. Map-only (scan +
+    partial count, no exchange of data rows); raises on the first epoch
+    with misplaced rows. The layout descriptor
+    (``sources.change_stream.bucketed_layout``) validates declared intent
+    only — a buggy writer with a correct descriptor passes it."""
+    from pyspark.sql import functions as F
+
+    from cnpj_data_pipeline_spark.lake.format import bucket_expr
+
+    all_files = [fp for fps in bucket_files.values() for fp in fps]
+    if not all_files:
+        return
+    snap = table.snapshot()
+    bcols = LakeTable._bucket_cols_of(snap)
+    expected = F.regexp_extract(
+        F.input_file_name(), f"{BUCKET_COL}=(\\d+)", 1
+    ).cast("int")
+    df = spark.read.parquet(*all_files)
+    bad = (
+        df.where(bucket_expr(bcols, int(snap["n_buckets"])) != expected)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"copart placement verification failed: {bad} WAL row(s) are in "
+            f"a {BUCKET_COL}= directory their key does not hash to — the "
+            "producer's layout descriptor is right but its placement is "
+            "wrong; ingest this stream through the general shuffling path"
+        )
 
 
 def _chunk_by_bytes(
@@ -176,11 +255,25 @@ def _make_task(
         from cnpj_data_pipeline_spark.operators.copart import _lww_fold_arrow
         from cnpj_data_pipeline_spark.schemas import schema_from_json
 
+        from cnpj_data_pipeline_spark.operators.copart import _normalize_to
+
         evolved = schema_from_json(evolved_json)
         phys_fields = list(evolved.fields) + list(PHYSICAL_META_FIELDS)
         if audit_col:
             phys_fields.append(T.StructField(audit_col, T.TimestampType()))
         target = to_arrow_schema(T.StructType(phys_fields))
+        # pre-rename WAL shape: evolved payload + raw (lsn, op) envelope.
+        # Every file is normalized to THIS schema individually before concat
+        # (mixed-producer encodings, additive evolution inside a fold window)
+        wal_target = to_arrow_schema(
+            T.StructType(
+                list(evolved.fields)
+                + [
+                    T.StructField("lsn", T.LongType()),
+                    T.StructField("op", T.StringType()),
+                ]
+            )
+        )
 
         def lww_fold(tbl: pa.Table) -> pa.Table:
             return _lww_fold_arrow(tbl, key_cols)
@@ -190,14 +283,8 @@ def _make_task(
                 b = int(row["bucket"])
                 files = list(row["files"])
                 tbl = pa.concat_tables(
-                    [pq.read_table(f) for f in files],
-                    promote_options="permissive",
+                    [_normalize_to(pq.read_table(f), wal_target) for f in files]
                 )
-                drop = [
-                    c for c in ("epoch", BUCKET_COL) if c in tbl.column_names
-                ]
-                if drop:
-                    tbl = tbl.drop_columns(drop)
                 if key_cols and len(tbl):
                     tbl = lww_fold(tbl)
                 tbl = tbl.rename_columns(
@@ -296,6 +383,8 @@ def apply_changes_copart(
             "keyed tables — CoW reads state and must use apply_changes"
         )
 
+    if cfg.copart_verify_placement:
+        verify_bucket_placement(spark, table, bucket_files)
     all_files = [fp for fps in bucket_files.values() for fp in fps]
     base_schema = table.schema()
     if all_files:
@@ -454,7 +543,10 @@ def rewrite_buckets_map(
         from pyspark.sql.pandas.types import to_arrow_schema
 
         from cnpj_data_pipeline_spark.lake.format import _file_stats
-        from cnpj_data_pipeline_spark.operators.copart import _lww_fold_arrow
+        from cnpj_data_pipeline_spark.operators.copart import (
+            _lww_fold_arrow,
+            _normalize_to,
+        )
         from cnpj_data_pipeline_spark.schemas import schema_from_json
 
         phys_fields = list(schema_from_json(schema_json).fields) + list(
@@ -466,18 +558,13 @@ def rewrite_buckets_map(
             for _, row in driving.iterrows():
                 b = int(row["bucket"])
                 files = list(row["files"])
+                # per-file pad/project/cast BEFORE concat: generations of one
+                # bucket may be written by different sessions (engine µs-UTC
+                # vs vanilla-session INT96→ns-naive) and by pre-evolution
+                # schemas — _normalize_to makes them concat-compatible
                 tbl = pa.concat_tables(
-                    [pq.read_table(f) for f in files],
-                    promote_options="permissive",
+                    [_normalize_to(pq.read_table(f), target) for f in files]
                 )
-                # pad evolved-in columns older generations lack
-                have = set(tbl.column_names)
-                for f in target:
-                    if f.name not in have:
-                        tbl = tbl.append_column(
-                            f.name, pa.nulls(len(tbl), f.type)
-                        )
-                tbl = tbl.select([f.name for f in target]).cast(target)
                 folded = _lww_fold_arrow(
                     tbl, key_cols, lsn_col=LSN_META_COL, op_col=OP_META_COL
                 )

@@ -55,6 +55,7 @@ from cnpj_data_pipeline_spark.lake.format import (
     LakeTable,
     OP_META_COL,
     bucket_expr,
+    owned_write_conf,
 )
 from cnpj_data_pipeline_spark.config import LSN_META_COL
 from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
@@ -306,7 +307,8 @@ def apply_changes(
             phys = phys.withColumn(cfg.audit_col, F.current_timestamp())
         stage = table.new_staging_dir()
         _mark("build_plan")
-        phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+        with owned_write_conf(spark):
+            phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
         _mark("append_write")
         updates = table.collect_staged(stage, spark)
         _mark("collect_staged")
@@ -380,7 +382,8 @@ def apply_changes(
 
         stage = table.new_staging_dir()
         _mark("build_plan")
-        phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+        with owned_write_conf(spark):
+            phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
         _mark("merge_write")
         updates = table.collect_staged(stage, spark)
         _mark("collect_staged")
@@ -540,7 +543,8 @@ def apply_changes(
 
     stage = table.new_staging_dir()
     _mark("build_plan")
-    phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+    with owned_write_conf(spark):
+        phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
     _mark("merge_write")
 
     updates = table.collect_staged(stage, spark)

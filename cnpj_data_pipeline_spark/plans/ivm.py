@@ -235,10 +235,16 @@ class GroupRefreshSyncJob:
     per sync window, RE-AGGREGATE only the AFFECTED GROUPS from the base
     table, never the whole table.
 
-    Per window: the plain change feed's distinct group values are the
-    affected set (a late-losing replay only triggers a value-identical
-    refresh, never a wrong value — the recompute reads base STATE, not the
-    event); the base rows of those groups are read back — bucket-PRUNED via
+    Per window: the affected-group set comes from the change feed — the
+    PLAIN feed when the grouping is a key subset (key values are immutable,
+    so new images carry every affected group; a late-losing replay only
+    triggers a value-identical refresh, never a wrong value — the recompute
+    reads base STATE, not the event), but the TYPED feed
+    (``read_changes_typed``, pre- AND post-images) when grouping OFF-key:
+    an update that moves a row between groups must refresh the OLD group
+    too, and only the pre-image carries its value (likewise a delete's
+    group, which the plain feed's tombstone may carry as NULL). The base
+    rows of those groups are read back — bucket-PRUNED via
     ``read_keys(on=group_cols)`` when the grouping is a key subset (the
     ``bucket_cols`` FK layout makes the common conv-level grouping prune to
     the touched buckets), else one scan + semi join (loud in the docstring,
@@ -312,13 +318,22 @@ class GroupRefreshSyncJob:
             else None
         )
         done = view.applied_epochs() if view is not None else set()
+        on_key = set(self.group_cols) <= set(src.key_cols() or [])
         synced, rows_applied = [], 0
         for window, prev_sid in _pending_windows(
             applies, done, max_window_epochs
         ):
-            feed = src.read_changes(
-                spark, prev_sid, window[-1]["snapshot_id"]
-            )
+            end_sid = window[-1]["snapshot_id"]
+            if on_key:
+                # key values are immutable: new images cover every
+                # affected group, the cheap feed suffices
+                feed = src.read_changes(spark, prev_sid, end_sid)
+            else:
+                # off-key grouping: an update can MOVE a row between
+                # groups and a delete's tombstone may carry NULL payload —
+                # only the typed feed's pre-images surface the old group,
+                # without which it would stay stale forever
+                feed = src.read_changes_typed(spark, prev_sid, end_sid)
             groups = feed.select(*self.group_cols).distinct().persist()
             try:
                 fresh = self._recompute(

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from cnpj_data_pipeline_spark.config import EngineConfig
 from cnpj_data_pipeline_spark.lake.format import (
     CHANGE_TYPE_COL,
-    CommitConflictError,
+    FrontierConflictError,
     LakeTable,
 )
 from cnpj_data_pipeline_spark.operators.merge import apply_changes
@@ -227,9 +227,13 @@ class JoinSyncJob:
                     self.prop_key: None if (c0, p0) == (0, 0) else frontier
                 },
             )
-        except CommitConflictError:
+        except FrontierConflictError:
             # a racing instance advanced the frontier first — exactly-once
-            # means this round's work is discarded (orphans GC later)
+            # means this round's work is discarded (orphans GC later).
+            # ONLY the frontier CAS is a benign skip: any other
+            # CommitConflictError (persistent rebase losses, a layout
+            # change) propagates — masking it as a skip would silently
+            # stop the view from ever advancing
             return {
                 "advanced": False,
                 "skipped_by": "concurrent-consumer",

@@ -56,14 +56,22 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
 #                             replay's ledger; its slot goes to
 #                             q_time_window_scan (manifest-stats file
 #                             skipping, a new capability)
-#   q_cdc_replay_copart    -> the shuffle-free bucket-aligned-WAL replay
-#                             (round 3): identical oracle to q_cdc_replay
-#                             (which stays driver-gated); the copart path is
-#                             additionally gated by tests/test_copart.py
-#                             (9 tests incl. bit-equality with the general
-#                             path and a zero-data-shuffle assertion)
+#   q_region_sales         -> duplicates q_pricing_summary's shape (scan +
+#                             hash agg + broadcast dim join); demoted round 4
+#                             so the headline copart replay gets a driver row
+#   q_embedding_neardup    -> the hot-bucket-capped twin
+#                             q_embedding_neardup_capped (the 100-TB form of
+#                             the same sign-LSH pipeline) stays driver-gated
+#   q_ivf_ann_topk         -> q_ivf_ann_topk_trained (the trained-centroid
+#                             scale path of the same probe-limited search)
+#                             stays driver-gated
+#   q_neardup_canonical    -> a projection of q_neardup_clusters' connected-
+#                             component output (which stays driver-gated)
 # The extras stay oracle-gated via tools/check_oracles.py (run by default)
-# and pytest; they are not dropped capabilities.
+# and pytest; they are not dropped capabilities. Round 4 PROMOTED into the
+# driver gate (VERDICT r3 advice #7): q_cdc_replay_copart (the headline
+# shuffle-free ingest path), q_decontaminate, q_pack_sequences,
+# q_turn_structure.
 _EXTRA_NAMES = (
     "q_minhash_signatures",
     "q_simhash",
@@ -78,13 +86,11 @@ _EXTRA_NAMES = (
     "q_table_changes",
     "q_changes_envelope",
     "q_epoch_stats",
-    "q_cdc_replay_copart",
-    # round-3 NEW training-data ops (extras so the primary registry the
-    # driver gates stays frozen at 50; oracle-gated via check_oracles):
-    "q_decontaminate",
+    "q_region_sales",
+    "q_embedding_neardup",
+    "q_ivf_ann_topk",
+    "q_neardup_canonical",
     "q_doc_repetition",
-    "q_pack_sequences",
-    "q_turn_structure",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

@@ -131,10 +131,18 @@ def bucketed_layout(
     stream_root: str, epoch: int, table: LakeTable
 ) -> dict[int, list[str]] | None:
     """Detect + VALIDATE a bucket-aligned epoch layout against ``table``'s
-    bucketing. Returns bucket id -> absolute parquet paths when the epoch
-    was produced with the exact same bucket function (columns, count,
-    hash), else None — the caller then takes the general shuffling path, so
-    a mis-partitioned WAL can never break bucket locality."""
+    bucketing. Returns bucket id -> absolute parquet paths when the epoch's
+    DESCRIPTOR declares the exact same bucket function (columns, count,
+    hash), else None — the caller then takes the general shuffling path.
+
+    The check validates the producer's declared INTENT, not row placement:
+    a producer whose descriptor is right but whose writer put rows in the
+    wrong ``__bucket=`` directory (partial rewrite, buggy writer) would
+    still pass here and silently corrupt locality. For untrusted producers,
+    ``EngineConfig.copart_verify_placement`` adds a map-only Spark
+    re-hash of every WAL row before the apply
+    (``operators.copart.verify_bucket_placement``) that fails loudly on the
+    first misplaced row."""
     import json
 
     desc_path = os.path.join(

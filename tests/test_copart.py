@@ -376,3 +376,60 @@ def test_wap_audit_composes_with_copart(spark, tmp_path):
     )
     assert all(x.get("quarantined") for x in m2), m2
     assert LakeTable.load(lake2).read(spark).count() == 0
+
+
+def test_verify_placement_catches_misplaced_rows(spark, tmp_path):
+    """ADVICE r3 (low): a producer whose descriptor is right but whose row
+    PLACEMENT is wrong passes the layout check; with
+    cfg.copart_verify_placement the apply re-hashes rows Spark-side and
+    fails loudly instead of silently corrupting bucket locality."""
+    import shutil
+
+    ch = gen_changes(spark, n_events=2_000, n_convs=80, n_epochs=1)
+    wal = str(tmp_path / "wal")
+    _write_bucketed_wal(spark, wal, ch, n_epochs=1)
+    # sabotage placement: move one bucket's file into another bucket's dir
+    edir = os.path.join(wal, "epoch=0")
+    bdirs = sorted(glob.glob(os.path.join(edir, "__bucket=*")))
+    src_files = glob.glob(os.path.join(bdirs[0], "*.parquet"))
+    shutil.move(src_files[0], bdirs[1])
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(n_buckets=N_BUCKETS, copart_verify_placement=True)
+    with pytest.raises(ValueError, match="placement verification failed"):
+        IngestJob(lake, cfg).run_stream(spark, wal)
+    # with the flag off (default) the same WAL is accepted as declared —
+    # the descriptor-only contract (documented in bucketed_layout)
+    cfg_off = EngineConfig(n_buckets=N_BUCKETS)
+    m = IngestJob(str(tmp_path / "lake2"), cfg_off).run_stream(spark, wal)
+    assert m and m[0].get("copartitioned")
+
+
+def test_map_rewrite_auto_falls_back_per_oversized_bucket(spark, tmp_path):
+    """VERDICT r3 #6: the map-only compaction's memory contract is enforced
+    PER BUCKET — a victim whose on-disk bytes exceed the threshold routes
+    through the salted shuffle kernel while the rest of the pass stays
+    map-only, in ONE atomic commit, results oracle-identical."""
+    ch = gen_changes(spark, n_events=6_000, n_convs=150, n_epochs=3,
+                     dup_ratio=0.1)
+    wal = str(tmp_path / "wal")
+    _write_bucketed_wal(spark, wal, ch, n_epochs=3, n_buckets=4)
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(n_buckets=4, compact_threshold=0)  # no auto-compact
+    IngestJob(lake, cfg).run_stream(spark, wal)
+    table = LakeTable.load(lake)
+    snap = table.snapshot()
+    sizes = sorted(table._bucket_bytes(snap, b) for b in range(4))
+    assert sizes[0] > 0
+    # threshold between min and max: some buckets map-only, some shuffled
+    limit = (sizes[0] + sizes[-1]) // 2
+    assert sizes[0] <= limit < sizes[-1]
+    sid = table._rewrite_buckets(
+        spark, list(range(4)), op="compact", map_max_bucket_bytes=limit
+    )
+    assert sid == table.current_snapshot_id()
+    after = table.snapshot()
+    # every bucket is single-generation after the pass (one commit)
+    assert all(i.get("merged") for i in after["buckets"].values())
+    pd.testing.assert_frame_equal(
+        _final(spark, lake), final_state(ch.toPandas()), check_dtype=False
+    )

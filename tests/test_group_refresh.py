@@ -140,3 +140,55 @@ def test_group_refresh_backlog_folds(spark, tmp_table, tmp_path):
     assert len(applies) == 1
     got, exp = _view_state(spark, job), _recompute(spark, base)
     pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_group_refresh_off_key_group_move_refreshes_old_group(
+    spark, tmp_table, tmp_path
+):
+    """ADVICE r3 (medium): grouping OFF-key (by ``role``), an update that
+    MOVES a row between groups must refresh the OLD group too — its value
+    only surfaces in the typed feed's pre-image. Also: deleting a group's
+    row (tombstone payload NULL in the plain feed) must refresh that group."""
+    cfg = EngineConfig(n_buckets=4)
+    measures = {"max_chars": "max(coalesce(length(text), 0))"}
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b"],
+            "turn_idx": [0, 1, 0],
+            "role": ["user", "assistant", "user"],
+            "text": ["user-longest", "mid", "usr"],
+            "tool": [None] * 3,
+            "ts": [pd.Timestamp("2026-01-01")] * 3,
+            "op": ["I"] * 3,
+            "lsn": [1, 2, 3],
+        }
+    )
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, 4)
+    job = GroupRefreshSyncJob(
+        tmp_table, str(tmp_path / "view"), ["role"], measures, cfg=cfg
+    )
+    apply_changes(spark, base, spark.createDataFrame(rows), epoch=0, cfg=cfg)
+    job.run_once(spark)
+
+    def _by_role(df):
+        return df.sort_values("role").reset_index(drop=True)
+
+    got = _by_role(job.read(spark).select("role", "max_chars").toPandas())
+    assert list(got["max_chars"]) == [len("mid"), len("user-longest")]
+
+    # move the 'user' extremum row INTO the 'assistant' group: the update's
+    # new image names only 'assistant' — 'user' must still be refreshed
+    upd = rows.iloc[[0]].assign(role="assistant", lsn=10, op="U")
+    apply_changes(spark, base, spark.createDataFrame(upd), epoch=1, cfg=cfg)
+    job.run_once(spark)
+    got = _by_role(job.read(spark).select("role", "max_chars").toPandas())
+    assert list(got["role"]) == ["assistant", "user"]
+    assert list(got["max_chars"]) == [len("user-longest"), len("usr")]
+
+    # delete the last 'user' row: the group must be tombstoned even though
+    # the plain feed's tombstone would carry role=NULL
+    dele = rows.iloc[[2]].assign(op="D", text=None, role=None, lsn=11)
+    apply_changes(spark, base, spark.createDataFrame(dele), epoch=2, cfg=cfg)
+    job.run_once(spark)
+    got = _by_role(job.read(spark).select("role", "max_chars").toPandas())
+    assert list(got["role"]) == ["assistant"]

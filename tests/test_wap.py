@@ -310,3 +310,24 @@ def test_ingest_audit_gate_quarantine_mode_keeps_draining(spark, tmp_path):
     ms2 = job.run_stream(spark, wal, audit_checks=checks,
                          on_audit_failure="quarantine")
     assert all(m["skipped"] for m in ms2)
+
+
+def test_publish_rejects_rebucket_between_stage_and_publish(spark, tmp_table):
+    """ADVICE r3 (medium): a rebucket between stage and publish invalidates
+    every staged bucket id — publishing would append rows into buckets their
+    keys no longer hash to (invisible to pruning, split LWW). publish_staged
+    must refuse with CommitConflictError, like staged_snapshot already does."""
+    from cnpj_data_pipeline_spark.lake.format import CommitConflictError
+
+    ch = gen_changes(spark, n_events=2_000, n_convs=50, n_epochs=2)
+    batches = dict(epoch_batches(ch, 2))
+    t = _mk(tmp_table)
+    apply_changes(spark, t, batches[0], epoch=0, cfg=CFG)
+    m = apply_changes(spark, t, batches[1], epoch=1, cfg=CFG, stage_only=True)
+    t.rebucket(spark, CFG.n_buckets * 2)
+    with pytest.raises(CommitConflictError, match="layout changed"):
+        t.publish_staged(m["token"])
+    # the batch is still staged (not silently dropped); abandon cleans it up
+    assert any(d["token"] == m["token"] for d in t.list_staged())
+    t.abandon_staged(m["token"])
+    assert 1 not in t.applied_epochs()

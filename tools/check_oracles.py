@@ -2,7 +2,14 @@
 ``__spark_entry__.queries()`` against its ``oracle_sql()`` twin on DuckDB and
 compare row count, column names, and order-insensitive canonicalized values.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--session=vanilla|engine|both] [sf_dir] [query ...]
+
+``--session`` picks the SparkSession conf world (default: vanilla — a plain
+default-conf session, exactly what the driver's gate runs). Round 3 shipped a
+bug only visible under default confs (INT96 parquet timestamps) because this
+pre-flight built the engine's own pinned session and so structurally could
+not see that class; the rehearsal must mirror the gate. ``both`` runs every
+query under each world sequentially.
 """
 
 from __future__ import annotations
@@ -84,31 +91,67 @@ def compare_query(name: str, spark, con, sf_dir: str, queries, oracles) -> tuple
     return True, f"match ({len(spdf)} rows x {len(sc)} cols)"
 
 
+def _vanilla_spark():
+    """A DEFAULT-CONF session — the driver's world. No engine confs at all
+    (no pinned timestamp type, no UTC session tz, no AQE tweaks)."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("check-oracles-vanilla")
+        .master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    session_mode = "vanilla"
+    for fl in flags:
+        if fl.startswith("--session="):
+            session_mode = fl.split("=", 1)[1]
+    if session_mode not in ("vanilla", "engine", "both"):
+        sys.exit(f"unknown --session={session_mode}")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1:]
     import __spark_entry__ as entry
     from cnpj_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="check-oracles", master="local[8]", shuffle_partitions=8)
     con = duck_con(sf_dir)
     queries, oracles = entry.queries(), entry.oracle_sql()
     queries.update(entry.extra_queries())
     oracles.update(entry.extra_oracle_sql())
     names = only or list(queries)
     failed = []
-    for name in names:
-        t0 = time.monotonic()
-        try:
-            ok, msg = compare_query(name, spark, con, sf_dir, queries, oracles)
-        except Exception as e:  # noqa: BLE001
-            ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
-        dt = time.monotonic() - t0
-        print(f"{'PASS' if ok else 'FAIL'} {name}: {msg} [{dt:.2f}s]", flush=True)
-        if not ok:
-            failed.append(name)
-    print(f"\n{len(names) - len(failed)}/{len(names)} queries match")
-    spark.stop()
+    worlds = ["vanilla", "engine"] if session_mode == "both" else [session_mode]
+    for world in worlds:
+        if world == "vanilla":
+            spark = _vanilla_spark()
+        else:
+            spark = get_spark(
+                app_name="check-oracles", master="local[8]",
+                shuffle_partitions=8,
+            )
+        tag = f"[{world}] " if len(worlds) > 1 else ""
+        for name in names:
+            t0 = time.monotonic()
+            try:
+                ok, msg = compare_query(
+                    name, spark, con, sf_dir, queries, oracles
+                )
+            except Exception as e:  # noqa: BLE001
+                ok, msg = False, f"EXCEPTION {type(e).__name__}: {e}"
+            dt = time.monotonic() - t0
+            print(
+                f"{'PASS' if ok else 'FAIL'} {tag}{name}: {msg} [{dt:.2f}s]",
+                flush=True,
+            )
+            if not ok:
+                failed.append(f"{tag}{name}")
+        spark.stop()
+    total = len(names) * len(worlds)
+    print(f"\n{total - len(failed)}/{total} queries match")
     sys.exit(1 if failed else 0)
 
 
