@@ -1,0 +1,99 @@
+"""Debezium-envelope JSON source (sources/debezium.py): a standard CDC wire
+format lands in the lake through the same exactly-once merge as the parquet
+WAL — same oracle fold, deletes carry their key from the pre-image, LSN
+falls back to ts_ms when the connector omits source.lsn."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from cnpj_data_pipeline_spark import EngineConfig, LakeTable
+from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
+from cnpj_data_pipeline_spark.operators.merge import apply_changes
+from cnpj_data_pipeline_spark.oracle import final_state
+from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+from cnpj_data_pipeline_spark.sources.debezium import (
+    changes_to_debezium_json,
+    list_debezium_epochs,
+    read_debezium_epoch,
+)
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _write_json_wal(spark, ch, wal, n_epochs):
+    for e, b in epoch_batches(ch, n_epochs):
+        changes_to_debezium_json(b.drop("epoch")).coalesce(2).write.mode(
+            "overwrite"
+        ).text(os.path.join(wal, f"epoch={e}"))
+
+
+def test_debezium_replay_matches_oracle(spark, tmp_path):
+    ch = gen_changes(
+        spark, n_events=4_000, n_convs=120, n_epochs=3,
+        dup_ratio=0.1, late_ratio=0.1, delete_ratio=0.1,
+    )
+    wal = str(tmp_path / "dbz")
+    _write_json_wal(spark, ch, wal, 3)
+    assert list_debezium_epochs(wal) == [0, 1, 2]
+
+    cfg = EngineConfig(n_buckets=8)
+    table = LakeTable.create(str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, KEY, 8)
+    for e in list_debezium_epochs(wal):
+        batch = read_debezium_epoch(spark, wal, e, TRANSCRIPT_SCHEMA)
+        m = apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+        assert not m["skipped"]
+    got = (
+        table.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    golden = final_state(ch.toPandas())
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+    # idempotent replay: the epoch ledger skips all three
+    for e in list_debezium_epochs(wal):
+        batch = read_debezium_epoch(spark, wal, e, TRANSCRIPT_SCHEMA)
+        assert apply_changes(spark, table, batch, epoch=e, cfg=cfg)["skipped"]
+
+
+def test_debezium_delete_images_and_lsn_fallback(spark, tmp_path):
+    """Deletes must carry key columns from `before` (Debezium sets
+    after=null on 'd'); envelopes without source.lsn order by ts_ms."""
+    rows = [
+        # c: insert (a,0); u: update it; d: delete (b,0) whose only image
+        # is the before; one envelope omits source.lsn entirely
+        '{"payload":{"before":null,"after":{"conv_id":"a","turn_idx":0,'
+        '"role":"user","text":"v1","tool":null,"ts":1700000000000},'
+        '"op":"c","ts_ms":1,"source":{"lsn":1}}}',
+        '{"payload":{"before":null,"after":{"conv_id":"a","turn_idx":0,'
+        '"role":"user","text":"v2","tool":null,"ts":1700000001000},'
+        '"op":"u","ts_ms":2,"source":{"lsn":2}}}',
+        '{"payload":{"before":{"conv_id":"b","turn_idx":0,"role":"user",'
+        '"text":"gone","tool":null,"ts":1700000000000},"after":null,'
+        '"op":"d","ts_ms":3,"source":{"lsn":3}}}',
+        '{"payload":{"before":null,"after":{"conv_id":"c","turn_idx":0,'
+        '"role":"user","text":"no-lsn","tool":null,"ts":1700000002000},'
+        '"op":"r","ts_ms":44}}',
+    ]
+    wal = str(tmp_path / "dbz")
+    edir = os.path.join(wal, "epoch=0")
+    os.makedirs(edir)
+    with open(os.path.join(edir, "part-0.jsonl"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+    batch = read_debezium_epoch(spark, wal, 0, TRANSCRIPT_SCHEMA)
+    pdf = batch.orderBy("lsn").toPandas()
+    assert list(pdf["op"]) == ["I", "U", "D", "I"]
+    assert list(pdf["lsn"]) == [1, 2, 3, 44]  # ts_ms fallback on the last
+    # the delete's key columns came from the pre-image
+    assert pdf.iloc[2]["conv_id"] == "b" and pdf.iloc[2]["turn_idx"] == 0
+
+    cfg = EngineConfig(n_buckets=4)
+    table = LakeTable.create(str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, KEY, 4)
+    apply_changes(spark, table, batch, epoch=0, cfg=cfg)
+    got = table.read(spark).orderBy("conv_id").toPandas()
+    assert list(got["conv_id"]) == ["a", "c"]  # b deleted
+    assert got.iloc[0]["text"] == "v2"  # update won
