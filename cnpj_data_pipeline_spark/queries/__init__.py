@@ -87,6 +87,7 @@ _EXTRA_NAMES = (
     "q_changes_envelope",
     "q_epoch_stats",
     "q_region_sales",
+    "q_cdc_replay_debezium",
     "q_embedding_neardup",
     "q_ivf_ann_topk",
     "q_neardup_canonical",

@@ -524,6 +524,37 @@ def q_cdc_replay_copart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LakeTable.load(os.path.join(root, "lake")).read(spark)
 
 
+def q_cdc_replay_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay from a DEBEZIUM-ENVELOPE JSON WAL (sources/debezium.py): the
+    same derived change stream re-encoded as standard Debezium
+    before/after/op/source.lsn envelopes (timestamps as MicroTimestamp epoch
+    micros, deletes keyed from the pre-image), parsed back with an explicit
+    nested schema and applied through the identical exactly-once merge. The
+    wire format is an encoding detail — the final state must equal the same
+    SQL fold as every other replay variant."""
+    from cnpj_data_pipeline_spark.sources.debezium import (
+        changes_to_debezium_json,
+        read_debezium_epoch,
+    )
+
+    wal = _staged_wal(spark, sf_dir)
+    root = _mk_scratch("cdc_replay_dbz_")
+    jwal = os.path.join(root, "wal")
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    table = LakeTable.create(
+        os.path.join(root, "lake"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], cfg.n_buckets,
+    )
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        changes_to_debezium_json(batch.drop("epoch")).coalesce(4).write.mode(
+            "overwrite"
+        ).text(os.path.join(jwal, f"epoch={e}"))
+        dbz = read_debezium_epoch(spark, jwal, e, TRANSCRIPT_SCHEMA)
+        apply_changes(spark, table, dbz, epoch=e, cfg=cfg)
+    return table.read(spark)
+
+
 def q_cdc_replay_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming replay: the same derived WAL drained through
     readStream + foreachBatch (availableNow) into the same merge path.
@@ -708,6 +739,7 @@ QUERIES = {
     "q_cdc_replay": q_cdc_replay,
     "q_cdc_replay_compacted": q_cdc_replay_compacted,
     "q_cdc_replay_copart": q_cdc_replay_copart,
+    "q_cdc_replay_debezium": q_cdc_replay_debezium,
     "q_turn_structure": q_turn_structure,
     "q_cdc_replay_streaming": q_cdc_replay_streaming,
     "q_cdc_replay_evolve": q_cdc_replay_evolve,
@@ -820,6 +852,7 @@ ORACLES = {
     "q_cdc_replay": _FINAL_STATE_SQL,
     "q_cdc_replay_compacted": _FINAL_STATE_SQL,
     "q_cdc_replay_copart": _FINAL_STATE_SQL,
+    "q_cdc_replay_debezium": _FINAL_STATE_SQL,
     "q_turn_structure": _TURN_STRUCTURE_SQL,
     "q_cdc_replay_streaming": _FINAL_STATE_SQL,
     "q_cdc_replay_evolve": f"""

@@ -40,16 +40,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# both timestamp flavors ride as MicroTimestamp longs: a source column can
+# surface as TIMESTAMP_NTZ (e.g. parquet written without a UTC annotation)
+# and an isinstance check on TimestampType alone would silently leave it a
+# string in the JSON and NULL on read-back
+_TS_TYPES = (T.TimestampType, T.TimestampNTZType)
+
 
 def debezium_envelope_schema(payload_schema: T.StructType) -> T.StructType:
     """The explicit read schema for a Debezium JSON stream whose row images
-    have ``payload_schema``. ``ts`` in the row image rides as epoch millis
-    (Debezium's temporal default) and is restored to a timestamp on read."""
+    have ``payload_schema``. Timestamp columns in the row image ride as
+    epoch MICROS (Debezium's ``io.debezium.time.MicroTimestamp`` semantic
+    type — lossless for µs-precision sources, unlike the millis default)
+    and are restored to timestamps on read."""
     image = T.StructType(
         [
             T.StructField(
                 f.name,
-                T.LongType() if isinstance(f.dataType, T.TimestampType)
+                T.LongType() if isinstance(f.dataType, _TS_TYPES)
                 else f.dataType,
                 True,
             )
@@ -97,9 +105,10 @@ def debezium_to_changes(
     cols = []
     for f in payload_schema.fields:
         c = image.getField(f.name)
-        if isinstance(f.dataType, T.TimestampType):
-            # epoch millis -> timestamp, JVM-side
-            c = (c.cast("double") / F.lit(1000.0)).cast("timestamp")
+        if isinstance(f.dataType, _TS_TYPES):
+            # epoch micros -> timestamp, JVM-side and exact (integer path);
+            # the final cast restores NTZ when the payload field is NTZ
+            c = F.timestamp_micros(c.cast("long"))
         cols.append(c.cast(f.dataType).alias(f.name))
     op = (
         F.when(is_del, F.lit("D"))
@@ -140,23 +149,24 @@ def list_debezium_epochs(stream_root: str) -> list[int]:
 
 def changes_to_debezium_json(changes: DataFrame) -> DataFrame:
     """Inverse mapping (test/bench producer): engine change envelopes →
-    one-column DataFrame of Debezium JSON strings. ``ts`` columns become
-    epoch millis; deletes put the image in ``before`` with ``after: null``."""
+    one-column DataFrame of Debezium JSON strings. Timestamp columns become
+    epoch micros (MicroTimestamp — lossless); deletes put the image in
+    ``before`` with ``after: null``."""
     payload_fields = [
         f for f in changes.schema.fields if f.name not in ("op", "lsn", "epoch")
     ]
     image_cols = []
     for f in payload_fields:
         c = F.col(f.name)
-        if isinstance(f.dataType, T.TimestampType):
-            c = (c.cast("double") * F.lit(1000.0)).cast("long")
+        if isinstance(f.dataType, _TS_TYPES):
+            c = F.unix_micros(c.cast("timestamp"))
         image_cols.append(c.alias(f.name))
     image = F.struct(*image_cols)
     null_image = F.lit(None).cast(
         "struct<"
         + ",".join(
             f"{f.name}:"
-            + ("bigint" if isinstance(f.dataType, T.TimestampType)
+            + ("bigint" if isinstance(f.dataType, _TS_TYPES)
                else f.dataType.simpleString())
             for f in payload_fields
         )
