@@ -237,3 +237,34 @@ def test_bucket_cols_must_be_key_subset(tmp_path):
             str(tmp_path / "bad2"), TRANSCRIPT_SCHEMA, None, 8,
             bucket_cols=["conv_id"],
         )
+
+
+def test_join_view_generic_conflict_propagates(spark, tables, monkeypatch):
+    """ADVICE r3 (low): only the frontier-CAS loss is a benign
+    'concurrent-consumer' skip. Any OTHER CommitConflictError (persistent
+    rebase losses, a layout change) must propagate from run_once — masking
+    it as a skip would silently stop the view from advancing."""
+    from cnpj_data_pipeline_spark.lake.format import FrontierConflictError
+    from cnpj_data_pipeline_spark.plans import join as join_mod
+
+    cfg, child, parent, job = tables
+    apply_changes(spark, parent, spark.createDataFrame(_conv_rows([
+        ("a", "Alpha", "u1", "I", 1),
+    ])), epoch=0, cfg=cfg)
+    apply_changes(spark, child, spark.createDataFrame(_turn_rows([
+        ("a", 0, "hi", "I", 10),
+    ])), epoch=0, cfg=cfg)
+
+    def raise_generic(*a, **k):
+        raise CommitConflictError("lost the commit race 10 times (op=merge)")
+
+    monkeypatch.setattr(join_mod, "apply_changes", raise_generic)
+    with pytest.raises(CommitConflictError, match="commit race"):
+        job.run_once(spark)
+
+    def raise_frontier(*a, **k):
+        raise FrontierConflictError("table properties moved underneath")
+
+    monkeypatch.setattr(join_mod, "apply_changes", raise_frontier)
+    m = job.run_once(spark)
+    assert m["skipped_by"] == "concurrent-consumer" and not m["advanced"]
