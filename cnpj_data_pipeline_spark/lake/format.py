@@ -1953,11 +1953,29 @@ class LakeTable:
 
         return _retry_conflicts(_once)
 
+    def _rebucket_scan(self, spark: SparkSession, snap: dict, new_n: int):
+        """The rebucket's shared scan: every physical row of ``snap`` with
+        the bucket column recomputed for the ``new_n`` layout. A narrow
+        (exchange-free) plan — strategy-specific distribution is layered on
+        top by :meth:`rebucket`."""
+        phys = T.StructType(
+            list(schema_from_json(snap["schema"]).fields) + PHYSICAL_META_FIELDS
+        )
+        files = self._bucket_files(snap)
+        if files:
+            df = spark.read.schema(phys).parquet(*files)
+        else:
+            df = spark.createDataFrame([], phys)
+        return df.withColumn(
+            BUCKET_COL, bucket_expr(self._bucket_cols_of(snap), new_n)
+        )
+
     def rebucket(
         self,
         spark: SparkSession,
         new_n_buckets: int,
         salt_factor: int = 4,
+        strategy: str = "auto",
     ) -> int:
         """Bucket-count EVOLUTION: rewrite the whole table into a new
         hash-bucket layout — the growth path from a small table to the
@@ -1968,47 +1986,71 @@ class LakeTable:
         One-off O(table) maintenance: every physical row (all versions AND
         tombstones — LWW/vacuum semantics are preserved verbatim, so the op
         is logically invisible and the change feed skips it) is re-assigned
-        by the same key-hash into ``new_n_buckets``, distributed over
-        (bucket, salt) tasks like the merge, key-clustered per file, and
-        committed atomically — readers see the old layout until the pointer
-        swap, and ``applied_epochs`` carries over so ingest resumes
-        exactly-once against the new layout. Buckets land unmerged
-        (conservative); a follow-up ``compact()`` restores single-winner
-        files where wanted."""
-        snap = self.snapshot()
-        if int(new_n_buckets) == int(snap["n_buckets"]):
-            return self.current_snapshot_id()
-        key_cols = snap["key_cols"]
-        phys = T.StructType(
-            list(schema_from_json(snap["schema"]).fields) + PHYSICAL_META_FIELDS
-        )
-        files = self._bucket_files(snap)
-        if files:
-            df = spark.read.schema(phys).parquet(*files)
-        else:
-            df = spark.createDataFrame([], phys)
-        from cnpj_data_pipeline_spark.config import SALT_COL
+        by the same key-hash into ``new_n_buckets`` and committed atomically
+        — readers see the old layout until the pointer swap, and
+        ``applied_epochs`` carries over so ingest resumes exactly-once
+        against the new layout. Buckets land unmerged (conservative); a
+        follow-up ``compact()`` restores single-winner files where wanted.
 
-        df = df.withColumn(
-            BUCKET_COL, bucket_expr(self._bucket_cols_of(snap), new_n_buckets)
-        )
-        salt_src = (
-            [F.col(c) for c in key_cols] if key_cols else [F.col(LSN_META_COL)]
-        )
-        df = df.withColumn(
-            SALT_COL,
-            F.pmod(F.xxhash64(*salt_src), F.lit(salt_factor)).cast("int"),
-        )
-        n_parts = max(
-            1,
-            min(
-                int(new_n_buckets) * salt_factor,
-                2 * spark.sparkContext.defaultParallelism,
-            ),
-        )
-        parted = df.repartition(
-            n_parts, F.col(BUCKET_COL), F.col(SALT_COL)
-        ).drop(SALT_COL)
+        ``strategy``:
+
+        * ``"map"`` — the LINEAR-HASH SPLIT (Kafka-partition-expansion /
+          linear-hashing shape): valid when ``new_n_buckets`` is an integer
+          multiple k of the current count. Because the bucket function is
+          ``pmod(xxhash64(keys), n)``, a row in old bucket b can only land
+          in the k child buckets ``{b, b+n, ..., b+(k-1)n}`` — so
+          recomputing the bucket column and writing ``partitionBy(bucket)``
+          splits every input task locally into at most k files with ZERO
+          exchange: the table is never shuffled, only streamed through a
+          per-task sort. At 100 TB this is the difference between a
+          full-table shuffle (the cluster's worst job) and a map-only
+          rewrite bounded by scan+write bandwidth.
+        * ``"shuffle"`` — arbitrary resize (including shrink or non-multiple
+          growth): distribute over (bucket, salt) tasks like the merge.
+        * ``"auto"`` (default) — ``"map"`` when the multiple-growth
+          precondition holds, else ``"shuffle"``.
+        """
+        snap = self.snapshot()
+        old_n = int(snap["n_buckets"])
+        new_n = int(new_n_buckets)
+        if new_n == old_n:
+            return self.current_snapshot_id()
+        if strategy not in ("auto", "map", "shuffle"):
+            raise ValueError(f"unknown rebucket strategy {strategy!r}")
+        splittable = new_n > old_n and new_n % old_n == 0
+        if strategy == "map" and not splittable:
+            raise ValueError(
+                "map-only rebucket requires new_n_buckets to be an integer "
+                f"multiple of the current count (got {old_n} -> {new_n}); "
+                "use strategy='shuffle' for arbitrary resizes"
+            )
+        use_map = splittable if strategy == "auto" else (strategy == "map")
+        key_cols = snap["key_cols"]
+        df = self._rebucket_scan(spark, snap, new_n)
+        if use_map:
+            parted = df
+        else:
+            from cnpj_data_pipeline_spark.config import SALT_COL
+
+            salt_src = (
+                [F.col(c) for c in key_cols]
+                if key_cols
+                else [F.col(LSN_META_COL)]
+            )
+            df = df.withColumn(
+                SALT_COL,
+                F.pmod(F.xxhash64(*salt_src), F.lit(salt_factor)).cast("int"),
+            )
+            n_parts = max(
+                1,
+                min(
+                    new_n * salt_factor,
+                    2 * spark.sparkContext.defaultParallelism,
+                ),
+            )
+            parted = df.repartition(
+                n_parts, F.col(BUCKET_COL), F.col(SALT_COL)
+            ).drop(SALT_COL)
         stage = self.new_staging_dir()
         sort_cols = list(key_cols) if key_cols else [LSN_META_COL]
         with owned_write_conf(spark):

@@ -92,6 +92,11 @@ _EXTRA_NAMES = (
     "q_ivf_ann_topk",
     "q_neardup_canonical",
     "q_doc_repetition",
+    # round 4: new capabilities (map-only linear-hash rebucket mid-replay,
+    # snapshot time travel) — oracle-gated here; the primary registry is
+    # already at the driver's 50-row cap
+    "q_cdc_replay_rebucket",
+    "q_time_travel",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

@@ -731,6 +731,55 @@ def q_wap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LakeTable.load(lake).read(spark)
 
 
+def q_cdc_replay_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay across a LIVE bucket-layout evolution: epochs 0-1 ingest into
+    an 8-bucket layout, the table is then grown 8->32 with the MAP-ONLY
+    linear-hash split (``LakeTable.rebucket(strategy='map')`` — because the
+    bucket function is ``pmod(xxhash64(keys), n)``, a row in old bucket b
+    can only land in the k child buckets {b, b+8, b+16, b+24}, so the
+    rewrite is a zero-exchange per-task split, never a table shuffle), and
+    epochs 2-3 ingest into the widened layout. ``applied_epochs`` lineage
+    carries over, so exactly-once holds across the layout change and the
+    final state must equal the same SQL fold as every other replay variant
+    — bucket count is physical layout, never semantics.
+
+    At 100 TB this is THE growth path: a table sized for early traffic is
+    re-laid-out to the mature bucket count at scan+write bandwidth (the
+    map-only split) instead of paying the cluster's worst full-table
+    shuffle, and ingest never stops."""
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=8, salt_factor=2)
+    table = LakeTable.create(
+        os.path.join(_mk_scratch("cdc_replay_rb_"), "lake"),
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], 8,
+    )
+    for e in range(2):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    table.rebucket(spark, 32, strategy="map")
+    assert table.snapshot()["n_buckets"] == 32
+    for e in range(2, N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    return table.read(spark)
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT TIME TRAVEL: read the replayed lake table AS OF the commit
+    that applied epoch 1 — the historical state mid-replay, long since
+    superseded by epochs 2-3 (and by any auto-compaction since). Snapshot
+    isolation makes this free: every manifest is immutable and names its
+    exact file set, so the read plans against the old manifest and touches
+    only files it references. The oracle is the LWW fold over ONLY epochs
+    <= 1 of the same event stream — time travel must reproduce history
+    exactly, not approximately."""
+    table = _replayed_table(spark, sf_dir)
+    sid = max(
+        s["snapshot_id"] for s in table.snapshots() if s.get("epoch") == 1
+    )
+    return table.read(spark, snapshot_id=sid)
+
+
 QUERIES = {
     "q_changes_envelope": q_changes_envelope,
     "q_wap_audit": q_wap_audit,
@@ -754,6 +803,8 @@ QUERIES = {
     "q_ivm_agg": q_ivm_agg,
     "q_derived_table_sync": q_derived_table_sync,
     "q_conv_render": q_conv_render,
+    "q_cdc_replay_rebucket": q_cdc_replay_rebucket,
+    "q_time_travel": q_time_travel,
 }
 
 # pre/post winner state for the typed-feed oracle: pre = LWW fold of epochs
@@ -831,6 +882,15 @@ SELECT conv_id,
 FROM t GROUP BY conv_id ORDER BY conv_id
 """
 
+# time travel to the state after epoch 1: the oracle folds ONLY epochs <= 1
+_TIME_TRAVEL_SQL = f"""
+WITH {CHANGES_CTE.strip()},
+early AS (SELECT * FROM changes WHERE epoch <= 1),
+{WINNERS_CTE.strip().replace("FROM changes", "FROM early")}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM winners WHERE op <> 'D'
+"""
+
 # the WAP replay quarantines epoch 2, so the oracle folds only the published
 # epochs' events — the winners window over `changes` minus the bad epoch
 _WAP_SQL = f"""
@@ -853,6 +913,8 @@ ORACLES = {
     "q_cdc_replay_compacted": _FINAL_STATE_SQL,
     "q_cdc_replay_copart": _FINAL_STATE_SQL,
     "q_cdc_replay_debezium": _FINAL_STATE_SQL,
+    "q_cdc_replay_rebucket": _FINAL_STATE_SQL,
+    "q_time_travel": _TIME_TRAVEL_SQL,
     "q_turn_structure": _TURN_STRUCTURE_SQL,
     "q_cdc_replay_streaming": _FINAL_STATE_SQL,
     "q_cdc_replay_evolve": f"""

@@ -344,6 +344,84 @@ def test_file_level_key_range_pruning(spark, tmp_table):
     assert table.read_keys(spark, keys_z).collect()[0]["text"] == "t101"
 
 
+def test_rebucket_map_split_is_shuffle_free_and_matches_shuffle(
+    spark, tmp_path, monkeypatch
+):
+    """Linear-hash split: growing to an integer-multiple bucket count with
+    strategy='map' must (a) request NO redistribution anywhere — proven by
+    making DataFrame.repartition explode for the duration — and run only
+    single-stage jobs (a shuffle without AQE would need a 2-stage job),
+    (b) produce bit-identical state to the general salted shuffle rewrite,
+    (c) keep bucket-pruned point reads correct against the new layout, and
+    (d) reject a non-multiple resize instead of silently shuffling."""
+    from pyspark.sql import DataFrame as _DF
+
+    cfg = EngineConfig(n_buckets=8)
+    ch = gen_changes(spark, n_events=4_000, n_convs=150, n_epochs=2)
+    batches = list(epoch_batches(ch, 2))
+    reads = {}
+    for strategy in ("map", "shuffle"):
+        root = str(tmp_path / strategy)
+        IngestJob(root, cfg).run_batches(spark, batches)
+        table = LakeTable.load(root)
+        if strategy == "map":
+            real_repartition = _DF.repartition
+
+            def boom(self, *a, **kw):
+                raise AssertionError(
+                    "map-only rebucket requested a repartition"
+                )
+
+            monkeypatch.setattr(_DF, "repartition", boom)
+            sc = spark.sparkContext
+            sc.setJobGroup("rebucket-map-split", "map rebucket", False)
+            try:
+                table.rebucket(spark, 32, strategy="map")
+            finally:
+                monkeypatch.setattr(_DF, "repartition", real_repartition)
+                sc.setJobGroup("rebucket-map-split-done", "", False)
+            tracker = sc.statusTracker()
+            jids = tracker.getJobIdsForGroup("rebucket-map-split")
+            assert jids, "rebucket ran no Spark jobs?"
+            for jid in jids:
+                info = tracker.getJobInfo(jid)
+                assert info is not None and len(info.stageIds) == 1, (
+                    f"job {jid} ran {len(info.stageIds)} stages — "
+                    "map-only rebucket must never shuffle"
+                )
+        else:
+            table.rebucket(spark, 32, strategy="shuffle")
+        snap = table.snapshot()
+        assert snap["n_buckets"] == 32
+        assert all(
+            len(i["fstats"]) == len(i["files"])
+            for i in snap["buckets"].values()
+        )
+        reads[strategy] = (
+            table.read(spark, include_meta=True)
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(reads["map"], reads["shuffle"])
+
+    # bucket-pruned point reads resolve against the split layout
+    table = LakeTable.load(str(tmp_path / "map"))
+    some = reads["map"].iloc[:5][["conv_id", "turn_idx"]]
+    keys = spark.createDataFrame(some)
+    got = (
+        table.read_keys(spark, keys)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()[["conv_id", "turn_idx"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, some.reset_index(drop=True))
+
+    # non-multiple growth cannot claim the map path
+    with pytest.raises(ValueError, match="integer .*multiple|multiple"):
+        table.rebucket(spark, 48, strategy="map")
+
+
 def test_rebucket_to_wide_layout_and_ingest_continues(spark, tmp_table, monkeypatch):
     """Growth path at scale: rebucket a live table to a much wider hash
     layout (hundreds of buckets -> hundreds of staged files, which drives
