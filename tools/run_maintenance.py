@@ -54,6 +54,10 @@ def main() -> None:
     p = sub.add_parser("rebucket", help="rewrite the table into a new bucket count")
     p.add_argument("--n-buckets", type=int, required=True)
     p.add_argument("--salt-factor", type=int, default=4)
+    p.add_argument("--strategy", choices=["auto", "map", "shuffle"],
+                   default="auto",
+                   help="map = zero-shuffle linear-hash split (integer-"
+                        "multiple growth only); auto picks it when valid")
 
     p = sub.add_parser("rollback", help="revert live state to a historical snapshot")
     p.add_argument("--to-snapshot", type=int, required=True,
@@ -119,7 +123,9 @@ def main() -> None:
     elif args.op == "expire":
         out = {"op": "expire", **table.expire_snapshots(keep_last=args.keep_last)}
     else:
-        sid = table.rebucket(spark, args.n_buckets, salt_factor=args.salt_factor)
+        sid = table.rebucket(spark, args.n_buckets,
+                             salt_factor=args.salt_factor,
+                             strategy=args.strategy)
         out = {"op": "rebucket", "snapshot_id": sid,
                "n_buckets": table.n_buckets(), "noop": sid == before}
     print(json.dumps(out))
