@@ -97,6 +97,25 @@ OP_META_COL = "__op"
 
 
 @contextmanager
+def scoped_sql_conf(spark: SparkSession, settings: dict):
+    """Pin SQL confs around one job, restoring the caller's values after.
+    SQL confs are read lazily at physical planning, so pinning just before
+    the action covers a DataFrame built earlier."""
+    prev: dict = {}
+    for k, v in settings.items():
+        prev[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
+
+@contextmanager
 def owned_write_conf(spark: SparkSession):
     """Pin the physical parquet encoding the TABLE FORMAT owns around a
     Spark write job, whatever the caller session's confs say.
@@ -2027,8 +2046,20 @@ class LakeTable:
         use_map = splittable if strategy == "auto" else (strategy == "map")
         key_cols = snap["key_cols"]
         df = self._rebucket_scan(spark, snap, new_n)
+        split_conf: dict = {}
         if use_map:
             parted = df
+            # The map path's parallelism IS the scan's split count — there
+            # is no exchange to rebalance it. Size input splits to ~4 tasks
+            # per core so a small table (few, large files) doesn't quantize
+            # into under-occupied task waves; at real scale the clamp leaves
+            # the 128 MiB default untouched.
+            total_bytes = sum(
+                self._bucket_bytes(snap, int(b)) for b in snap["buckets"]
+            )
+            par = max(1, spark.sparkContext.defaultParallelism)
+            split = max(16 << 20, min(128 << 20, total_bytes // (4 * par)))
+            split_conf["spark.sql.files.maxPartitionBytes"] = str(split)
         else:
             from cnpj_data_pipeline_spark.config import SALT_COL
 
@@ -2053,7 +2084,7 @@ class LakeTable:
             ).drop(SALT_COL)
         stage = self.new_staging_dir()
         sort_cols = list(key_cols) if key_cols else [LSN_META_COL]
-        with owned_write_conf(spark):
+        with owned_write_conf(spark), scoped_sql_conf(spark, split_conf):
             parted.sortWithinPartitions(BUCKET_COL, *sort_cols).write.mode(
                 "overwrite"
             ).partitionBy(BUCKET_COL).parquet(stage)
