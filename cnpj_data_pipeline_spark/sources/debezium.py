@@ -121,19 +121,114 @@ def debezium_to_changes(
     return raw.select(*cols, op.alias("op"), lsn.alias("lsn"))
 
 
+#: DLQ row reasons, in check order (a row gets the FIRST matching reason)
+DLQ_REASONS = (
+    "malformed_json",   # from_json could not parse the line at all
+    "missing_payload",  # parsed, but no payload object
+    "invalid_op",       # payload.op not one of c/u/d/r
+    "missing_image",    # no row image on the op's side (after / before-for-d)
+    "missing_offset",   # neither source.lsn nor ts_ms — unorderable
+)
+
+
+def _dlq_reason_col(parsed) -> "F.Column":
+    p = parsed.getField("payload")
+    op = p.getField("op")
+    is_del = op == "d"
+    image = F.when(is_del, p.getField("before")).otherwise(p.getField("after"))
+    # from_json is PERMISSIVE: a truncated line yields a struct of NULL
+    # fields, never a NULL struct, so "unparseable" must come from the
+    # corrupt-record side channel, not parsed.isNull()
+    return (
+        F.when(
+            parsed.getField("_corrupt").isNotNull(), F.lit("malformed_json")
+        )
+        .when(p.isNull(), F.lit("missing_payload"))
+        .when(op.isNull() | ~op.isin("c", "u", "d", "r"), F.lit("invalid_op"))
+        .when(image.isNull(), F.lit("missing_image"))
+        .when(
+            p.getField("source").getField("lsn").isNull()
+            & p.getField("ts_ms").isNull(),
+            F.lit("missing_offset"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("dlq_reason")
+    )
+
+
+def split_debezium_lines(
+    lines: DataFrame, payload_schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Split raw Debezium JSON lines (one ``value`` string column) into
+    (valid change batch, dead-letter rows).
+
+    Real CDC streams carry garbage — truncated messages from producer
+    crashes, tombstone markers, envelopes from a connector bug — and a
+    row-level DEAD-LETTER QUEUE is the standard contract (Kafka Connect's
+    ``errors.deadletterqueue.topic.name``): quarantine the bad row with a
+    machine-readable reason, ingest the rest, never fail the stream and
+    never silently drop. The reference aborts the whole file on a parse
+    error (``src/processor.py`` raises; batch-level all-or-nothing); WAP
+    (plans/wap.py) gives this engine the batch-level gate, this gives the
+    row-level one — the two compose.
+
+    All checks are structural (parse, op, image, offset) and run as ONE
+    Catalyst projection over the parsed struct — no Python, no second
+    parse; the split is two filters over the same cached plan. The DLQ side
+    keeps the RAW line (replayable once the producer bug is fixed) plus the
+    reason."""
+    schema = debezium_envelope_schema(payload_schema).add(
+        "_corrupt", T.StringType(), True
+    )
+    parsed = F.from_json(
+        F.col("value"),
+        schema,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    tagged = lines.select(
+        F.col("value"), parsed.alias("parsed"), _dlq_reason_col(parsed)
+    )
+    good = debezium_to_changes(
+        tagged.filter(F.col("dlq_reason").isNull()).select(
+            F.col("parsed").getField("payload").alias("payload")
+        ),
+        payload_schema,
+    )
+    dlq = tagged.filter(F.col("dlq_reason").isNotNull()).select(
+        "value", "dlq_reason"
+    )
+    return good, dlq
+
+
 def read_debezium_epoch(
     spark: SparkSession,
     stream_root: str,
     epoch: int,
     payload_schema: T.StructType,
+    dlq_dir: str | None = None,
 ) -> DataFrame:
     """One epoch directory of Debezium JSON (``epoch=<k>/*.json[l]``) as an
-    engine change batch, ready for ``apply_changes``."""
+    engine change batch, ready for ``apply_changes``.
+
+    ``dlq_dir``: quarantine structurally-invalid rows (see
+    :func:`split_debezium_lines`) under ``<dlq_dir>/epoch=<k>`` as parquet
+    (raw line + reason + epoch) instead of failing or silently dropping
+    them; only valid rows are returned. Costs one extra pass over the
+    epoch's lines (O(batch), never O(table)); without ``dlq_dir`` invalid
+    rows raise nothing here and surface as NULL-key rows in the merge —
+    pass it in production."""
     path = os.path.join(stream_root, f"epoch={epoch}")
-    raw = spark.read.schema(debezium_envelope_schema(payload_schema)).json(
-        path
+    if dlq_dir is None:
+        raw = spark.read.schema(
+            debezium_envelope_schema(payload_schema)
+        ).json(path)
+        return debezium_to_changes(raw, payload_schema)
+    lines = spark.read.text(path)
+    good, dlq = split_debezium_lines(lines, payload_schema)
+    dlq.withColumn("epoch", F.lit(int(epoch))).write.mode("overwrite").parquet(
+        os.path.join(dlq_dir, f"epoch={epoch}")
     )
-    return debezium_to_changes(raw, payload_schema)
+    return good
 
 
 def list_debezium_epochs(stream_root: str) -> list[int]:

@@ -97,3 +97,79 @@ def test_debezium_delete_images_and_lsn_fallback(spark, tmp_path):
     got = table.read(spark).orderBy("conv_id").toPandas()
     assert list(got["conv_id"]) == ["a", "c"]  # b deleted
     assert got.iloc[0]["text"] == "v2"  # update won
+
+
+def test_debezium_dlq_quarantines_bad_rows_and_ingests_rest(spark, tmp_path):
+    """Row-level dead-letter queue: corrupted / structurally-invalid lines
+    land in the DLQ with a machine-readable reason, the valid rows ingest
+    normally, and the final state equals the oracle fold over ONLY the
+    valid events — never a job failure, never a silent drop."""
+    from pyspark.sql import functions as F
+
+    from cnpj_data_pipeline_spark.sources.debezium import (
+        split_debezium_lines,
+    )
+
+    ch = gen_changes(spark, n_events=3_000, n_convs=100, n_epochs=2)
+    wal = str(tmp_path / "dbz")
+    # corrupt a deterministic subset — lsn % 7 == 0 -> truncated JSON
+    # (lsn re-derived from the envelope itself so the corruption keys off
+    # event identity, not row order)
+    for e, b in epoch_batches(ch, 2):
+        pairs = changes_to_debezium_json(b.drop("epoch")).withColumn(
+            "lsn",
+            F.get_json_object("value", "$.payload.source.lsn").cast("long"),
+        )
+        corrupted = pairs.select(
+            F.when(
+                F.col("lsn") % 7 == 0, F.substring("value", 1, 20)
+            ).otherwise(F.col("value")).alias("value")
+        )
+        corrupted.coalesce(2).write.mode("overwrite").text(
+            os.path.join(wal, f"epoch={e}")
+        )
+
+    cfg = EngineConfig(n_buckets=8)
+    table = LakeTable.create(str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, KEY, 8)
+    dlq_dir = str(tmp_path / "dlq")
+    for e in list_debezium_epochs(wal):
+        batch = read_debezium_epoch(
+            spark, wal, e, TRANSCRIPT_SCHEMA, dlq_dir=dlq_dir
+        )
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+
+    chp = ch.toPandas()
+    n_bad = int((chp["lsn"] % 7 == 0).sum())
+    dlq = spark.read.parquet(os.path.join(dlq_dir, "epoch=0"),
+                             os.path.join(dlq_dir, "epoch=1"))
+    assert dlq.count() == n_bad
+    assert set(r["dlq_reason"] for r in dlq.select("dlq_reason").distinct().collect()) == {
+        "malformed_json"
+    }
+    assert set(dlq.columns) == {"value", "dlq_reason", "epoch"}
+
+    got = (
+        table.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    golden = final_state(chp[chp["lsn"] % 7 != 0])
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+
+    # reason taxonomy beyond parse errors, on hand-written envelopes
+    lines = spark.createDataFrame(
+        [
+            ('{"payload": null}',),
+            ('{"payload": {"op": "x", "after": {"conv_id": "c1"}, "ts_ms": 1}}',),
+            ('{"payload": {"op": "c", "after": null, "ts_ms": 1}}',),
+            ('{"payload": {"op": "c", "after": {"conv_id": "c1", "turn_idx": 0}}}',),
+        ],
+        "value string",
+    )
+    good, dlq2 = split_debezium_lines(lines, TRANSCRIPT_SCHEMA)
+    reasons = [r["dlq_reason"] for r in dlq2.orderBy("value").collect()]
+    assert good.count() == 0
+    assert sorted(reasons) == [
+        "invalid_op", "missing_image", "missing_offset", "missing_payload",
+    ]
