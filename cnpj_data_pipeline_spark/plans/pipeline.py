@@ -159,11 +159,24 @@ class IngestJob:
         audit_checks=None,
         on_audit_failure: str = "raise",
         fold_window: int | None = None,
+        wal_format: str = "parquet",
+        dlq_dir: str | None = None,
     ) -> list[dict]:
         """Tail a WAL directory: discover pending epochs (skipping lineage-
         recorded ones — the resume path) and apply them in order, at most
         ``max_epochs``/``max_rows`` per run (bounded admission), each batch
         optionally gated by write-audit-publish (``audit_checks``).
+
+        ``wal_format="debezium"``: the WAL is newline-delimited Debezium
+        JSON envelopes (``sources.debezium``) instead of engine parquet;
+        same epoch-directory layout, same ledger, same exactly-once resume.
+        ``dlq_dir`` (Debezium only) quarantines structurally-invalid lines
+        per epoch with a machine-readable reason instead of failing the
+        stream or letting them surface as NULL-key rows — the Kafka-Connect
+        dead-letter-queue contract at the job surface. JSON epochs carry no
+        parquet footers, so row hints / the co-partitioned fast path don't
+        apply (a keyed JSON stream should be converted to a bucket-aligned
+        parquet WAL upstream to earn the shuffle-free apply).
 
         Per epoch, when ``cfg.copart == "auto"`` (default) and the epoch's
         WAL layout is bucket-aligned with the table, the shuffle-free
@@ -181,10 +194,32 @@ class IngestJob:
         of the window applied atomically: a crash re-runs the WHOLE window,
         never half of it. A window folds only epochs on the SAME path (all
         bucket-aligned, or all general) — mixed layouts break the window."""
+        if wal_format not in ("parquet", "debezium"):
+            raise ValueError(f"unknown wal_format {wal_format!r}")
+        if dlq_dir is not None and wal_format != "debezium":
+            raise ValueError("dlq_dir only applies to wal_format='debezium'")
         table = self.ensure_table()
         use_copart = self.cfg.copart != "off" and (
             table.key_cols() is None or self.cfg.write_mode == "mor"
         )
+
+        def _plans_debezium():
+            from cnpj_data_pipeline_spark.sources.debezium import (
+                list_debezium_epochs,
+                read_debezium_epoch,
+            )
+
+            applied = table.applied_epochs()
+            for e in list_debezium_epochs(stream_root):
+                if e in applied:
+                    continue
+                yield e, read_debezium_epoch(
+                    spark,
+                    stream_root,
+                    e,
+                    table.schema(),
+                    dlq_dir=dlq_dir,
+                ), None
 
         def _plans():
             from cnpj_data_pipeline_spark.sources.change_stream import (
@@ -206,15 +241,18 @@ class IngestJob:
                 else:
                     yield e, read_epoch(spark, stream_root, e), hint
 
+        plan_source = _plans_debezium if wal_format == "debezium" else _plans
+
         def _batches():
             if not fold_window or fold_window <= 1:
-                yield from _plans()
+                yield from plan_source()
                 return
             window: list[tuple] = []
 
             def _fold(w):
                 epochs = tuple(x[0] for x in w)
-                hint = sum(x[2] for x in w)
+                hints = [x[2] for x in w]
+                hint = sum(hints) if None not in hints else None
                 if len(w) == 1:
                     return w[0]
                 if isinstance(w[0][1], CopartBatch):
@@ -228,7 +266,7 @@ class IngestJob:
                     df = df.unionByName(nxt, allowMissingColumns=True)
                 return epochs, df, hint
 
-            for plan in _plans():
+            for plan in plan_source():
                 same_kind = not window or isinstance(
                     plan[1], type(window[-1][1])
                 )

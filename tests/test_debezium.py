@@ -173,3 +173,57 @@ def test_debezium_dlq_quarantines_bad_rows_and_ingests_rest(spark, tmp_path):
     assert sorted(reasons) == [
         "invalid_op", "missing_image", "missing_offset", "missing_payload",
     ]
+
+
+def test_debezium_job_surface_crash_resume_with_dlq(spark, tmp_path):
+    """IngestJob.run_stream(wal_format='debezium', dlq_dir=...): the JSON
+    WAL drains through the same epoch ledger as the parquet WAL — injected
+    crash mid-stream, resume applies only the pending epochs, third run is
+    a no-op — while invalid lines land in the DLQ, per epoch, exactly once
+    (resume must not re-quarantine an applied epoch's lines)."""
+    from pyspark.sql import functions as F
+
+    from cnpj_data_pipeline_spark import IngestJob
+
+    ch = gen_changes(spark, n_events=4_000, n_convs=120, n_epochs=4)
+    wal = str(tmp_path / "dbz")
+    for e, b in epoch_batches(ch, 4):
+        pairs = changes_to_debezium_json(b.drop("epoch")).withColumn(
+            "lsn",
+            F.get_json_object("value", "$.payload.source.lsn").cast("long"),
+        )
+        pairs.select(
+            F.when(F.col("lsn") % 11 == 0, F.lit("{truncated"))
+            .otherwise(F.col("value")).alias("value")
+        ).coalesce(2).write.mode("overwrite").text(
+            os.path.join(wal, f"epoch={e}")
+        )
+
+    dlq = str(tmp_path / "dlq")
+    job = IngestJob(str(tmp_path / "lake"), EngineConfig(n_buckets=8))
+    try:
+        job.run_stream(
+            spark, wal, fail_after=2, wal_format="debezium", dlq_dir=dlq
+        )
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError:
+        pass
+    m2 = job.run_stream(spark, wal, wal_format="debezium", dlq_dir=dlq)
+    assert [m["epoch"] for m in m2 if not m["skipped"]] == [2, 3]
+    m3 = job.run_stream(spark, wal, wal_format="debezium", dlq_dir=dlq)
+    assert all(m["skipped"] for m in m3) or m3 == []
+
+    chp = ch.toPandas()
+    table = LakeTable.load(str(tmp_path / "lake"))
+    got = (
+        table.read(spark)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    golden = final_state(chp[chp["lsn"] % 11 != 0])
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+
+    n_bad = int((chp["lsn"] % 11 == 0).sum())
+    dlq_df = spark.read.option("basePath", dlq).parquet(dlq + "/epoch=*")
+    assert dlq_df.count() == n_bad  # once per line, despite 3 runs

@@ -54,6 +54,13 @@ def main() -> None:
     ap.add_argument("--copart", choices=["auto", "off"], default="auto",
                     help="shuffle-free apply for bucket-aligned WAL epochs "
                          "(auto-detected per epoch via _bucketing.json)")
+    ap.add_argument("--wal-format", choices=["parquet", "debezium"],
+                    default="parquet",
+                    help="debezium: epoch dirs hold newline-delimited "
+                         "Debezium JSON envelopes instead of parquet")
+    ap.add_argument("--dlq-dir", default=None,
+                    help="(debezium) quarantine structurally-invalid lines "
+                         "here per epoch instead of failing the stream")
     args = ap.parse_args()
 
     from cnpj_data_pipeline_spark import EngineConfig, IngestJob, LakeTable
@@ -103,6 +110,8 @@ def main() -> None:
             max_epochs=args.max_epochs,
             max_rows=args.max_rows,
             fold_window=args.fold_window,
+            wal_format=args.wal_format,
+            dlq_dir=args.dlq_dir,
         )
         out = {"mode": "batch", **job.metrics_summary(metrics)}
     print(json.dumps(out))
