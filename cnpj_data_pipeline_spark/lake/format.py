@@ -275,7 +275,10 @@ def _stat_key(v):
 
 
 def _file_stats(
-    path: str, lsn_col: str = LSN_META_COL, key_col: str | None = None
+    path: str,
+    lsn_col: str = LSN_META_COL,
+    key_col: str | None = None,
+    bloom: bool = False,
 ) -> dict:
     """Row count + min/max LSN + per-column min/max (``cstats``) from the
     Parquet footer only (no data read) — the Iceberg-manifest trick that
@@ -283,7 +286,20 @@ def _file_stats(
     we're there, every top-level column with JSON-able stats is harvested
     (the key column rides separately as kmin/kmax for read_keys), enabling
     file skipping on ANY scalar predicate column (read_range) at zero extra
-    IO."""
+    IO.
+
+    ``bloom=True`` additionally reads the KEY COLUMN (the one deliberate
+    data read — column-pruned, compressed) and writes the file's key bloom
+    sidecar (``lake/bloom.py``). Callers that already hold the data in
+    memory (the Arrow kernels) build sidecars themselves instead."""
+    if bloom and key_col is not None:
+        from cnpj_data_pipeline_spark.lake.bloom import write_sidecar
+
+        try:
+            col = _pq.ParquetFile(path).read(columns=[key_col])
+            write_sidecar(path, col.column(key_col).to_pylist())
+        except (OSError, KeyError):
+            pass  # sidecars are caches; the file simply stays unpruned
     md = _pq.ParquetFile(path).metadata
     rows = md.num_rows
     lo = hi = klo = khi = None
@@ -680,7 +696,22 @@ class LakeTable:
         files that cannot contain any requested key. Skipping a file never
         changes a requested key's LWW winner — every file that can hold a
         version of that key is kept. Files without stats (legacy manifests,
-        non-JSON-able key types) are always scanned."""
+        non-JSON-able key types) are always scanned.
+
+        THIRD level: files that survive the range check are tested against
+        their key BLOOM sidecar when one exists (``lake/bloom.py``). Range
+        stats are near-useless on uncompacted MoR deltas (each generation
+        holds arbitrary keys spanning the bucket), so between compactions
+        the bloom is what makes mget cost track the generations that
+        actually CONTAIN the key. Sidecar loads are driver-side but bounded
+        by the mget contract: touched buckets × generations, each a few
+        KiB. False positives scan needlessly; false negatives cannot occur
+        (sentinel-validated hashing, see the bloom module)."""
+        from cnpj_data_pipeline_spark.lake.bloom import (
+            load_sidecar,
+            may_contain_any,
+        )
+
         out: dict[int, list[str]] = {}
         for b, ks in keys_by_bucket.items():
             info = snap["buckets"].get(str(b))
@@ -700,7 +731,11 @@ class LakeTable:
                     except TypeError:
                         hit = True  # stat/key type mismatch: must scan
                 if hit:
-                    kept.append(os.path.join(self.root, f))
+                    fp = os.path.join(self.root, f)
+                    bl = load_sidecar(fp)
+                    if bl is not None and not may_contain_any(bl, ks):
+                        continue  # definitely none of the keys: skip file
+                    kept.append(fp)
             out[b] = kept
         return out
 
@@ -1088,7 +1123,10 @@ class LakeTable:
         return self.new_staging_dir()
 
     def collect_staged(
-        self, stage: str, spark: SparkSession | None = None
+        self,
+        stage: str,
+        spark: SparkSession | None = None,
+        blooms: str = "off",
     ) -> dict[int, dict]:
         """Inventory freshly staged files: bucket -> {files, rows, max_lsn,
         fstats}, stats from Parquet footers only. ``fstats`` is per-file
@@ -1110,7 +1148,14 @@ class LakeTable:
         tax on the fast-config side of the scaling gate (measured: 8-core
         ingest wall regressed 25.6 -> 28.5 s when the cutover sat at 64).
         ``SPARK_GRAFT_STATS_DISTRIBUTED_MIN`` overrides the break-even
-        point (default 1024 files ~= 0.3 s serial ~= one job's overhead)."""
+        point (default 1024 files ~= 0.3 s serial ~= one job's overhead).
+
+        ``blooms``: write per-file key bloom sidecars (``lake/bloom.py``,
+        read_keys' third pruning level) alongside the harvest. "force"
+        always builds them (one extra column-pruned read per file — the
+        lookup-optimized ingest mode, and the maintenance rewrites, where
+        the read-optimization budget lives); "auto"/"off" skip — the
+        ingest hot path must stay footer-only (EngineConfig.key_blooms)."""
         key_cols = self.key_cols()
         key_col = key_cols[0] if key_cols else None
         pairs: list[tuple[int, str]] = []
@@ -1122,20 +1167,26 @@ class LakeTable:
         dist_min = int(
             os.environ.get("SPARK_GRAFT_STATS_DISTRIBUTED_MIN", "1024")
         )
-        if spark is not None and len(pairs) >= dist_min:
+        distributed = spark is not None and len(pairs) >= dist_min
+        with_blooms = key_col is not None and blooms == "force"
+        if distributed:
             lsn_col = LSN_META_COL
             kc = key_col
+            wb = with_blooms
             paths = [fp for _, fp in pairs]
             sc = spark.sparkContext
             slices = min(len(paths), 4 * sc.defaultParallelism)
             stats_by_path = dict(
                 sc.parallelize(paths, slices)
-                .map(lambda p: (p, _file_stats(p, lsn_col, kc)))
+                .map(lambda p: (p, _file_stats(p, lsn_col, kc, bloom=wb)))
                 .collect()
             )
         else:
             stats_by_path = {
-                fp: _file_stats(fp, LSN_META_COL, key_col) for _, fp in pairs
+                fp: _file_stats(
+                    fp, LSN_META_COL, key_col, bloom=with_blooms
+                )
+                for _, fp in pairs
             }
 
         out: dict[int, dict] = {}
@@ -1709,6 +1760,8 @@ class LakeTable:
         files_removed = 0
         bytes_removed = 0
         if not published:
+            from cnpj_data_pipeline_spark.lake.bloom import remove_sidecar
+
             for rel in ours:
                 fp = os.path.join(self.root, rel)
                 try:
@@ -1717,6 +1770,7 @@ class LakeTable:
                     files_removed += 1
                 except OSError:
                     pass
+                remove_sidecar(fp)
             stage_abs = os.path.join(self.root, desc.get("stage_dir", ""))
             if desc.get("stage_dir") and os.path.isdir(stage_abs):
                 for dirpath, _dn, _fn in os.walk(stage_abs, topdown=False):
@@ -1750,6 +1804,7 @@ class LakeTable:
         victims: list[int],
         salt_factor: int,
         lsn_horizon: int | None,
+        blooms: bool = True,
     ) -> dict[int, dict]:
         """The salted-repartition rewrite kernel: read the victims' state,
         resolve per-key LWW winners across (bucket, salt) tasks, write
@@ -1796,7 +1851,12 @@ class LakeTable:
             winners.sortWithinPartitions(BUCKET_COL, *key_cols).write.mode(
                 "overwrite"
             ).partitionBy(BUCKET_COL).parquet(stage)
-        return self.collect_staged(stage, spark)
+        # maintenance pass: build blooms by default (the map-only rewrite —
+        # the default compaction path — builds them inline for the same
+        # reason); key_blooms="off" threads blooms=False down to here
+        return self.collect_staged(
+            stage, spark, blooms="force" if blooms else "off"
+        )
 
     def _bucket_bytes(self, snap: dict, bucket: int) -> int:
         """Total on-disk bytes of one bucket's live generations (driver-side
@@ -1827,6 +1887,7 @@ class LakeTable:
         lsn_horizon: int | None = None,
         strategy: str = "map",
         map_max_bucket_bytes: int | None = None,
+        blooms: bool = True,
     ) -> int:
         """Shared kernel for compact/vacuum: resolve the victims' per-key
         LWW winner, optionally drop tombstone winners below the LSN horizon,
@@ -1875,14 +1936,15 @@ class LakeTable:
             stage = self.new_staging_dir()
             updates.update(
                 rewrite_buckets_map(
-                    spark, self, map_victims, stage, lsn_horizon=lsn_horizon
+                    spark, self, map_victims, stage,
+                    lsn_horizon=lsn_horizon, blooms=blooms,
                 )
             )
         if shuffle_victims:
             updates.update(
                 self._shuffle_rewrite_updates(
                     spark, snap, sorted(shuffle_victims), salt_factor,
-                    lsn_horizon,
+                    lsn_horizon, blooms=blooms,
                 )
             )
         for b in victims:
@@ -1907,6 +1969,7 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         salt_factor: int = 4,
         strategy: str = "map",
+        blooms: bool = True,
     ) -> int:
         """Rewrite multi-generation (unmerged) buckets back to one winner row
         per key — the MoR maintenance op that bounds read amplification.
@@ -1929,7 +1992,7 @@ class LakeTable:
                 return self.current_snapshot_id()
             return self._rewrite_buckets(
                 spark, chosen, op="compact", salt_factor=salt_factor,
-                strategy=strategy,
+                strategy=strategy, blooms=blooms,
             )
 
         return _retry_conflicts(_once)
@@ -1941,6 +2004,7 @@ class LakeTable:
         salt_factor: int = 4,
         max_buckets: int | None = None,
         strategy: str = "map",
+        blooms: bool = True,
     ) -> int | None:
         """Compact only the buckets whose delta-generation count crossed the
         threshold; returns the new snapshot id or None if nothing to do.
@@ -1967,7 +2031,7 @@ class LakeTable:
                 chosen = chosen[:max_buckets]
             return self._rewrite_buckets(
                 spark, sorted(chosen), op="compact", salt_factor=salt_factor,
-                strategy=strategy,
+                strategy=strategy, blooms=blooms,
             )
 
         return _retry_conflicts(_once)
@@ -1995,6 +2059,7 @@ class LakeTable:
         new_n_buckets: int,
         salt_factor: int = 4,
         strategy: str = "auto",
+        blooms: bool = True,
     ) -> int:
         """Bucket-count EVOLUTION: rewrite the whole table into a new
         hash-bucket layout — the growth path from a small table to the
@@ -2088,7 +2153,9 @@ class LakeTable:
             parted.sortWithinPartitions(BUCKET_COL, *sort_cols).write.mode(
                 "overwrite"
             ).partitionBy(BUCKET_COL).parquet(stage)
-        updates = self.collect_staged(stage, spark)
+        updates = self.collect_staged(
+            stage, spark, blooms="force" if blooms else "off"
+        )
         return self.commit(
             op="rebucket",
             epoch=None,
@@ -2156,6 +2223,8 @@ class LakeTable:
             except (OSError, ValueError):
                 pass  # unreadable manifest: still removed below
 
+        from cnpj_data_pipeline_spark.lake.bloom import remove_sidecar
+
         files_removed = 0
         bytes_removed = 0
         touched_dirs: set[str] = set()
@@ -2168,6 +2237,7 @@ class LakeTable:
                 touched_dirs.add(os.path.dirname(fp))
             except OSError:
                 pass  # already gone / concurrent GC — harmless
+            remove_sidecar(fp)  # sidecars share their data file's lifecycle
         # drop now-emptied dirs (committer artifacts like _SUCCESS keep a dir
         # "non-empty" — sweep them when every data file is gone)
         for d in sorted(touched_dirs, key=len, reverse=True):
@@ -2238,12 +2308,24 @@ class LakeTable:
                     referenced.update(info["files"])
             except (OSError, ValueError):
                 pass
+        from cnpj_data_pipeline_spark.lake.bloom import (
+            data_file_of_sidecar,
+            is_sidecar,
+        )
+
         now = _time.time()
         files_removed = 0
         bytes_removed = 0
         for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
             for fn in filenames:
                 fp = os.path.join(dirpath, fn)
+                if is_sidecar(fn):
+                    # a sidecar is live iff its data file is — manifests
+                    # never reference sidecars directly
+                    fp = data_file_of_sidecar(fp)
+                    if os.path.relpath(fp, self.root) in referenced:
+                        continue
+                    fp = os.path.join(dirpath, fn)
                 if os.path.relpath(fp, self.root) in referenced:
                     continue
                 try:
@@ -2365,6 +2447,7 @@ class LakeTable:
         lsn_horizon: int,
         salt_factor: int = 4,
         strategy: str = "map",
+        blooms: bool = True,
     ) -> int:
         """Physically drop tombstones whose LSN is below the horizon (no late
         event with a lower LSN can still arrive). Implemented as a compaction
@@ -2386,6 +2469,7 @@ class LakeTable:
                 salt_factor=salt_factor,
                 lsn_horizon=lsn_horizon,
                 strategy=strategy,
+                blooms=blooms,
             )
 
         return _retry_conflicts(_once)

@@ -241,6 +241,7 @@ def _make_task(
     key_cols: list[str] | None,
     evolved_json: str,
     audit_col: str | None,
+    blooms: bool = False,
 ):
     """Build the Arrow task body. Everything it closes over is tiny and
     picklable; the evolved schema travels as JSON and is rebuilt per task
@@ -310,6 +311,14 @@ def _make_task(
                 os.makedirs(bdir, exist_ok=True)
                 path = os.path.join(bdir, f"part-{uuid.uuid4().hex}.parquet")
                 pq.write_table(out, path, compression="zstd")
+                if blooms and key_cols:
+                    # the key column is already in memory — the sidecar is
+                    # a vectorized hash pass, no extra read anywhere
+                    from cnpj_data_pipeline_spark.lake.bloom import (
+                        write_sidecar,
+                    )
+
+                    write_sidecar(path, out.column(key_cols[0]))
                 st = _file_stats(
                     path, LSN_META_COL, key_cols[0] if key_cols else None
                 )
@@ -425,6 +434,7 @@ def apply_changes_copart(
             key_cols,
             evolved.json(),
             cfg.audit_col if cfg.write_audit_col else None,
+            blooms=cfg.key_blooms == "force",
         )
         rows = driving.mapInPandas(task, _RESULT_SCHEMA).collect()
         _mark("merge_write")
@@ -474,6 +484,7 @@ def apply_changes_copart(
             cfg.compact_threshold,
             salt_factor=cfg.salt_factor,
             max_buckets=cfg.compact_max_buckets,
+            blooms=cfg.key_blooms != "off",
         )
         if compacted_sid is not None:
             sid = compacted_sid
@@ -499,6 +510,7 @@ def rewrite_buckets_map(
     stage: str,
     lsn_horizon: int | None = None,
     merge_partitions: int | None = None,
+    blooms: bool = True,
 ) -> dict[int, dict]:
     """MAP-ONLY bucket rewrite — the compaction/vacuum kernel without the
     shuffle. A committed bucket's generations already live together on disk
@@ -585,6 +597,12 @@ def rewrite_buckets_map(
                 os.makedirs(bdir, exist_ok=True)
                 path = os.path.join(bdir, f"part-{uuid.uuid4().hex}.parquet")
                 pq.write_table(folded, path, compression="zstd")
+                if blooms:
+                    from cnpj_data_pipeline_spark.lake.bloom import (
+                        write_sidecar,
+                    )
+
+                    write_sidecar(path, folded.column(key_cols[0]))
                 st = _file_stats(path, LSN_META_COL, key_cols[0])
                 import json as _json
 

@@ -310,7 +310,7 @@ def apply_changes(
         with owned_write_conf(spark):
             phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
         _mark("append_write")
-        updates = table.collect_staged(stage, spark)
+        updates = table.collect_staged(stage, spark, blooms=cfg.key_blooms)
         _mark("collect_staged")
         if stage_only:
             return _staged_result(
@@ -385,7 +385,7 @@ def apply_changes(
         with owned_write_conf(spark):
             phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
         _mark("merge_write")
-        updates = table.collect_staged(stage, spark)
+        updates = table.collect_staged(stage, spark, blooms=cfg.key_blooms)
         _mark("collect_staged")
         if stage_only:
             return _staged_result(
@@ -414,6 +414,7 @@ def apply_changes(
                 cfg.compact_threshold,
                 salt_factor=cfg.salt_factor,
                 max_buckets=cfg.compact_max_buckets,
+                blooms=cfg.key_blooms != "off",
             )
             if compacted_sid is not None:
                 sid = compacted_sid
@@ -547,7 +548,7 @@ def apply_changes(
         phys.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
     _mark("merge_write")
 
-    updates = table.collect_staged(stage, spark)
+    updates = table.collect_staged(stage, spark, blooms=cfg.key_blooms)
     _mark("collect_staged")
     # a touched bucket can stage zero files only if all its rows vanished —
     # impossible under tombstone retention, but keep the manifest consistent:
