@@ -108,6 +108,12 @@ class EngineConfig:
     key_blooms: str = "auto"
 
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
+    # Version-resolution engine for tables CREATED by this job: "lww"
+    # (newest row wins — the default) or "partial" (newest value wins PER
+    # COLUMN: Paimon's partial-update merge engine, made associative with
+    # per-column origin LSNs — operators/partial.py). A table property,
+    # fixed at creation; existing tables keep theirs.
+    merge_engine: str = "lww"
     lsn_col: str = "lsn"
     op_col: str = "op"
     ts_col: str = "ts"

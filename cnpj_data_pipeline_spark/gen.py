@@ -154,3 +154,59 @@ def epoch_batches(changes: DataFrame, n_epochs: int, drop_evolved_before: int | 
         if drop_evolved_before is not None and e < drop_evolved_before and "tool_meta" in b.columns:
             b = b.drop("tool_meta")
         yield e, b
+
+
+def gen_partial_changes(
+    spark: SparkSession,
+    n_events: int,
+    n_convs: int = 1_000,
+    turns_per_conv: int = 10,
+    n_epochs: int = 4,
+    seed: int = 42,
+    update_ratio: float = 0.45,
+    delete_ratio: float = 0.05,
+    late_ratio: float = 0.05,
+    skew: float = 0.0,
+    keep_pct: int = 55,
+) -> DataFrame:
+    """A PARTIAL-update change stream: same envelope as :func:`gen_changes`
+    but each non-delete event carries only a hash-selected SUBSET of the
+    payload columns (the rest NULL) — the shape a Debezium source emits for
+    a wide table patched a few fields at a time (unchanged-TOAST columns
+    arrive as nulls). Feed to a ``merge_engine="partial"`` table; the golden
+    fold is :func:`oracle.partial_final_state`.
+
+    ``keep_pct``: per-column probability (percent) an event sets that
+    column. Events with every column masked still count (an all-null patch
+    keeps the key alive). ``dup_ratio`` is pinned to 0 so (key, lsn) is
+    unique — value-level tie-breaks are covered by the explicit unit tests,
+    keeping the pandas golden free of string-rendering coupling."""
+    ch = gen_changes(
+        spark,
+        n_events,
+        n_convs=n_convs,
+        turns_per_conv=turns_per_conv,
+        n_epochs=n_epochs,
+        seed=seed,
+        update_ratio=update_ratio,
+        delete_ratio=delete_ratio,
+        dup_ratio=0.0,
+        late_ratio=late_ratio,
+        skew=skew,
+    )
+    out = ch
+    for i, c in enumerate(("role", "text", "tool", "ts")):
+        keep = (
+            F.pmod(
+                F.abs(F.xxhash64(F.col("lsn"), F.lit(seed), F.lit(900 + i))),
+                F.lit(100),
+            )
+            < keep_pct
+        )
+        out = out.withColumn(
+            c,
+            F.when((F.col("op") != "D") & keep, F.col(c)).otherwise(
+                F.lit(None).cast(dict(zip(ch.columns, ch.schema))[c].dataType)
+            ),
+        )
+    return out

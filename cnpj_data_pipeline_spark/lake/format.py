@@ -173,6 +173,25 @@ PHYSICAL_META_FIELDS = [
     T.StructField(OP_META_COL, T.StringType(), False),
 ]
 
+# Extra physical meta carried by PARTIAL-update tables (merge_engine=
+# "partial"): per-column origin LSNs and the folded delete horizon — the
+# provenance that keeps the per-column fold associative across compactions
+# and out-of-order arrival (operators/partial.py module doc). Raw WAL rows
+# lack them (schema-padded to NULL on read: origin defaults to the row LSN).
+PARTIAL_META_FIELDS = [
+    T.StructField(
+        "__col_lsns", T.MapType(T.StringType(), T.LongType()), True
+    ),
+    T.StructField("__del_lsn", T.LongType(), True),
+]
+
+
+def _phys_meta_fields(snap: dict) -> list:
+    """The physical meta columns a snapshot's files carry (engine-aware)."""
+    if snap.get("merge_engine", "lww") == "partial":
+        return PHYSICAL_META_FIELDS + PARTIAL_META_FIELDS
+    return PHYSICAL_META_FIELDS
+
 
 def bucket_expr(key_cols: Sequence[str] | None, n_buckets: int, lsn_col: str = "lsn"):
     """Stable bucket assignment on the FULL key. Hashing (conv_id, turn_idx)
@@ -367,6 +386,7 @@ class LakeTable:
         key_cols: Sequence[str] | None,
         n_buckets: int,
         bucket_cols: Sequence[str] | None = None,
+        merge_engine: str = "lww",
     ) -> "LakeTable":
         """``key_cols=None`` declares a KEYLESS append-only table (the
         reference's no-PK ``socios`` path, src/database/postgres.py:213-214,
@@ -383,7 +403,20 @@ class LakeTable:
         trade: a single hot conversation concentrates in one bucket — the
         merge's (bucket, salt-of-full-key) shuffle still spreads its WORK,
         only the file layout concentrates. Must be a subset of ``key_cols``
-        (a key's versions must never span buckets)."""
+        (a key's versions must never span buckets).
+
+        ``merge_engine``: how a key's versions resolve. "lww" (default) —
+        newest ROW wins under the engine total order. "partial" — newest
+        value wins PER COLUMN (Paimon's partial-update merge engine, done
+        associatively — see ``operators/partial.py``); requires key
+        columns and the merge-on-read write path."""
+        if merge_engine not in ("lww", "partial"):
+            raise ValueError(f"unknown merge_engine {merge_engine!r}")
+        if merge_engine == "partial" and key_cols is None:
+            raise ValueError(
+                "merge_engine='partial' folds versions per key — a keyless "
+                "append-only table has no versions to fold"
+            )
         if bucket_cols is not None:
             if key_cols is None:
                 raise ValueError("bucket_cols requires a keyed table")
@@ -405,6 +438,7 @@ class LakeTable:
             "schema": schema.json(),
             "key_cols": list(key_cols) if key_cols is not None else None,
             "bucket_cols": list(bucket_cols) if bucket_cols is not None else None,
+            "merge_engine": merge_engine,
             "n_buckets": int(n_buckets),
             "buckets": {},
             "applied_epochs": [],
@@ -480,7 +514,11 @@ class LakeTable:
         return schema_from_json(self.snapshot(sid)["schema"])
 
     def physical_schema(self, sid: int | None = None) -> T.StructType:
-        return T.StructType(list(self.schema(sid).fields) + PHYSICAL_META_FIELDS)
+        snap = self.snapshot(sid)
+        return T.StructType(
+            list(schema_from_json(snap["schema"]).fields)
+            + _phys_meta_fields(snap)
+        )
 
     def key_cols(self) -> list[str] | None:
         kc = self.snapshot()["key_cols"]
@@ -554,9 +592,9 @@ class LakeTable:
             else self.snapshot(snapshot_id)
         )
         keyless = snap["key_cols"] is None
-        phys = T.StructType(
-            list(schema_from_json(snap["schema"]).fields) + PHYSICAL_META_FIELDS
-        )
+        engine = snap.get("merge_engine", "lww")
+        payload_fields = schema_from_json(snap["schema"]).fields
+        phys = T.StructType(list(payload_fields) + _phys_meta_fields(snap))
         sel = None if buckets is None else {int(b) for b in buckets}
         merged_b, unmerged_b = [], []
         for b, info in snap["buckets"].items():
@@ -577,22 +615,42 @@ class LakeTable:
 
         df = _scan(merged_b)
         if unmerged_b:
-            from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
-
-            # hash-aggregate LWW: map-side partials collapse the delta
+            # hash-aggregate fold: map-side partials collapse the delta
             # generations before the shuffle — the MoR read tax shrinks with
-            # combine, instead of shuffling every version to a sort
-            winners = lww_winners_agg(
-                _scan(unmerged_b),
-                snap["key_cols"],
-                lsn_col=LSN_META_COL,
-                op_col=OP_META_COL,
-            )
+            # combine, instead of shuffling every version to a sort. The
+            # fold is the table's merge engine: LWW (newest row) or partial
+            # (newest value per column, operators/partial.py).
+            if engine == "partial":
+                from cnpj_data_pipeline_spark.operators.partial import (
+                    partial_winners_agg,
+                )
+
+                key_set = set(snap["key_cols"])
+                winners = partial_winners_agg(
+                    _scan(unmerged_b),
+                    snap["key_cols"],
+                    [f.name for f in payload_fields if f.name not in key_set],
+                    lsn_col=LSN_META_COL,
+                    op_col=OP_META_COL,
+                )
+            else:
+                from cnpj_data_pipeline_spark.operators.dedup import (
+                    lww_winners_agg,
+                )
+
+                winners = lww_winners_agg(
+                    _scan(unmerged_b),
+                    snap["key_cols"],
+                    lsn_col=LSN_META_COL,
+                    op_col=OP_META_COL,
+                )
             df = df.unionByName(winners)
         if not include_tombstones and not keyless:
             df = df.filter(F.col(OP_META_COL) != "D")
         if not include_meta:
             df = df.drop(LSN_META_COL, OP_META_COL)
+            if engine == "partial":
+                df = df.drop(*[f.name for f in PARTIAL_META_FIELDS])
         return df
 
     def read_keys(
@@ -933,7 +991,8 @@ class LakeTable:
         to_sid = self.current_snapshot_id() if to_snapshot is None else to_snapshot
         new_files, end_schema_json = self.change_window_files(from_snapshot, to_sid)
         phys = T.StructType(
-            list(schema_from_json(end_schema_json).fields) + PHYSICAL_META_FIELDS
+            list(schema_from_json(end_schema_json).fields)
+            + _phys_meta_fields(self.snapshot(to_sid))
         )
         if not new_files:
             df = spark.createDataFrame([], phys)
@@ -993,6 +1052,13 @@ class LakeTable:
         key_cols = self.key_cols()
         if key_cols is None:
             raise ValueError("typed change feed requires key columns (keyless table)")
+        if self.snapshot().get("merge_engine", "lww") == "partial":
+            raise ValueError(
+                "typed change feed is defined over the LWW engine (pre/post "
+                "images are whole-row states); partial-update tables expose "
+                "the raw feed (read_changes) — each row is a column patch "
+                "with __col_lsns provenance"
+            )
         to_sid = self.current_snapshot_id() if to_snapshot is None else to_snapshot
         feed = self.read_changes(spark, from_snapshot, to_sid)
         from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
@@ -1074,7 +1140,9 @@ class LakeTable:
         """Physical rows (incl. tombstones + meta) of the touched buckets, padded
         to the evolved schema, with the bucket column re-derived."""
         snap = self.snapshot()
-        phys = T.StructType(list(evolved_schema.fields) + PHYSICAL_META_FIELDS)
+        phys = T.StructType(
+            list(evolved_schema.fields) + _phys_meta_fields(snap)
+        )
         files = self._bucket_files(snap, buckets)
         if not files:
             df = spark.createDataFrame([], phys)
@@ -1243,7 +1311,11 @@ class LakeTable:
           (the rewrite was computed from stale state; callers re-run the op).
         * append-mode commits always rebase cleanly: their delta files attach
           to whatever the new parent's buckets hold, and a concurrently
-          evolved schema unions with this commit's.
+          evolved schema unions with this commit's. In append mode ``merged``
+          is the writer's voucher that the generation holds one folded row
+          per key — pass ``merged=False`` when appending RAW versions (an
+          unfolded copart chunk, a partial-engine append) so a first
+          generation still resolves through the merge-on-read fold.
 
         ``expected_parent`` is the snapshot id the caller planned/read its
         input state at (defaults to the head seen on the first attempt).
@@ -1394,8 +1466,14 @@ class LakeTable:
                     1 if info["files"] else 0
                 )
                 # keyless tables have no per-key versions to resolve: every
-                # generation is final state, so the bucket is always "merged"
-                is_merged = True if keyless else gens <= 1
+                # generation is final state, so the bucket is always "merged".
+                # For keyed tables a first generation is merged only if the
+                # WRITER vouches it folded the batch (``merged``): a raw
+                # (unfolded) generation — the partial engine's copart append,
+                # or a chunk-split hot bucket — can hold several versions of
+                # one key, and the fold-free merged fast path would surface
+                # them all.
+                is_merged = True if keyless else (gens <= 1 and merged)
             else:
                 files = info["files"]
                 rows = info["rows"]
@@ -1439,6 +1517,7 @@ class LakeTable:
             "schema": schema_json,
             "key_cols": cur["key_cols"],
             "bucket_cols": cur.get("bucket_cols"),
+            "merge_engine": cur.get("merge_engine", "lww"),
             "props": {**(cur.get("props") or {}), **(props or {})},
             "n_buckets": int(new_n_buckets) if new_n_buckets is not None else cur["n_buckets"],
             "buckets": buckets,
@@ -1527,11 +1606,13 @@ class LakeTable:
         bucket_updates: dict[int, dict],
         new_schema: T.StructType | None,
         stage_dir: str,
+        merged: bool = True,
     ) -> str:
         """Persist a pending (staged, unpublished) commit descriptor and
         return its token. The staged data files stay invisible; the
         descriptor is what protects them from orphan GC until the batch is
-        published or abandoned."""
+        published or abandoned. ``merged``: the writer's voucher that each
+        staged generation holds one folded row per key (see ``commit``)."""
         snap = self.snapshot()
         token = _uuid.uuid4().hex[:16]
         desc = {
@@ -1539,6 +1620,7 @@ class LakeTable:
             "op": op,
             "epochs": sorted(int(e) for e in epochs),
             "mode": "append",
+            "merged": bool(merged),
             "n_buckets": snap["n_buckets"],
             "bucket_cols": self._bucket_cols_of(snap),
             "bucket_updates": {str(b): u for b, u in bucket_updates.items()},
@@ -1620,7 +1702,11 @@ class LakeTable:
                 "files": files,
                 "rows": prev.get("rows", 0) + info["rows"],
                 "max_lsn": max_lsn,
-                "merged": True if keyless else gens <= 1,
+                "merged": (
+                    True
+                    if keyless
+                    else gens <= 1 and desc.get("merged", True)
+                ),
                 "gens": gens,
             }
         if desc.get("new_schema"):
@@ -1655,7 +1741,9 @@ class LakeTable:
                 )
             else:
                 schema = self.schema()
-            phys = T.StructType(list(schema.fields) + PHYSICAL_META_FIELDS)
+            phys = T.StructType(
+                list(schema.fields) + _phys_meta_fields(self.snapshot())
+            )
             files = [
                 os.path.join(self.root, f)
                 for info in desc["bucket_updates"].values()
@@ -1714,6 +1802,7 @@ class LakeTable:
                 bucket_updates=updates,
                 new_schema=new_schema,
                 mode="append",
+                merged=desc.get("merged", True),
                 expected_parent=head["snapshot_id"],
                 max_retries=max_retries,
             )
@@ -1807,11 +1896,12 @@ class LakeTable:
         blooms: bool = True,
     ) -> dict[int, dict]:
         """The salted-repartition rewrite kernel: read the victims' state,
-        resolve per-key LWW winners across (bucket, salt) tasks, write
-        key-clustered files, harvest stats. Returns the commit-ready
+        resolve the per-key fold across (bucket, salt) tasks (the table's
+        merge engine: LWW winner row, or partial per-column fold — the salt
+        is a full-key hash, so a key's versions never split across groups),
+        write key-clustered files, harvest stats. Returns the commit-ready
         ``bucket_updates`` fragment (caller owns the commit)."""
         from cnpj_data_pipeline_spark.config import SALT_COL
-        from cnpj_data_pipeline_spark.operators.dedup import lww_winners_agg
 
         key_cols = snap["key_cols"]
         df = self.read_state_for_merge(spark, victims, self.schema())
@@ -1829,12 +1919,30 @@ class LakeTable:
             ),
         )
         parted = df.repartition(n_parts, F.col(BUCKET_COL), F.col(SALT_COL))
-        winners = lww_winners_agg(
-            parted,
-            [BUCKET_COL, SALT_COL, *key_cols],
-            lsn_col=LSN_META_COL,
-            op_col=OP_META_COL,
-        ).drop(SALT_COL)
+        if snap.get("merge_engine", "lww") == "partial":
+            from cnpj_data_pipeline_spark.operators.partial import (
+                partial_winners_agg,
+            )
+
+            key_set = set(key_cols)
+            winners = partial_winners_agg(
+                parted,
+                [BUCKET_COL, SALT_COL, *key_cols],
+                [f.name for f in self.schema().fields if f.name not in key_set],
+                lsn_col=LSN_META_COL,
+                op_col=OP_META_COL,
+            ).drop(SALT_COL)
+        else:
+            from cnpj_data_pipeline_spark.operators.dedup import (
+                lww_winners_agg,
+            )
+
+            winners = lww_winners_agg(
+                parted,
+                [BUCKET_COL, SALT_COL, *key_cols],
+                lsn_col=LSN_META_COL,
+                op_col=OP_META_COL,
+            ).drop(SALT_COL)
         if lsn_horizon is not None:
             winners = winners.filter(
                 ~(
@@ -1913,6 +2021,11 @@ class LakeTable:
             )
         map_victims: list[int] = []
         shuffle_victims: list[int] = []
+        if snap.get("merge_engine", "lww") == "partial":
+            # the map-only Arrow kernel implements the LWW fold; partial
+            # tables compact through the shuffle kernel (same partial fold
+            # as read — one implementation, no bit-parity risk)
+            strategy = "shuffle"
         if strategy == "map":
             limit = (
                 map_max_bucket_bytes
@@ -2042,7 +2155,8 @@ class LakeTable:
         (exchange-free) plan — strategy-specific distribution is layered on
         top by :meth:`rebucket`."""
         phys = T.StructType(
-            list(schema_from_json(snap["schema"]).fields) + PHYSICAL_META_FIELDS
+            list(schema_from_json(snap["schema"]).fields)
+            + _phys_meta_fields(snap)
         )
         files = self._bucket_files(snap)
         if files:

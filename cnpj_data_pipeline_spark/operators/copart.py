@@ -242,6 +242,7 @@ def _make_task(
     evolved_json: str,
     audit_col: str | None,
     blooms: bool = False,
+    fold: bool = True,
 ):
     """Build the Arrow task body. Everything it closes over is tiny and
     picklable; the evolved schema travels as JSON and is rebuilt per task
@@ -286,7 +287,7 @@ def _make_task(
                 tbl = pa.concat_tables(
                     [_normalize_to(pq.read_table(f), wal_target) for f in files]
                 )
-                if key_cols and len(tbl):
+                if key_cols and fold and len(tbl):
                     tbl = lww_fold(tbl)
                 tbl = tbl.rename_columns(
                     [
@@ -386,6 +387,7 @@ def apply_changes_copart(
 
     snap = table.snapshot()
     key_cols = list(snap["key_cols"]) if snap["key_cols"] is not None else None
+    engine = snap.get("merge_engine", "lww")
     if key_cols is not None and cfg.write_mode != "mor":
         raise ValueError(
             "copartitioned apply requires the merge-on-read write path for "
@@ -409,6 +411,12 @@ def apply_changes_copart(
             sorted(bucket_files[b]), cfg.copart_max_task_bytes
         )
     ]
+    # The commit's "merged" voucher: a generation holds one folded row per
+    # key only if the kernel folded (LWW engine) AND no bucket was split
+    # into chunks (cross-chunk duplicates both reach the delta files). A
+    # raw generation stays "unmerged" so the read path resolves it.
+    n_chunked_buckets = len({b for b, _ in chunks})
+    folded_gen = engine != "partial" and len(chunks) == n_chunked_buckets
     _mark("plan")
 
     updates: dict[int, dict] = {}
@@ -435,6 +443,11 @@ def apply_changes_copart(
             evolved.json(),
             cfg.audit_col if cfg.write_audit_col else None,
             blooms=cfg.key_blooms == "force",
+            # partial engine: append ALL raw versions — the Arrow kernel's
+            # LWW fold would drop batch "losers" whose columns the winner
+            # lacks; raw rows carry their origin LSN implicitly, so the
+            # read/compaction fold stays associative (operators/partial.py)
+            fold=engine != "partial",
         )
         rows = driving.mapInPandas(task, _RESULT_SCHEMA).collect()
         _mark("merge_write")
@@ -461,7 +474,7 @@ def apply_changes_copart(
         out = _staged_result(
             table, epoch, sorted(epoch_set), updates,
             evolved if evolved_changed else None, stage, t0, phases,
-            evolved_changed,
+            evolved_changed, merged=folded_gen,
         )
         out["copartitioned"] = True
         return out
@@ -472,6 +485,7 @@ def apply_changes_copart(
             bucket_updates=updates,
             new_schema=evolved if evolved_changed else None,
             mode="append",
+            merged=folded_gen,
             expected_parent=snap["snapshot_id"],
         )
     except EpochAlreadyAppliedError:
@@ -533,6 +547,12 @@ def rewrite_buckets_map(
     Returns the commit-ready ``bucket_updates`` fragment for the victims
     (caller owns the commit and the watermark-keep/empty-bucket fixups)."""
     snap = table.snapshot()
+    if snap.get("merge_engine", "lww") == "partial":
+        raise ValueError(
+            "the map-only rewrite kernel implements the LWW fold; partial "
+            "tables compact via the shuffle kernel (_rewrite_buckets routes "
+            "them automatically)"
+        )
     key_cols = list(snap["key_cols"])
     schema_json = table.schema().json()
     bucket_files = {

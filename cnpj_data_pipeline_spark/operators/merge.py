@@ -154,6 +154,7 @@ def _staged_result(
     t0: float,
     phases: dict,
     evolved_changed: bool,
+    merged: bool = True,
 ) -> dict:
     """Persist the pending-commit descriptor (WAP stage) and report it."""
     token = table.stage_commit(
@@ -162,6 +163,7 @@ def _staged_result(
         bucket_updates=updates,
         new_schema=new_schema,
         stage_dir=stage,
+        merged=merged,
     )
     return {
         "epoch": epoch,
@@ -257,6 +259,13 @@ def apply_changes(
     key_cols = list(snap["key_cols"]) if snap["key_cols"] is not None else None
     bucket_cols = LakeTable._bucket_cols_of(snap)
     n_buckets = int(snap["n_buckets"])
+    engine = snap.get("merge_engine", "lww")
+    if engine == "partial" and cfg.write_mode != "mor":
+        raise ValueError(
+            "merge_engine='partial' requires the merge-on-read write path — "
+            "a copy-on-write apply materializes whole rows, which is the "
+            "LWW semantics partial tables exist to avoid"
+        )
     if stage_only and key_cols is not None and cfg.write_mode != "mor":
         raise ValueError(
             "stage_only (write-audit-publish) requires the merge-on-read "
@@ -368,13 +377,34 @@ def apply_changes(
             F.col(BUCKET_COL),
             F.col(SALT_COL),
         )
-        winners = lww_winners_agg(
-            parted, [BUCKET_COL, SALT_COL, *key_cols]
-        ).drop(SALT_COL)
+        extra_meta: list = []
+        if engine == "partial":
+            # per-column fold: within-batch folding stays correct for
+            # out-of-order streams because the fold emits per-column origin
+            # LSNs — the batch's folded row is refoldable against anything
+            # (operators/partial.py). Same exchange reuse as the LWW agg.
+            from cnpj_data_pipeline_spark.operators.partial import (
+                COL_LSNS_META_COL,
+                DEL_LSN_META_COL,
+                partial_winners_agg,
+            )
+
+            key_set = set(key_cols)
+            winners = partial_winners_agg(
+                parted,
+                [BUCKET_COL, SALT_COL, *key_cols],
+                [f.name for f in evolved.fields if f.name not in key_set],
+            ).drop(SALT_COL)
+            extra_meta = [F.col(COL_LSNS_META_COL), F.col(DEL_LSN_META_COL)]
+        else:
+            winners = lww_winners_agg(
+                parted, [BUCKET_COL, SALT_COL, *key_cols]
+            ).drop(SALT_COL)
         phys = winners.select(
             *[F.col(f.name) for f in evolved.fields],
             F.col("lsn").alias(LSN_META_COL),
             F.col("op").alias(OP_META_COL),
+            *extra_meta,
             F.col(BUCKET_COL),
         )
         if cfg.write_audit_col:

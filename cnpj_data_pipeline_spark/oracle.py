@@ -37,3 +37,44 @@ def final_state(changes: pd.DataFrame, payload_cols: list[str] | None = None) ->
     alive = winners[winners["op"] != "D"]
     out = alive[payload_cols].sort_values(KEY, kind="mergesort").reset_index(drop=True)
     return out
+
+
+def partial_final_state(
+    changes: pd.DataFrame, payload_cols: list[str] | None = None
+) -> pd.DataFrame:
+    """Golden final state under the PARTIAL-update merge engine
+    (``operators/partial.py``): per key, the newest tombstone LSN is the
+    delete horizon; each payload column independently takes the value of
+    the highest-LSN non-delete event strictly above that horizon; the key
+    is alive iff any non-delete event sits strictly above the horizon.
+
+    Assumes (key, lsn) unique within the stream (``gen_partial_changes``
+    pins dup_ratio=0) — value-level tie-breaking is pinned by the engine's
+    own cross-partitioning determinism tests, not by this pandas fold."""
+    if payload_cols is None:
+        payload_cols = [
+            c for c in changes.columns if c not in ("op", "lsn", "epoch")
+        ]
+    value_cols = [c for c in payload_cols if c not in KEY]
+    df = changes.copy()
+    dels = (
+        df[df["op"] == "D"]
+        .groupby(KEY, sort=False)["lsn"]
+        .max()
+        .rename("__dl")
+    )
+    df = df.merge(dels, on=KEY, how="left")
+    df["__dl"] = df["__dl"].fillna(-1)
+    live = df[(df["op"] != "D") & (df["lsn"] > df["__dl"])]
+    live = live.sort_values(
+        KEY + ["lsn"], ascending=[True] * len(KEY) + [False], kind="mergesort"
+    )
+    # GroupBy.first skips nulls: exactly "newest non-null per column"
+    agg = live.groupby(KEY, sort=True, as_index=False).agg(
+        {c: "first" for c in value_cols}
+    )
+    return (
+        agg[KEY + value_cols]
+        .sort_values(KEY, kind="mergesort")
+        .reset_index(drop=True)
+    )

@@ -42,6 +42,7 @@ class IngestJob:
             TRANSCRIPT_SCHEMA,
             key_cols=list(self.cfg.key_cols),
             n_buckets=self.cfg.n_buckets,
+            merge_engine=self.cfg.merge_engine,
         )
 
     def run_batches(

@@ -71,8 +71,11 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
 # and pytest; they are not dropped capabilities. Round 4 PROMOTED into the
 # driver gate (VERDICT r3 advice #7): q_cdc_replay_copart (the headline
 # shuffle-free ingest path), q_decontaminate, q_pack_sequences,
-# q_turn_structure.
+# q_turn_structure; later in round 4, q_cdc_replay_partial (the
+# partial-update merge engine) took q_doc_sample's slot (O4 ordered LIMIT —
+# the operator also runs inside q_top_docs_per_lang's gated ordered top-k).
 _EXTRA_NAMES = (
+    "q_doc_sample",
     "q_minhash_signatures",
     "q_simhash",
     "q_ivf_cells",

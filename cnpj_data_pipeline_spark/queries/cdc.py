@@ -780,6 +780,88 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark, snapshot_id=sid)
 
 
+# partial-update masking: each payload column is kept on a disjoint digit of
+# the LSN (integer arithmetic — bit-identical in Spark and DuckDB), so every
+# event is a column PATCH and the final row is assembled from several events
+_PARTIAL_MASK = (("role", 1), ("text", 10), ("tool", 100), ("ts", 1000))
+
+
+def _partial_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = spark.read.parquet(_staged_wal(spark, sf_dir))
+    for c, div in _PARTIAL_MASK:
+        keep = F.expr(f"(lsn DIV {div}) % 10") < 6
+        ch = ch.withColumn(
+            c, F.when((F.col("op") != "D") & keep, F.col(c))
+        )
+    return ch
+
+
+_PARTIAL_LAKE_CACHE: dict[str, str] = {}
+
+
+def q_cdc_replay_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL-UPDATE merge engine replay (operators/partial.py — newest
+    value wins PER COLUMN, associatively): the masked change stream patches
+    each key's columns across many events; the engine ingests it epoch by
+    epoch through a ``merge_engine="partial"`` lake table with the same
+    single-shuffle MoR apply (the fold emits per-column origin LSNs, so
+    within-batch folding stays correct for out-of-order streams), compacts
+    mid-replay (the shuffle rewrite folds whole buckets), and reads back.
+    Must equal the per-column ``arg_max``-above-delete-horizon SQL fold.
+
+    Reference analogue: none — the reference's upsert replaces whole rows
+    (src/database/postgres.py:216-264); partial-update is what its Postgres
+    would express as per-column COALESCE in the conflict clause."""
+    lake = _PARTIAL_LAKE_CACHE.get(sf_dir)
+    if not (lake and os.path.isdir(lake)):
+        ch = _partial_changes(spark, sf_dir)
+        cfg = EngineConfig(
+            n_buckets=16, salt_factor=2, merge_engine="partial"
+        )
+        lake = os.path.join(_mk_scratch("cdc_partial_"), "lake")
+        table = LakeTable.create(
+            lake, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"],
+            cfg.n_buckets, merge_engine="partial",
+        )
+        for e in range(N_EPOCHS):
+            apply_changes(
+                spark, table, ch.filter(F.col("epoch") == e), epoch=e,
+                cfg=cfg,
+            )
+            if e == 1:  # mid-replay compaction: the partial shuffle fold
+                table.compact(spark)
+        _PARTIAL_LAKE_CACHE[sf_dir] = lake
+    return LakeTable.load(lake).read(spark)
+
+
+_PARTIAL_FOLD_SQL = f"""
+WITH {{changes}},
+p AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN op <> 'D' AND (lsn // 1) % 10 < 6 THEN role END AS role,
+         CASE WHEN op <> 'D' AND (lsn // 10) % 10 < 6 THEN text END AS text,
+         CASE WHEN op <> 'D' AND (lsn // 100) % 10 < 6 THEN tool END AS tool,
+         CASE WHEN op <> 'D' AND (lsn // 1000) % 10 < 6 THEN ts END AS ts,
+         op, lsn
+  FROM changes
+),
+dels AS (
+  SELECT conv_id, turn_idx, max(lsn) AS dl FROM p WHERE op = 'D'
+  GROUP BY conv_id, turn_idx
+),
+live AS (
+  SELECT p.* FROM p LEFT JOIN dels d USING (conv_id, turn_idx)
+  WHERE p.op <> 'D' AND p.lsn > coalesce(d.dl, -1)
+)
+SELECT conv_id, turn_idx,
+       arg_max(role, lsn) FILTER (role IS NOT NULL) AS role,
+       arg_max(text, lsn) FILTER (text IS NOT NULL) AS text,
+       arg_max(tool, lsn) FILTER (tool IS NOT NULL) AS tool,
+       arg_max(ts, lsn) FILTER (ts IS NOT NULL) AS ts
+FROM live GROUP BY conv_id, turn_idx
+"""
+
+
 QUERIES = {
     "q_changes_envelope": q_changes_envelope,
     "q_wap_audit": q_wap_audit,
@@ -805,6 +887,7 @@ QUERIES = {
     "q_conv_render": q_conv_render,
     "q_cdc_replay_rebucket": q_cdc_replay_rebucket,
     "q_time_travel": q_time_travel,
+    "q_cdc_replay_partial": q_cdc_replay_partial,
 }
 
 # pre/post winner state for the typed-feed oracle: pre = LWW fold of epochs
@@ -915,6 +998,9 @@ ORACLES = {
     "q_cdc_replay_debezium": _FINAL_STATE_SQL,
     "q_cdc_replay_rebucket": _FINAL_STATE_SQL,
     "q_time_travel": _TIME_TRAVEL_SQL,
+    "q_cdc_replay_partial": _PARTIAL_FOLD_SQL.format(
+        changes=CHANGES_CTE.strip()
+    ),
     "q_turn_structure": _TURN_STRUCTURE_SQL,
     "q_cdc_replay_streaming": _FINAL_STATE_SQL,
     "q_cdc_replay_evolve": f"""

@@ -1,0 +1,269 @@
+"""Partial-update merge engine (operators/partial.py): newest value wins
+PER COLUMN, associatively — correct for out-of-order arrival across
+compactions, which Paimon's partial-update and Hudi's partial payload both
+exclude by contract. Reference analogue: none (the reference's upsert
+replaces whole rows, src/database/postgres.py:216-264)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from cnpj_data_pipeline_spark import EngineConfig, IngestJob, LakeTable
+from cnpj_data_pipeline_spark.gen import epoch_batches, gen_partial_changes
+from cnpj_data_pipeline_spark.operators.merge import apply_changes
+from cnpj_data_pipeline_spark.operators.partial import partial_winners_agg
+from cnpj_data_pipeline_spark.oracle import partial_final_state
+from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+from cnpj_data_pipeline_spark.sources import change_stream as cs
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _ev(conv, turn, lsn, op="U", role=None, text=None, tool=None, ts=None):
+    return dict(
+        conv_id=conv, turn_idx=turn, role=role, text=text, tool=tool,
+        ts=ts, op=op, lsn=lsn, epoch=0,
+    )
+
+
+def _batch(spark, rows, epoch=0):
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+            T.StructField("epoch", T.IntegerType(), False),
+        ]
+    )
+    rows = [{**r, "epoch": epoch} for r in rows]
+    return spark.createDataFrame(pd.DataFrame(rows), sch)
+
+
+def test_partial_fold_semantics_unit(spark):
+    """Disjoint-column merge, delete horizon, all-null insert, and
+    determinism across partitionings."""
+    rows = [
+        # k1: columns arrive in separate events, out of order
+        _ev("c1", 0, 10, text="newest-text"),
+        _ev("c1", 0, 2, tool="old-tool"),
+        _ev("c1", 0, 7, role="assistant", tool="mid-tool"),
+        # k2: delete at 5 kills the lsn-2 column, the lsn-9 one survives
+        _ev("c2", 0, 2, tool="pre-delete"),
+        _ev("c2", 0, 5, op="D"),
+        _ev("c2", 0, 9, text="post-delete"),
+        # k3: delete is newest -> dead
+        _ev("c3", 0, 4, text="x"),
+        _ev("c3", 0, 6, op="D"),
+        # k4: all-null insert still creates the key
+        _ev("c4", 0, 1, op="I"),
+    ]
+    df = _batch(spark, rows).drop("epoch")
+    payload = ["role", "text", "tool", "ts"]
+
+    def fold(parts):
+        out = (
+            partial_winners_agg(df.repartition(parts), KEY, payload)
+            .orderBy(*KEY)
+            .toPandas()
+        )
+        return out
+
+    got = fold(1)
+    by_key = {
+        (r["conv_id"], r["turn_idx"]): r for r in got.to_dict("records")
+    }
+    k1 = by_key[("c1", 0)]
+    assert (k1["text"], k1["tool"], k1["role"]) == (
+        "newest-text", "mid-tool", "assistant",
+    )
+    assert k1["op"] == "U" and k1["lsn"] == 10
+    assert k1["__col_lsns"] == {"text": 10, "tool": 7, "role": 7}
+    k2 = by_key[("c2", 0)]
+    assert k2["text"] == "post-delete" and k2["tool"] is None
+    assert k2["__del_lsn"] == 5 and k2["op"] == "U"
+    k3 = by_key[("c3", 0)]
+    assert k3["op"] == "D" and k3["lsn"] == 6
+    k4 = by_key[("c4", 0)]
+    assert k4["op"] == "U" and all(
+        k4[c] is None or k4[c] is pd.NaT for c in payload
+    )
+    # same result under any partitioning (hash-agg determinism)
+    pd.testing.assert_frame_equal(got, fold(7), check_dtype=False)
+
+
+def test_partial_fold_is_associative(spark):
+    """fold(fold(A) ∪ B) == fold(A ∪ B) for a split that breaks naive
+    row-stamped folds: A's fold mixes column origins 2 and 10; B carries a
+    value at lsn 5 that must beat the origin-2 column and lose to the
+    origin-10 one — and a late delete that must kill only origins < it."""
+    a = [
+        _ev("k", 0, 10, text="t@10"),
+        _ev("k", 0, 2, tool="tool@2"),
+        _ev("x", 0, 2, tool="xtool@2"),
+        _ev("x", 0, 10, text="xt@10"),
+    ]
+    b = [
+        _ev("k", 0, 5, tool="tool@5"),  # beats origin 2, loses to 10
+        _ev("x", 0, 5, op="D"),         # kills origin 2, not origin 10
+    ]
+    payload = ["role", "text", "tool", "ts"]
+    fa = partial_winners_agg(_batch(spark, a).drop("epoch"), KEY, payload)
+    refold = partial_winners_agg(
+        fa.unionByName(
+            _batch(spark, b)
+            .drop("epoch")
+            .selectExpr(
+                "*",
+                "cast(null as map<string,bigint>) as __col_lsns",
+                "cast(null as bigint) as __del_lsn",
+            )
+        ),
+        KEY,
+        payload,
+    )
+    direct = partial_winners_agg(
+        _batch(spark, a + b).drop("epoch"), KEY, payload
+    )
+    got = refold.orderBy(*KEY).toPandas().reset_index(drop=True)
+    want = direct.orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    r = {x["conv_id"]: x for x in got.to_dict("records")}
+    assert r["k"]["text"] == "t@10" and r["k"]["tool"] == "tool@5"
+    assert r["x"]["text"] == "xt@10" and r["x"]["tool"] is None
+    assert r["x"]["__del_lsn"] == 5
+
+
+def test_partial_replay_oracle_with_compaction(spark, tmp_path):
+    """Full engine replay of a generated partial stream — shuffle ingest,
+    mid-stream compaction, crash/resume — equals the pandas golden."""
+    ch = gen_partial_changes(spark, n_events=9_000, n_convs=300, n_epochs=4)
+    wal = str(tmp_path / "wal")
+    for e, b in epoch_batches(ch, 4):
+        cs.write_epoch(b, wal, e)
+    job = IngestJob(
+        str(tmp_path / "lake"),
+        EngineConfig(n_buckets=8, merge_engine="partial", compact_threshold=3),
+    )
+    with pytest.raises(RuntimeError):
+        job.run_stream(spark, wal, fail_after=2)
+    ms = job.run_stream(spark, wal)
+    assert any(m.get("compacted") for m in ms)
+    # third run: nothing pending
+    assert all(m["skipped"] for m in job.run_stream(spark, wal))
+    t = LakeTable.load(str(tmp_path / "lake"))
+    got = (
+        t.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    )
+    golden = partial_final_state(ch.toPandas())
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+
+
+def test_partial_late_data_across_compaction(spark, tmp_path):
+    """THE associativity gate: a compacted bucket's folded row must not
+    smuggle old column values forward under the row's max LSN. Late events
+    land BETWEEN the folded row's per-column origins."""
+    lake = str(tmp_path / "lake")
+    t = LakeTable.create(
+        lake, TRANSCRIPT_SCHEMA, key_cols=KEY, n_buckets=4,
+        merge_engine="partial",
+    )
+    cfg = EngineConfig(n_buckets=4, merge_engine="partial", compact_threshold=0)
+    e0 = [
+        _ev("k", 0, 10, text="t@10"),
+        _ev("k", 0, 2, tool="tool@2"),
+        _ev("d", 0, 2, tool="dtool@2"),
+        _ev("d", 0, 10, text="dt@10"),
+    ]
+    apply_changes(spark, t, _batch(spark, e0, 0), 0, cfg)
+    t.compact(spark)
+    assert all(info["merged"] for info in t.snapshot()["buckets"].values())
+    # late arrivals, lsn BETWEEN the compacted row's column origins
+    e1 = [
+        _ev("k", 0, 5, tool="tool@5"),   # must beat origin 2
+        _ev("k", 0, 4, text="t@4"),      # must lose to origin 10
+        _ev("d", 0, 5, op="D"),          # must kill origin 2, not origin 10
+    ]
+    apply_changes(spark, t, _batch(spark, e1, 1), 1, cfg)
+    got = {
+        (r["conv_id"]): r.asDict()
+        for r in t.read(spark).collect()
+    }
+    assert got["k"]["text"] == "t@10" and got["k"]["tool"] == "tool@5"
+    assert got["d"]["text"] == "dt@10" and got["d"]["tool"] is None
+    # and the state stays correct after ANOTHER compaction
+    t.compact(spark)
+    got2 = {(r["conv_id"]): r.asDict() for r in t.read(spark).collect()}
+    assert got2 == got
+
+
+def test_partial_copart_raw_append_and_point_lookup(spark, tmp_path):
+    """The shuffle-free copart ingest appends RAW versions for partial
+    tables (no batch fold — it would drop column patches); generations stay
+    unmerged so reads fold, and read_keys prunes + folds correctly."""
+    ch = gen_partial_changes(spark, n_events=6_000, n_convs=200, n_epochs=3)
+    wal = str(tmp_path / "wal")
+    for e, b in epoch_batches(ch, 3):
+        cs.write_epoch_bucketed(b, wal, e, KEY, 8)
+    job = IngestJob(
+        str(tmp_path / "lake"),
+        EngineConfig(n_buckets=8, merge_engine="partial", compact_threshold=100),
+    )
+    ms = job.run_stream(spark, wal)
+    assert all(m.get("copartitioned") for m in ms if not m["skipped"])
+    t = LakeTable.load(str(tmp_path / "lake"))
+    # raw generations must never be marked merged (first epoch included)
+    pdf = ch.toPandas()
+    golden = partial_final_state(pdf)
+    got = t.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+    sample = golden.head(5)[KEY]
+    kd = spark.createDataFrame(sample)
+    got_k = (
+        t.read_keys(spark, kd).orderBy(*KEY).toPandas().reset_index(drop=True)
+    )
+    want_k = (
+        golden.merge(sample, on=KEY).sort_values(KEY).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_k, want_k, check_dtype=False)
+
+
+def test_partial_vacuum_and_guards(spark, tmp_path):
+    """Vacuum drops partial tombstones below the horizon; CoW and the typed
+    feed reject partial tables loudly; keyless partial rejected at create."""
+    lake = str(tmp_path / "lake")
+    t = LakeTable.create(
+        lake, TRANSCRIPT_SCHEMA, key_cols=KEY, n_buckets=4,
+        merge_engine="partial",
+    )
+    cfg = EngineConfig(n_buckets=4, merge_engine="partial", compact_threshold=0)
+    apply_changes(
+        spark, t,
+        _batch(spark, [
+            _ev("a", 0, 1, text="x"), _ev("a", 0, 3, op="D"),
+            _ev("b", 0, 2, text="y"),
+        ], 0),
+        0, cfg,
+    )
+    t.vacuum_tombstones(spark, lsn_horizon=10)
+    met = t.read(spark, include_meta=True, include_tombstones=True)
+    assert met.filter(met["__op"] == "D").count() == 0
+    got = {r["conv_id"]: r["text"] for r in t.read(spark).collect()}
+    assert got == {"b": "y"}
+
+    with pytest.raises(ValueError, match="merge-on-read"):
+        apply_changes(
+            spark, t, _batch(spark, [_ev("c", 0, 9, text="z")], 1), 1,
+            EngineConfig(n_buckets=4, write_mode="cow"),
+        )
+    with pytest.raises(ValueError, match="typed change feed"):
+        t.read_changes_typed(spark, 0)
+    with pytest.raises(ValueError, match="keyless"):
+        LakeTable.create(
+            str(tmp_path / "lake2"), TRANSCRIPT_SCHEMA, key_cols=None,
+            n_buckets=4, merge_engine="partial",
+        )
