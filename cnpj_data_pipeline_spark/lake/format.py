@@ -77,6 +77,7 @@ import datetime as _dt
 import glob
 import json
 import os
+import re
 import time as _time
 import uuid as _uuid
 from contextlib import contextmanager
@@ -484,9 +485,11 @@ class LakeTable:
             sid += 1
         return sid
 
-    def snapshot(self, sid: int | None = None) -> dict:
+    def snapshot(self, sid: int | str | None = None) -> dict:
         if sid is None:
             sid = self.current_snapshot_id()
+        elif isinstance(sid, str):
+            sid = self.resolve_tag(sid)
 
         def _read() -> dict:
             with open(self._snapshot_path(sid)) as f:
@@ -519,6 +522,97 @@ class LakeTable:
             list(schema_from_json(snap["schema"]).fields)
             + _phys_meta_fields(snap)
         )
+
+    # ---------------- snapshot tags ----------------
+    #
+    # Iceberg-style NAMED snapshot references: a tag pins a snapshot id
+    # under a stable name ("v1-train", "2026-08-audit") and — the part that
+    # matters at 10^10 rows — PROTECTS it from expire_snapshots, so the
+    # exact table state a model was trained on stays time-travelable long
+    # after the retention horizon rolls past it. Metadata-only: one tiny
+    # file per tag (meta/tags/<name>.json) whose EXCLUSIVE creation is the
+    # concurrency control (same os.link CAS as the commit manifest — two
+    # racers creating one name: exactly one wins, no read-modify-write
+    # window). Reference analogue: none (Postgres keeps only current state;
+    # the reference cannot reproduce last month's load at all).
+
+    _TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, "tags", f"{name}.json")
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin ``snapshot_id`` (default: current head) under ``name``.
+        Idempotent for the same target; raises if the name already pins a
+        DIFFERENT snapshot (drop it first — tags are immutable refs)."""
+        if not self._TAG_NAME_RE.match(name):
+            raise ValueError(f"invalid tag name {name!r}")
+        sid = (
+            self.current_snapshot_id() if snapshot_id is None else int(snapshot_id)
+        )
+        if not os.path.exists(self._snapshot_path(sid)):
+            raise FileNotFoundError(f"no snapshot {sid} to tag")
+        path = self._tag_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.{os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp"
+
+        def _write() -> None:
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"snapshot_id": sid, "created_at": _utcnow_iso()}, f
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, path)  # exclusive create — the tag CAS
+            except FileExistsError:
+                existing = self.resolve_tag(name)
+                if existing != sid:
+                    raise FileExistsError(
+                        f"tag {name!r} already pins snapshot {existing} "
+                        f"(wanted {sid}); tags are immutable — drop first"
+                    ) from None
+            finally:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+
+        _retry_io(_write)
+        return sid
+
+    def drop_tag(self, name: str) -> bool:
+        """Remove a tag (the pinned snapshot becomes expirable again).
+        Returns False if it didn't exist."""
+        try:
+            os.remove(self._tag_path(name))
+            return True
+        except OSError:
+            return False
+
+    def tags(self) -> dict[str, int]:
+        """name -> pinned snapshot id (torn/foreign files ignored)."""
+        out: dict[str, int] = {}
+        tdir = os.path.join(self.meta_dir, "tags")
+        try:
+            names = os.listdir(tdir)
+        except OSError:
+            return out
+        for fn in names:
+            if not fn.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(tdir, fn)) as f:
+                    out[fn[: -len(".json")]] = int(json.load(f)["snapshot_id"])
+            except (OSError, ValueError, KeyError, TypeError):
+                pass
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        sids = self.tags()
+        if name not in sids:
+            raise KeyError(f"no tag {name!r} (have {sorted(sids)})")
+        return sids[name]
 
     def key_cols(self) -> list[str] | None:
         kc = self.snapshot()["key_cols"]
@@ -569,9 +663,17 @@ class LakeTable:
         buckets: Iterable[int] | None = None,
         file_index: dict[int, list[str]] | None = None,
         snapshot_override: dict | None = None,
+        scan_filter=None,
     ) -> DataFrame:
         """Read the table at a snapshot. Old files written before a schema
         evolution are read with the evolved schema (missing columns → NULL).
+
+        ``scan_filter`` (a Column) is applied to the RAW scans, BEFORE the
+        merge-on-read fold — so it reaches the Parquet reader as a pushed
+        filter (row-group/dictionary pruning on key-sorted compacted files).
+        Caller contract: the predicate must keep or drop WHOLE KEYS (e.g. a
+        leading-key membership test) — a predicate that removes only some of
+        a key's versions would change its fold result.
 
         ``snapshot_override`` reads a SYNTHETIC snapshot dict instead of a
         committed one — the write-audit-publish path uses it to preview the
@@ -610,8 +712,12 @@ class LakeTable:
             else:
                 files = self._bucket_files(snap, bs)
             if not files:
-                return spark.createDataFrame([], phys)
-            return spark.read.schema(phys).parquet(*files)
+                out = spark.createDataFrame([], phys)
+            else:
+                out = spark.read.schema(phys).parquet(*files)
+            if scan_filter is not None:
+                out = out.filter(scan_filter)
+            return out
 
         df = _scan(merged_b)
         if unmerged_b:
@@ -707,6 +813,7 @@ class LakeTable:
         prunable = set(bcols) <= set(on)
         kd = keys.select(*on).distinct()
         file_index = None
+        scan_filter = None
         if not prunable:
             buckets = None  # cannot compute bucket ids from these columns
         elif broadcast_keys:
@@ -725,6 +832,18 @@ class LakeTable:
             if on[0] == key_cols[0]:
                 # file-level kmin/kmax stats are on the leading key column
                 file_index = self.prune_key_files(snap, keys_by_bucket)
+            # FOURTH pruning level, inside the files that survive: push the
+            # requested leading-key set into the Parquet scan as an IN
+            # filter — row-group stats + dictionary pages prune WITHIN each
+            # kept file (compaction key-sorts buckets, so a point read then
+            # touches one row group instead of the whole file). Safe before
+            # the MoR fold: membership keeps or drops whole keys, never a
+            # subset of a key's versions. Bounded by the mget contract; the
+            # env cap guards against degenerate huge IN lists.
+            in_cap = int(os.environ.get("SPARK_GRAFT_KEY_IN_MAX", "8192"))
+            vals = sorted({r["__k"] for r in pairs})
+            if vals and len(vals) <= in_cap:
+                scan_filter = F.col(on[0]).isin(vals)
         else:
             buckets = sorted(
                 int(r["__b"])
@@ -741,6 +860,7 @@ class LakeTable:
             include_tombstones=include_tombstones,
             buckets=buckets,
             file_index=file_index,
+            scan_filter=scan_filter,
         )
         join_keys = F.broadcast(kd) if broadcast_keys else kd
         return df.join(join_keys, on=on, how="left_semi")
@@ -2315,6 +2435,15 @@ class LakeTable:
         chain = self.snapshots()
         kept = chain[-keep_last:]
         kept_ids = {s["snapshot_id"] for s in kept}
+        # TAGGED snapshots are pinned: a tag is the operator's promise that
+        # this exact state stays reproducible (training-run provenance), so
+        # expiration keeps the manifest and everything it references
+        for tag_sid in set(self.tags().values()) - kept_ids:
+            try:
+                kept.append(self.snapshot(tag_sid))
+                kept_ids.add(tag_sid)
+            except (OSError, FileNotFoundError):
+                pass  # tag to an already-gone snapshot: nothing to protect
         referenced: set[str] = set()
         for s in kept:
             for info in s["buckets"].values():
