@@ -109,11 +109,16 @@ class EngineConfig:
 
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")
     # Version-resolution engine for tables CREATED by this job: "lww"
-    # (newest row wins — the default) or "partial" (newest value wins PER
+    # (newest row wins — the default), "partial" (newest value wins PER
     # COLUMN: Paimon's partial-update merge engine, made associative with
-    # per-column origin LSNs — operators/partial.py). A table property,
-    # fixed at creation; existing tables keep theirs.
+    # per-column origin LSNs — operators/partial.py), or "aggregate"
+    # (per-column monoid fold per agg_spec: the stream ships deltas, the
+    # table holds running aggregates; tombstones rejected at ingest). A
+    # table property, fixed at creation; existing tables keep theirs.
     merge_engine: str = "lww"
+    # For merge_engine="aggregate": payload column -> "sum"|"min"|"max"|
+    # "last" (unlisted columns default to "last").
+    agg_spec: dict | None = None
     lsn_col: str = "lsn"
     op_col: str = "op"
     ts_col: str = "ts"

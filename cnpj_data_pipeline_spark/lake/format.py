@@ -189,7 +189,7 @@ PARTIAL_META_FIELDS = [
 
 def _phys_meta_fields(snap: dict) -> list:
     """The physical meta columns a snapshot's files carry (engine-aware)."""
-    if snap.get("merge_engine", "lww") == "partial":
+    if snap.get("merge_engine", "lww") != "lww":
         return PHYSICAL_META_FIELDS + PARTIAL_META_FIELDS
     return PHYSICAL_META_FIELDS
 
@@ -388,6 +388,7 @@ class LakeTable:
         n_buckets: int,
         bucket_cols: Sequence[str] | None = None,
         merge_engine: str = "lww",
+        agg_spec: dict | None = None,
     ) -> "LakeTable":
         """``key_cols=None`` declares a KEYLESS append-only table (the
         reference's no-PK ``socios`` path, src/database/postgres.py:213-214,
@@ -409,15 +410,38 @@ class LakeTable:
         ``merge_engine``: how a key's versions resolve. "lww" (default) —
         newest ROW wins under the engine total order. "partial" — newest
         value wins PER COLUMN (Paimon's partial-update merge engine, done
-        associatively — see ``operators/partial.py``); requires key
-        columns and the merge-on-read write path."""
-        if merge_engine not in ("lww", "partial"):
+        associatively — see ``operators/partial.py``). "aggregate" — each
+        column folds by its ``agg_spec`` fn ("sum"/"min"/"max"/"last",
+        default "last"): the stream ships deltas, the table holds running
+        aggregates (Paimon's aggregation engine); tombstones are REJECTED
+        at ingest (a sum cannot retract a folded contribution). Both
+        non-default engines require key columns and merge-on-read."""
+        if merge_engine not in ("lww", "partial", "aggregate"):
             raise ValueError(f"unknown merge_engine {merge_engine!r}")
-        if merge_engine == "partial" and key_cols is None:
+        if merge_engine != "lww" and key_cols is None:
             raise ValueError(
-                "merge_engine='partial' folds versions per key — a keyless "
-                "append-only table has no versions to fold"
+                f"merge_engine={merge_engine!r} folds versions per key — a "
+                "keyless append-only table has no versions to fold"
             )
+        if agg_spec is not None and merge_engine != "aggregate":
+            raise ValueError("agg_spec is only valid with merge_engine='aggregate'")
+        if merge_engine == "aggregate":
+            from cnpj_data_pipeline_spark.operators.partial import AGG_FNS
+
+            agg_spec = dict(agg_spec or {})
+            field_names = {f.name for f in schema.fields}
+            bad = {
+                c: f
+                for c, f in agg_spec.items()
+                if f not in AGG_FNS
+                or c not in field_names
+                or c in set(key_cols or ())
+            }
+            if bad:
+                raise ValueError(
+                    f"invalid agg_spec entries {bad}: fns must be one of "
+                    f"{AGG_FNS} over non-key payload columns"
+                )
         if bucket_cols is not None:
             if key_cols is None:
                 raise ValueError("bucket_cols requires a keyed table")
@@ -440,6 +464,7 @@ class LakeTable:
             "key_cols": list(key_cols) if key_cols is not None else None,
             "bucket_cols": list(bucket_cols) if bucket_cols is not None else None,
             "merge_engine": merge_engine,
+            "agg_spec": agg_spec if merge_engine == "aggregate" else None,
             "n_buckets": int(n_buckets),
             "buckets": {},
             "applied_epochs": [],
@@ -724,9 +749,10 @@ class LakeTable:
             # hash-aggregate fold: map-side partials collapse the delta
             # generations before the shuffle — the MoR read tax shrinks with
             # combine, instead of shuffling every version to a sort. The
-            # fold is the table's merge engine: LWW (newest row) or partial
-            # (newest value per column, operators/partial.py).
-            if engine == "partial":
+            # fold is the table's merge engine: LWW (newest row), partial
+            # (newest value per column), or aggregate (per-column monoid
+            # fold per agg_spec) — operators/partial.py.
+            if engine != "lww":
                 from cnpj_data_pipeline_spark.operators.partial import (
                     partial_winners_agg,
                 )
@@ -738,6 +764,7 @@ class LakeTable:
                     [f.name for f in payload_fields if f.name not in key_set],
                     lsn_col=LSN_META_COL,
                     op_col=OP_META_COL,
+                    agg_spec=snap.get("agg_spec"),
                 )
             else:
                 from cnpj_data_pipeline_spark.operators.dedup import (
@@ -755,7 +782,7 @@ class LakeTable:
             df = df.filter(F.col(OP_META_COL) != "D")
         if not include_meta:
             df = df.drop(LSN_META_COL, OP_META_COL)
-            if engine == "partial":
+            if engine != "lww":
                 df = df.drop(*[f.name for f in PARTIAL_META_FIELDS])
         return df
 
@@ -1172,12 +1199,12 @@ class LakeTable:
         key_cols = self.key_cols()
         if key_cols is None:
             raise ValueError("typed change feed requires key columns (keyless table)")
-        if self.snapshot().get("merge_engine", "lww") == "partial":
+        if self.snapshot().get("merge_engine", "lww") != "lww":
             raise ValueError(
                 "typed change feed is defined over the LWW engine (pre/post "
-                "images are whole-row states); partial-update tables expose "
-                "the raw feed (read_changes) — each row is a column patch "
-                "with __col_lsns provenance"
+                "images are whole-row states); partial/aggregate tables "
+                "expose the raw feed (read_changes) — each row is a column "
+                "patch/delta with __col_lsns provenance"
             )
         to_sid = self.current_snapshot_id() if to_snapshot is None else to_snapshot
         feed = self.read_changes(spark, from_snapshot, to_sid)
@@ -1638,6 +1665,7 @@ class LakeTable:
             "key_cols": cur["key_cols"],
             "bucket_cols": cur.get("bucket_cols"),
             "merge_engine": cur.get("merge_engine", "lww"),
+            "agg_spec": cur.get("agg_spec"),
             "props": {**(cur.get("props") or {}), **(props or {})},
             "n_buckets": int(new_n_buckets) if new_n_buckets is not None else cur["n_buckets"],
             "buckets": buckets,
@@ -2039,7 +2067,7 @@ class LakeTable:
             ),
         )
         parted = df.repartition(n_parts, F.col(BUCKET_COL), F.col(SALT_COL))
-        if snap.get("merge_engine", "lww") == "partial":
+        if snap.get("merge_engine", "lww") != "lww":
             from cnpj_data_pipeline_spark.operators.partial import (
                 partial_winners_agg,
             )
@@ -2051,6 +2079,7 @@ class LakeTable:
                 [f.name for f in self.schema().fields if f.name not in key_set],
                 lsn_col=LSN_META_COL,
                 op_col=OP_META_COL,
+                agg_spec=snap.get("agg_spec"),
             ).drop(SALT_COL)
         else:
             from cnpj_data_pipeline_spark.operators.dedup import (
@@ -2141,10 +2170,11 @@ class LakeTable:
             )
         map_victims: list[int] = []
         shuffle_victims: list[int] = []
-        if snap.get("merge_engine", "lww") == "partial":
-            # the map-only Arrow kernel implements the LWW fold; partial
-            # tables compact through the shuffle kernel (same partial fold
-            # as read — one implementation, no bit-parity risk)
+        if snap.get("merge_engine", "lww") != "lww":
+            # the map-only Arrow kernel implements the LWW fold; partial/
+            # aggregate tables compact through the shuffle kernel (the same
+            # spec-driven fold as read — one implementation, no bit-parity
+            # risk)
             strategy = "shuffle"
         if strategy == "map":
             limit = (

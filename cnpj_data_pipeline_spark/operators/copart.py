@@ -243,6 +243,7 @@ def _make_task(
     audit_col: str | None,
     blooms: bool = False,
     fold: bool = True,
+    forbid_deletes: bool = False,
 ):
     """Build the Arrow task body. Everything it closes over is tiny and
     picklable; the evolved schema travels as JSON and is rebuilt per task
@@ -287,6 +288,17 @@ def _make_task(
                 tbl = pa.concat_tables(
                     [_normalize_to(pq.read_table(f), wal_target) for f in files]
                 )
+                if forbid_deletes and len(tbl):
+                    import pyarrow.compute as pc
+
+                    if pc.any(
+                        pc.equal(tbl.column("op"), "D")
+                    ).as_py():
+                        raise ValueError(
+                            "merge_engine='aggregate' rejects tombstones: "
+                            "a folded sum cannot retract a contribution; "
+                            "model removals as explicit negative deltas"
+                        )
                 if key_cols and fold and len(tbl):
                     tbl = lww_fold(tbl)
                 tbl = tbl.rename_columns(
@@ -416,7 +428,7 @@ def apply_changes_copart(
     # into chunks (cross-chunk duplicates both reach the delta files). A
     # raw generation stays "unmerged" so the read path resolves it.
     n_chunked_buckets = len({b for b, _ in chunks})
-    folded_gen = engine != "partial" and len(chunks) == n_chunked_buckets
+    folded_gen = engine == "lww" and len(chunks) == n_chunked_buckets
     _mark("plan")
 
     updates: dict[int, dict] = {}
@@ -443,11 +455,12 @@ def apply_changes_copart(
             evolved.json(),
             cfg.audit_col if cfg.write_audit_col else None,
             blooms=cfg.key_blooms == "force",
-            # partial engine: append ALL raw versions — the Arrow kernel's
-            # LWW fold would drop batch "losers" whose columns the winner
-            # lacks; raw rows carry their origin LSN implicitly, so the
-            # read/compaction fold stays associative (operators/partial.py)
-            fold=engine != "partial",
+            # non-LWW engines: append ALL raw versions — the Arrow kernel's
+            # LWW fold would drop batch "losers" whose columns/deltas the
+            # winner lacks; raw rows carry their origin LSN implicitly, so
+            # the read/compaction fold stays associative (operators/partial.py)
+            fold=engine == "lww",
+            forbid_deletes=engine == "aggregate",
         )
         rows = driving.mapInPandas(task, _RESULT_SCHEMA).collect()
         _mark("merge_write")
@@ -547,11 +560,11 @@ def rewrite_buckets_map(
     Returns the commit-ready ``bucket_updates`` fragment for the victims
     (caller owns the commit and the watermark-keep/empty-bucket fixups)."""
     snap = table.snapshot()
-    if snap.get("merge_engine", "lww") == "partial":
+    if snap.get("merge_engine", "lww") != "lww":
         raise ValueError(
-            "the map-only rewrite kernel implements the LWW fold; partial "
-            "tables compact via the shuffle kernel (_rewrite_buckets routes "
-            "them automatically)"
+            "the map-only rewrite kernel implements the LWW fold; partial/"
+            "aggregate tables compact via the shuffle kernel "
+            "(_rewrite_buckets routes them automatically)"
         )
     key_cols = list(snap["key_cols"])
     schema_json = table.schema().json()

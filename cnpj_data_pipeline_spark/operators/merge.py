@@ -260,11 +260,11 @@ def apply_changes(
     bucket_cols = LakeTable._bucket_cols_of(snap)
     n_buckets = int(snap["n_buckets"])
     engine = snap.get("merge_engine", "lww")
-    if engine == "partial" and cfg.write_mode != "mor":
+    if engine != "lww" and cfg.write_mode != "mor":
         raise ValueError(
-            "merge_engine='partial' requires the merge-on-read write path — "
-            "a copy-on-write apply materializes whole rows, which is the "
-            "LWW semantics partial tables exist to avoid"
+            f"merge_engine={engine!r} requires the merge-on-read write "
+            "path — a copy-on-write apply materializes whole rows, which "
+            "is the LWW semantics these engines exist to avoid"
         )
     if stage_only and key_cols is not None and cfg.write_mode != "mor":
         raise ValueError(
@@ -378,22 +378,43 @@ def apply_changes(
             F.col(SALT_COL),
         )
         extra_meta: list = []
-        if engine == "partial":
+        if engine != "lww":
             # per-column fold: within-batch folding stays correct for
             # out-of-order streams because the fold emits per-column origin
-            # LSNs — the batch's folded row is refoldable against anything
-            # (operators/partial.py). Same exchange reuse as the LWW agg.
+            # LSNs, and monoid (sum/min/max) columns are associative by
+            # algebra — the batch's folded row is refoldable against
+            # anything (operators/partial.py). Same exchange reuse as the
+            # LWW agg. Aggregate tables reject tombstones HERE (a sum
+            # cannot retract a contribution a compaction already folded);
+            # the raise rides the fold's own scan via raise_error — zero
+            # cost on the delete-free path, no extra batch pass.
             from cnpj_data_pipeline_spark.operators.partial import (
                 COL_LSNS_META_COL,
                 DEL_LSN_META_COL,
                 partial_winners_agg,
             )
 
+            if engine == "aggregate":
+                parted = parted.withColumn(
+                    "lsn",
+                    F.when(
+                        F.col("op") == "D",
+                        F.raise_error(
+                            F.lit(
+                                "merge_engine='aggregate' rejects "
+                                "tombstones: a folded sum cannot retract a "
+                                "contribution; model removals as explicit "
+                                "negative deltas"
+                            )
+                        ).cast("long"),
+                    ).otherwise(F.col("lsn")),
+                )
             key_set = set(key_cols)
             winners = partial_winners_agg(
                 parted,
                 [BUCKET_COL, SALT_COL, *key_cols],
                 [f.name for f in evolved.fields if f.name not in key_set],
+                agg_spec=snap.get("agg_spec"),
             ).drop(SALT_COL)
             extra_meta = [F.col(COL_LSNS_META_COL), F.col(DEL_LSN_META_COL)]
         else:

@@ -68,14 +68,25 @@ DEL_LSN_META_COL = "__del_lsn"
 _NO_DEL = -1
 
 
+#: per-column fold functions of the AGGREGATE merge engine. "last" is the
+#: partial-update fold (newest non-null, origin-LSN provenance); the rest
+#: are commutative monoids — associative by algebra, so folded partials
+#: re-fold exactly. Aggregate tables REJECT tombstones at ingest (a sum
+#: cannot retract a contribution a compaction already folded away), which
+#: keeps the delete-horizon branch dead and the monoids pure.
+AGG_FNS = ("last", "sum", "min", "max")
+
+
 def partial_winners_agg(
     df: DataFrame,
     group_cols: Sequence[str],
     payload_cols: Sequence[str],
     lsn_col: str = "lsn",
     op_col: str = "op",
+    agg_spec: dict[str, str] | None = None,
 ) -> DataFrame:
-    """One folded row per group under partial-update semantics (module doc).
+    """One folded row per group under partial-update semantics (module doc),
+    or — with ``agg_spec`` — the AGGREGATE merge engine's spec-driven fold.
 
     ``group_cols`` is the grouping key — the table key, optionally prefixed
     by (bucket, salt) exactly like ``dedup.lww_winners_agg`` so the fold
@@ -84,11 +95,21 @@ def partial_winners_agg(
     folded). ``lsn_col``/``op_col`` name the envelope — raw ("lsn", "op")
     for WAL batches, physical meta names for committed table files.
 
+    ``agg_spec`` maps a payload column to its fold fn (:data:`AGG_FNS`);
+    unlisted columns default to "last". "sum"/"min"/"max" contributions are
+    the column DELTAS the stream carries (a counters table ships +n events
+    and the fold accumulates); a folded row re-contributes its partial
+    aggregate, which is exact because each fn is a commutative monoid.
+
     Input may or may not carry ``__col_lsns``/``__del_lsn`` (raw WAL rows
     don't); output ALWAYS does — the provenance that keeps the fold
     associative. Output columns: group_cols + payload_cols + lsn_col +
     op_col + __col_lsns + __del_lsn.
     """
+    agg_spec = agg_spec or {}
+    bad = {c: f for c, f in agg_spec.items() if f not in AGG_FNS}
+    if bad:
+        raise ValueError(f"unknown agg fns {bad} (have {AGG_FNS})")
     cols = set(df.columns)
     lsn = F.col(lsn_col)
     op = F.col(op_col)
@@ -113,8 +134,21 @@ def partial_winners_agg(
         F.max(F.when(op != "D", lsn)).alias("__LIVE"),
     ]
     for c in payload_cols:
-        o = origin(c)
+        fn = agg_spec.get(c, "last")
         contrib = F.col(c).isNotNull() & (op != "D")
+        if fn in ("sum", "min", "max"):
+            # commutative monoid: fold the raw contribution directly; the
+            # "origin" of a monoid column is just the newest contributing
+            # lsn (metadata for symmetry — refolds never need it)
+            agg_f = {"sum": F.sum, "min": F.min, "max": F.max}[fn]
+            aggs.append(
+                F.struct(
+                    F.max(F.when(contrib, lsn)).alias("o"),
+                    agg_f(F.when(contrib, F.col(c))).alias("v"),
+                ).alias(f"__p_{c}")
+            )
+            continue
+        o = origin(c)
         # deterministic total order per column: origin, then row lsn, then
         # the value itself (as string) — same winner on every partitioning
         ordk = F.struct(

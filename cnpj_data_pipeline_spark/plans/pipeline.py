@@ -43,6 +43,7 @@ class IngestJob:
             key_cols=list(self.cfg.key_cols),
             n_buckets=self.cfg.n_buckets,
             merge_engine=self.cfg.merge_engine,
+            agg_spec=self.cfg.agg_spec,
         )
 
     def run_batches(

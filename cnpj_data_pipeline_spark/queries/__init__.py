@@ -96,10 +96,11 @@ _EXTRA_NAMES = (
     "q_neardup_canonical",
     "q_doc_repetition",
     # round 4: new capabilities (map-only linear-hash rebucket mid-replay,
-    # snapshot time travel) — oracle-gated here; the primary registry is
-    # already at the driver's 50-row cap
+    # snapshot time travel, aggregate merge engine) — oracle-gated here;
+    # the primary registry is already at the driver's 50-row cap
     "q_cdc_replay_rebucket",
     "q_time_travel",
+    "q_agg_table_counters",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

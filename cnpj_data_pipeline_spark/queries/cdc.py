@@ -834,6 +834,75 @@ def q_cdc_replay_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LakeTable.load(lake).read(spark)
 
 
+_AGG_LAKE_CACHE: dict[str, str] = {}
+
+
+def q_agg_table_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE merge engine (merge_engine="aggregate"): every event is a
+    DELTA — +1 event, +len(text) chars, a candidate max turn, the latest
+    role — and the table holds the running per-conversation aggregates.
+    Replayed epoch-by-epoch through the engine with a mid-replay compaction
+    (monoid folds re-fold exactly); must equal the plain GROUP BY over the
+    whole stream. Paimon's aggregation merge engine, as a lake table
+    property (operators/partial.py AGG_FNS)."""
+    lake = _AGG_LAKE_CACHE.get(sf_dir)
+    if not (lake and os.path.isdir(lake)):
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("n_events", T.LongType(), True),
+                T.StructField("chars", T.LongType(), True),
+                T.StructField("max_turn", T.IntegerType(), True),
+                T.StructField("last_role", T.StringType(), True),
+            ]
+        )
+        spec = {
+            "n_events": "sum", "chars": "sum", "max_turn": "max",
+            "last_role": "last",
+        }
+        ch = spark.read.parquet(_staged_wal(spark, sf_dir)).select(
+            F.col("conv_id"),
+            F.lit(1).cast("long").alias("n_events"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("chars"),
+            F.col("turn_idx").alias("max_turn"),
+            F.col("role").alias("last_role"),
+            F.lit("U").alias("op"),  # deltas, never tombstones
+            F.col("lsn"),
+            F.col("epoch"),
+        )
+        cfg = EngineConfig(
+            n_buckets=16, salt_factor=2, merge_engine="aggregate",
+            agg_spec=spec, key_cols=("conv_id",),
+        )
+        lake = os.path.join(_mk_scratch("cdc_agg_"), "lake")
+        table = LakeTable.create(
+            lake, schema, ["conv_id"], cfg.n_buckets,
+            merge_engine="aggregate", agg_spec=spec,
+        )
+        for e in range(N_EPOCHS):
+            apply_changes(
+                spark, table, ch.filter(F.col("epoch") == e), epoch=e,
+                cfg=cfg,
+            )
+            if e == 1:
+                table.compact(spark)
+        _AGG_LAKE_CACHE[sf_dir] = lake
+    return LakeTable.load(lake).read(spark)
+
+
+_AGG_COUNTERS_SQL = f"""
+WITH {{changes}}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS chars,
+       max(turn_idx) AS max_turn,
+       arg_max(role, lsn) FILTER (role IS NOT NULL) AS last_role
+FROM changes GROUP BY conv_id
+"""
+
+
 _PARTIAL_FOLD_SQL = f"""
 WITH {{changes}},
 p AS (
@@ -888,6 +957,7 @@ QUERIES = {
     "q_cdc_replay_rebucket": q_cdc_replay_rebucket,
     "q_time_travel": q_time_travel,
     "q_cdc_replay_partial": q_cdc_replay_partial,
+    "q_agg_table_counters": q_agg_table_counters,
 }
 
 # pre/post winner state for the typed-feed oracle: pre = LWW fold of epochs
@@ -999,6 +1069,9 @@ ORACLES = {
     "q_cdc_replay_rebucket": _FINAL_STATE_SQL,
     "q_time_travel": _TIME_TRAVEL_SQL,
     "q_cdc_replay_partial": _PARTIAL_FOLD_SQL.format(
+        changes=CHANGES_CTE.strip()
+    ),
+    "q_agg_table_counters": _AGG_COUNTERS_SQL.format(
         changes=CHANGES_CTE.strip()
     ),
     "q_turn_structure": _TURN_STRUCTURE_SQL,

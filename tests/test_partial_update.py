@@ -267,3 +267,115 @@ def test_partial_vacuum_and_guards(spark, tmp_path):
             str(tmp_path / "lake2"), TRANSCRIPT_SCHEMA, key_cols=None,
             n_buckets=4, merge_engine="partial",
         )
+
+
+# ---------------------------------------------------------------------------
+# aggregate merge engine (merge_engine="aggregate"): per-column monoid fold
+# ---------------------------------------------------------------------------
+
+import pyspark.sql.types as T  # noqa: E402
+
+COUNTER_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.StringType(), False),
+        T.StructField("clicks", T.LongType(), True),
+        T.StructField("max_latency", T.DoubleType(), True),
+        T.StructField("last_page", T.StringType(), True),
+    ]
+)
+AGG_SPEC = {"clicks": "sum", "max_latency": "max", "last_page": "last"}
+
+
+def _counter_batch(spark, rows, epoch=0):
+    sch = T.StructType(
+        list(COUNTER_SCHEMA.fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (r.get("user_id"), r.get("clicks"), r.get("max_latency"),
+             r.get("last_page"), r.get("op", "U"), r["lsn"])
+            for r in rows
+        ],
+        sch,
+    )
+
+
+def _mk_agg_table(tmp_path, name="alake"):
+    return LakeTable.create(
+        str(tmp_path / name), COUNTER_SCHEMA, key_cols=["user_id"],
+        n_buckets=4, merge_engine="aggregate", agg_spec=AGG_SPEC,
+    )
+
+
+def test_aggregate_engine_replay_with_compaction(spark, tmp_path):
+    """Delta stream -> running aggregates; compaction folds partials; a
+    late low-LSN delta still sums in; 'last' column keeps LWW semantics."""
+    t = _mk_agg_table(tmp_path)
+    cfg = EngineConfig(
+        n_buckets=4, merge_engine="aggregate", agg_spec=AGG_SPEC,
+        key_cols=("user_id",), compact_threshold=0,
+    )
+    e0 = [
+        dict(user_id="u1", clicks=3, max_latency=0.5, last_page="a", lsn=10),
+        dict(user_id="u1", clicks=2, max_latency=1.5, last_page="b", lsn=11),
+        dict(user_id="u2", clicks=7, max_latency=0.1, last_page="x", lsn=12),
+    ]
+    apply_changes(spark, t, _counter_batch(spark, e0), 0, cfg)
+    t.compact(spark)
+    # late delta BELOW the compacted rows' max lsn: sum/max must still fold
+    # it in; last_page@5 must LOSE to the folded last_page@11
+    e1 = [
+        dict(user_id="u1", clicks=4, max_latency=9.9, last_page="old", lsn=5),
+        dict(user_id="u2", clicks=-2, last_page="y", lsn=20),
+    ]
+    apply_changes(spark, t, _counter_batch(spark, e1), 1, cfg)
+    got = {r["user_id"]: r.asDict() for r in t.read(spark).collect()}
+    assert got["u1"]["clicks"] == 9 and got["u1"]["max_latency"] == 9.9
+    assert got["u1"]["last_page"] == "b"
+    assert got["u2"]["clicks"] == 5 and got["u2"]["last_page"] == "y"
+    # refold (second compaction) is exact — monoid associativity
+    t.compact(spark)
+    got2 = {r["user_id"]: r.asDict() for r in t.read(spark).collect()}
+    assert got2 == got
+
+
+def test_aggregate_engine_rejects_tombstones(spark, tmp_path):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    t = _mk_agg_table(tmp_path)
+    cfg = EngineConfig(
+        n_buckets=4, merge_engine="aggregate", agg_spec=AGG_SPEC,
+        key_cols=("user_id",),
+    )
+    bad = [dict(user_id="u1", clicks=1, lsn=1),
+           dict(user_id="u1", op="D", lsn=2)]
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError, Exception),
+        match="rejects tombstones",
+    ):
+        apply_changes(spark, t, _counter_batch(spark, bad), 0, cfg)
+    # the failed batch committed nothing
+    assert t.read(spark).count() == 0
+
+
+def test_aggregate_create_validation(tmp_path):
+    with pytest.raises(ValueError, match="invalid agg_spec"):
+        LakeTable.create(
+            str(tmp_path / "bad1"), COUNTER_SCHEMA, ["user_id"], 4,
+            merge_engine="aggregate", agg_spec={"user_id": "sum"},
+        )
+    with pytest.raises(ValueError, match="invalid agg_spec"):
+        LakeTable.create(
+            str(tmp_path / "bad2"), COUNTER_SCHEMA, ["user_id"], 4,
+            merge_engine="aggregate", agg_spec={"clicks": "median"},
+        )
+    with pytest.raises(ValueError, match="agg_spec is only valid"):
+        LakeTable.create(
+            str(tmp_path / "bad3"), COUNTER_SCHEMA, ["user_id"], 4,
+            agg_spec={"clicks": "sum"},
+        )
