@@ -37,6 +37,7 @@ from cnpj_data_pipeline_spark.lake.sql import (  # noqa: F401
     register_catalog,
     register_changes_view,
     register_history_view,
+    register_meta_views,
     register_view,
 )
 from cnpj_data_pipeline_spark.plans.sync import (  # noqa: F401

@@ -1321,6 +1321,160 @@ class LakeTable:
 
         return spark.createDataFrame(rows, LINEAGE_SCHEMA)
 
+    def files_df(
+        self, spark: SparkSession, snapshot_id: int | str | None = None
+    ) -> DataFrame:
+        """Iceberg-style ``files`` metadata table: one row per LIVE data
+        file of the snapshot, straight from the manifest (driver-side,
+        metadata-scale — no filesystem walk, no footer reads). Surfaces the
+        stats the pruning levels run on (rows, LSN watermark, leading-key
+        range, bloom presence), so layout questions — generation counts,
+        skew, compaction debt — are one SQL query away."""
+        from cnpj_data_pipeline_spark.lake.bloom import sidecar_path
+
+        snap = self.snapshot(snapshot_id)
+        rows = []
+        for b, info in sorted(snap["buckets"].items(), key=lambda kv: int(kv[0])):
+            fstats = info.get("fstats") or []
+            fstats = list(fstats) + [None] * (len(info["files"]) - len(fstats))
+            for rel, st in zip(info["files"], fstats):
+                fp = os.path.join(self.root, rel)
+                try:
+                    size = os.path.getsize(fp)
+                except OSError:
+                    size = None
+                st = st or [None] * 5
+                rows.append(
+                    (
+                        int(b), rel, size,
+                        st[0], st[1],
+                        None if st[2] is None else str(st[2]),
+                        None if st[3] is None else str(st[3]),
+                        os.path.exists(sidecar_path(fp)),
+                        bool(info.get("merged", True)),
+                    )
+                )
+        return spark.createDataFrame(
+            rows,
+            "bucket int, path string, bytes long, rows long, max_lsn long, "
+            "kmin string, kmax string, has_bloom boolean, merged boolean",
+        )
+
+    def snapshots_df(self, spark: SparkSession) -> DataFrame:
+        """Iceberg-style ``snapshots`` metadata table: one row per commit on
+        the current chain, tags joined in."""
+        tag_by_sid: dict[int, list[str]] = {}
+        for name, sid in self.tags().items():
+            tag_by_sid.setdefault(sid, []).append(name)
+        rows = []
+        for s in self.snapshots():
+            rows.append(
+                (
+                    s["snapshot_id"], s.get("parent_id"), s["op"],
+                    s.get("epoch"),
+                    s.get("merge_engine", "lww"),
+                    int(s["n_buckets"]),
+                    sum(len(i["files"]) for i in s["buckets"].values()),
+                    s.get("rows_total"),
+                    sorted(tag_by_sid.get(s["snapshot_id"], [])),
+                    s["committed_at"],
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id int, parent_id int, op string, epoch int, "
+            "merge_engine string, n_buckets int, n_files long, "
+            "rows_total long, tags array<string>, committed_at string",
+        )
+
+    def check_table(
+        self,
+        spark: SparkSession | None = None,
+        footers: bool = True,
+        placement: bool = False,
+    ) -> dict:
+        """Integrity audit (the ``CHECK TABLE`` maintenance op): verify the
+        current snapshot's physical state against its manifest. Always:
+        every referenced file exists. ``footers=True``: each file's Parquet
+        footer row count equals the manifest's per-file stat (distributed
+        over ``spark`` when given and the table is large, else serial
+        driver-side). ``placement=True`` (requires ``spark``): re-hash every
+        physical row with the table's bucket function and compare against
+        the bucket directory it lives in — the deep proof that bucket
+        pruning can never miss a key (one map-only scan, no exchange).
+
+        Returns ``{"ok": bool, "files_checked": n, "issues": [str, ...]}``
+        — empty issues means the manifest, the bytes, and the layout agree.
+        Reference analogue: none; Postgres trusts its own heap."""
+        snap = self.snapshot()
+        issues: list[str] = []
+        pairs: list[tuple[str, int | None]] = []
+        for b, info in snap["buckets"].items():
+            fstats = info.get("fstats") or []
+            fstats = list(fstats) + [None] * (len(info["files"]) - len(fstats))
+            for rel, st in zip(info["files"], fstats):
+                fp = os.path.join(self.root, rel)
+                if not os.path.exists(fp):
+                    issues.append(f"missing data file: {rel}")
+                    continue
+                pairs.append((fp, None if st is None else st[0]))
+        if footers and pairs:
+
+            def _probe(pair):
+                fp, want = pair
+                try:
+                    got = _pq.ParquetFile(fp).metadata.num_rows
+                except Exception as e:  # torn/corrupt file
+                    return f"unreadable footer: {fp}: {e}"
+                if want is not None and got != want:
+                    return (
+                        f"row-count drift: {fp}: footer {got} != "
+                        f"manifest {want}"
+                    )
+                return None
+
+            if spark is not None and len(pairs) >= 256:
+                sc = spark.sparkContext
+                found = (
+                    sc.parallelize(pairs, min(len(pairs), 4 * sc.defaultParallelism))
+                    .map(_probe)
+                    .filter(lambda x: x is not None)
+                    .collect()
+                )
+                issues.extend(found)
+            else:
+                issues.extend(p for p in map(_probe, pairs) if p)
+        if placement:
+            if spark is None:
+                raise ValueError("placement check needs a SparkSession")
+            files = [fp for fp, _ in pairs]
+            if files:
+                expected = F.regexp_extract(
+                    F.input_file_name(), f"{BUCKET_COL}=(\\d+)", 1
+                ).cast("int")
+                bad = (
+                    spark.read.schema(self.physical_schema())
+                    .parquet(*files)
+                    .where(
+                        bucket_expr(
+                            self._bucket_cols_of(snap), int(snap["n_buckets"]),
+                            lsn_col=LSN_META_COL,
+                        )
+                        != expected
+                    )
+                    .count()
+                )
+                if bad:
+                    issues.append(
+                        f"{bad} row(s) live in a bucket directory their key "
+                        "does not hash to"
+                    )
+        return {
+            "ok": not issues,
+            "files_checked": len(pairs),
+            "issues": issues,
+        }
+
     # ---------------- write / commit ----------------
 
     def new_staging_dir(self) -> str:

@@ -56,6 +56,21 @@ def register_history_view(
     _as_table(table).lineage_df(spark).createOrReplaceTempView(name)
 
 
+def register_meta_views(
+    spark: SparkSession, table: LakeTable | str, prefix: str
+) -> list[str]:
+    """Iceberg-style metadata tables as temp views: ``<prefix>_files`` (one
+    row per live data file with pruning stats), ``<prefix>_snapshots``
+    (commit chain + tags), ``<prefix>_lineage`` (per-bucket apply history).
+    Layout/ops questions become SQL: compaction debt is
+    ``SELECT bucket, count(*) FROM t_files WHERE NOT merged GROUP BY 1``."""
+    t = _as_table(table)
+    t.files_df(spark).createOrReplaceTempView(f"{prefix}_files")
+    t.snapshots_df(spark).createOrReplaceTempView(f"{prefix}_snapshots")
+    t.lineage_df(spark).createOrReplaceTempView(f"{prefix}_lineage")
+    return [f"{prefix}_files", f"{prefix}_snapshots", f"{prefix}_lineage"]
+
+
 def register_changes_view(
     spark: SparkSession,
     table: LakeTable | str,

@@ -379,3 +379,39 @@ def test_aggregate_create_validation(tmp_path):
             str(tmp_path / "bad3"), COUNTER_SCHEMA, ["user_id"], 4,
             agg_spec={"clicks": "sum"},
         )
+
+
+def test_partial_engine_schema_evolution_mid_stream(spark, tmp_path):
+    """An additive column arriving mid-stream on a partial table: old
+    generations pad NULL, the new column folds per-column like any other,
+    and compaction carries it."""
+    t = LakeTable.create(
+        str(tmp_path / "lake"), TRANSCRIPT_SCHEMA, key_cols=KEY,
+        n_buckets=4, merge_engine="partial",
+    )
+    cfg = EngineConfig(n_buckets=4, merge_engine="partial", compact_threshold=0)
+    apply_changes(
+        spark, t,
+        _batch(spark, [_ev("k", 0, 1, text="base"), _ev("j", 0, 2, tool="jt")], 0),
+        0, cfg,
+    )
+    # epoch 1 carries a NEW column (tool_meta) — only as a patch on k
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields)
+        + [
+            T.StructField("tool_meta", T.StringType(), True),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    b1 = spark.createDataFrame(
+        [("k", 0, None, None, None, None, "meta@5", "U", 5)], sch
+    )
+    m = apply_changes(spark, t, b1, 1, cfg)
+    assert m["schema_evolved"]
+    t.compact(spark)
+    got = {r["conv_id"]: r.asDict() for r in t.read(spark).collect()}
+    assert got["k"]["text"] == "base" and got["k"]["tool_meta"] == "meta@5"
+    assert got["j"]["tool"] == "jt" and got["j"]["tool_meta"] is None
