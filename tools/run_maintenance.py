@@ -78,6 +78,25 @@ def main() -> None:
                             "audit, or re-driving a crashed audit job)")
     p.add_argument("--token", required=True)
 
+    p = sub.add_parser("tag", help="pin a snapshot under a name (protected "
+                                   "from expire until dropped)")
+    p.add_argument("--name", required=True)
+    p.add_argument("--snapshot", type=int, default=None,
+                   help="snapshot id (default: current head)")
+
+    p = sub.add_parser("untag", help="drop a snapshot tag")
+    p.add_argument("--name", required=True)
+
+    sub.add_parser("tags", help="list snapshot tags (metadata-only)")
+
+    p = sub.add_parser("check", help="CHECK TABLE: verify physical files "
+                                     "against the manifest")
+    p.add_argument("--placement", action="store_true",
+                   help="also re-hash every row against its bucket "
+                        "directory (one map-only scan)")
+    p.add_argument("--no-footers", action="store_true",
+                   help="skip per-file footer row-count verification")
+
     args = ap.parse_args()
 
     from cnpj_data_pipeline_spark import LakeTable
@@ -105,6 +124,17 @@ def main() -> None:
         print(json.dumps({"op": "rollback", "snapshot_id": sid,
                           "restored_snapshot": args.to_snapshot}))
         return
+    if args.op == "tag":
+        sid = table.create_tag(args.name, args.snapshot)
+        print(json.dumps({"op": "tag", "name": args.name, "snapshot_id": sid}))
+        return
+    if args.op == "untag":
+        existed = table.drop_tag(args.name)
+        print(json.dumps({"op": "untag", "name": args.name, "existed": existed}))
+        return
+    if args.op == "tags":
+        print(json.dumps({"op": "tags", "tags": table.tags()}))
+        return
     spark = get_spark(master=args.master) if args.master else get_spark()
     before = table.current_snapshot_id()
     if args.op == "compact":
@@ -122,6 +152,13 @@ def main() -> None:
         out = {"op": "vacuum", "snapshot_id": sid}
     elif args.op == "expire":
         out = {"op": "expire", **table.expire_snapshots(keep_last=args.keep_last)}
+    elif args.op == "check":
+        out = {
+            "op": "check",
+            **table.check_table(
+                spark, footers=not args.no_footers, placement=args.placement
+            ),
+        }
     else:
         sid = table.rebucket(spark, args.n_buckets,
                              salt_factor=args.salt_factor,
