@@ -415,3 +415,83 @@ def test_partial_engine_schema_evolution_mid_stream(spark, tmp_path):
     got = {r["conv_id"]: r.asDict() for r in t.read(spark).collect()}
     assert got["k"]["text"] == "base" and got["k"]["tool_meta"] == "meta@5"
     assert got["j"]["tool"] == "jt" and got["j"]["tool_meta"] is None
+
+
+def test_partial_fold_associativity_sweep(spark):
+    """Seeded randomized sweep: for random partial streams and random
+    split points, fold(fold(prefix) ∪ suffix) == fold(whole) == golden.
+    The algebraic claim the engine's correctness-across-compaction rests
+    on, checked beyond the hand-built cases."""
+    import random
+
+    payload = ["role", "text", "tool", "ts"]
+    for seed in range(4):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(180):
+            op = "D" if rng.random() < 0.08 else "U"
+            rows.append(
+                _ev(
+                    f"c{rng.randrange(12)}", rng.randrange(3),
+                    lsn=rng.randrange(1_000_000),  # arbitrary disorder
+                    op=op,
+                    role=None if op == "D" or rng.random() < 0.5
+                    else f"r{rng.randrange(4)}",
+                    text=None if op == "D" or rng.random() < 0.5
+                    else f"t{rng.randrange(100)}",
+                    tool=None if op == "D" or rng.random() < 0.5
+                    else f"g{rng.randrange(10)}",
+                )
+            )
+        # lsn collisions would need the value tie-break the pandas golden
+        # doesn't model — dedup (key, lsn) pairs like a real WAL offset
+        seen = set()
+        uniq = []
+        for r in rows:
+            k = (r["conv_id"], r["turn_idx"], r["lsn"])
+            if k not in seen:
+                seen.add(k)
+                uniq.append(r)
+        cut = rng.randrange(1, len(uniq))
+        prefix, suffix = uniq[:cut], uniq[cut:]
+        fa = partial_winners_agg(
+            _batch(spark, prefix).drop("epoch"), KEY, payload
+        )
+        suf = (
+            _batch(spark, suffix)
+            .drop("epoch")
+            .selectExpr(
+                "*",
+                "cast(null as map<string,bigint>) as __col_lsns",
+                "cast(null as bigint) as __del_lsn",
+            )
+        )
+        refold = (
+            partial_winners_agg(fa.unionByName(suf), KEY, payload)
+            .orderBy(*KEY)
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        direct = (
+            partial_winners_agg(
+                _batch(spark, uniq).drop("epoch"), KEY, payload
+            )
+            .orderBy(*KEY)
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(refold, direct, check_dtype=False)
+        # live rows match the independent pandas golden
+        import pandas as _pd
+
+        golden = partial_final_state(
+            _pd.DataFrame(uniq), payload_cols=["conv_id", "turn_idx"] + payload
+        )
+        live = (
+            direct[direct["op"] != "D"][["conv_id", "turn_idx"] + payload]
+            .sort_values(KEY, kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            live, golden, check_dtype=False
+        )
