@@ -495,3 +495,27 @@ def test_partial_fold_associativity_sweep(spark):
         pd.testing.assert_frame_equal(
             live, golden, check_dtype=False
         )
+
+
+def test_partial_table_rebucket_preserves_fold(spark, tmp_path):
+    """Rebucket is a physical re-split (no fold): raw patch versions and
+    their provenance meta must survive into the new layout, and the read
+    fold must produce the same state at 4 -> 16 buckets (map split) and
+    after a follow-up compaction."""
+    ch = gen_partial_changes(spark, n_events=5_000, n_convs=150, n_epochs=2)
+    wal = str(tmp_path / "wal")
+    for e, b in epoch_batches(ch, 2):
+        cs.write_epoch(b, wal, e)
+    job = IngestJob(
+        str(tmp_path / "lake"),
+        EngineConfig(n_buckets=4, merge_engine="partial", compact_threshold=100),
+    )
+    job.run_stream(spark, wal)
+    t = LakeTable.load(str(tmp_path / "lake"))
+    golden = partial_final_state(ch.toPandas())
+    t.rebucket(spark, 16, strategy="map")
+    got = t.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+    t.compact(spark)
+    got2 = t.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, golden, check_dtype=False)
