@@ -658,6 +658,58 @@ class LakeTable:
         frontier store (see ``commit(props=...)``)."""
         return dict(self.snapshot().get("props") or {})
 
+    def sort_order(self) -> list[str] | None:
+        """The declared maintenance sort order, or None = key order."""
+        so = (self.snapshot().get("props") or {}).get("sort_order")
+        return list(so) if so else None
+
+    @staticmethod
+    def _sort_cols_of(snap: dict) -> list[str]:
+        """Columns the rewrite kernels cluster each bucket by: the declared
+        ``sort_order`` property with the key appended as tiebreaker (a
+        deterministic total order per bucket), else the key itself."""
+        key_cols = list(snap["key_cols"] or ())
+        so = (snap.get("props") or {}).get("sort_order")
+        if not so:
+            return key_cols
+        return list(so) + [c for c in key_cols if c not in so]
+
+    def set_sort_order(self, cols: Sequence[str] | None) -> int:
+        """Declare the table's SORT ORDER (Iceberg's sortOrder analogue): the
+        columns compaction/vacuum cluster each rewritten bucket's file by,
+        replacing the default key clustering. A physical-layout property
+        only — logical state and merge semantics are untouched.
+
+        The trade: range scans on the sort column get tight parquet
+        row-group min/max (Spark's pushdown skips row groups inside a
+        bucket's single compacted file), while point lookups lose row-group
+        key locality — the bloom sidecars and bucket pruning still do the
+        file-level work, so mget stays O(buckets touched).
+
+        ``cols=None`` resets to key clustering (takes effect at the next
+        rewrite — already-written files keep their layout until then).
+        Props-only commit (op='set-props'): atomic, CAS-raced like any
+        commit, invisible to the change feed."""
+        if cols is not None:
+            cols = [str(c) for c in cols]
+            if not cols:
+                raise ValueError("sort_order must be a non-empty list or None")
+            if len(set(cols)) != len(cols):
+                raise ValueError(f"sort_order has duplicate columns: {cols}")
+            names = {f.name for f in self.schema().fields}
+            missing = [c for c in cols if c not in names]
+            if missing:
+                raise ValueError(
+                    f"sort_order columns not in schema: {missing} "
+                    f"(have {sorted(names)})"
+                )
+        return self.commit(
+            op="set-props",
+            epoch=None,
+            bucket_updates={},
+            props={"sort_order": cols},
+        )
+
     def n_buckets(self) -> int:
         return int(self.snapshot()["n_buckets"])
 
@@ -838,7 +890,16 @@ class LakeTable:
             )
         bcols = self._bucket_cols_of(snap)
         prunable = set(bcols) <= set(on)
-        kd = keys.select(*on).distinct()
+        # cast lookup keys to the TABLE's column types before anything else:
+        # Spark's xxhash64 is type-sensitive (int32 7 and int64 7 hash
+        # differently), so a caller passing e.g. plain Python ints (inferred
+        # LongType) against an int32 key would hash to the wrong buckets and
+        # get silently EMPTY results — the physical types are the table's
+        # contract, not the caller's
+        types = {f.name: f.dataType for f in schema_from_json(snap["schema"]).fields}
+        kd = keys.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in on]
+        ).distinct()
         file_index = None
         scan_filter = None
         if not prunable:
@@ -1037,7 +1098,7 @@ class LakeTable:
     # feed skips them. ONE list shared by the batch reader and the streaming
     # source (round-2 advice: two drifting copies of the walk is how a new
     # maintenance op silently leaks state files into the stream).
-    CDF_SKIP_OPS = ("create", "compact", "vacuum", "rebucket")
+    CDF_SKIP_OPS = ("create", "compact", "vacuum", "rebucket", "set-props")
 
     def change_window_files(
         self, from_snapshot: int, to_snapshot: int
@@ -2254,12 +2315,14 @@ class LakeTable:
                 )
             )
         stage = self.new_staging_dir()
-        # cluster each rewritten bucket by key (task-local sort, no extra
-        # exchange): compaction is the read-optimization pass, so pay the
-        # in-task sort once to make parquet row-group min/max stats selective
-        # for point/range reads — the Iceberg sort-order analogue
+        # cluster each rewritten bucket (task-local sort, no extra exchange):
+        # compaction is the read-optimization pass, so pay the in-task sort
+        # once to make parquet row-group min/max stats selective — by the
+        # declared sort_order property if set (range-scan clustering), else
+        # by key (point-read clustering); the Iceberg sort-order analogue
+        sort_cols = self._sort_cols_of(snap)
         with owned_write_conf(spark):
-            winners.sortWithinPartitions(BUCKET_COL, *key_cols).write.mode(
+            winners.sortWithinPartitions(BUCKET_COL, *sort_cols).write.mode(
                 "overwrite"
             ).partitionBy(BUCKET_COL).parquet(stage)
         # maintenance pass: build blooms by default (the map-only rewrite —

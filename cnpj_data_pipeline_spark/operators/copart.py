@@ -545,9 +545,10 @@ def rewrite_buckets_map(
     just to group what is already grouped is pure waste: one Arrow task per
     victim bucket reads its generations, LWW-folds in Arrow C++ (same total
     order as the shuffling kernel — tested bit-identical), optionally drops
-    tombstone winners below ``lsn_horizon`` (the vacuum path), sorts by key
-    (the Iceberg sort-order analogue: tight parquet row-group ranges for
-    point/range reads), writes EXACTLY ONE file, and returns its footer
+    tombstone winners below ``lsn_horizon`` (the vacuum path), sorts by the
+    table's declared ``sort_order`` property or by key (the Iceberg
+    sort-order analogue: tight parquet row-group ranges for range or point
+    reads respectively), writes EXACTLY ONE file, and returns its footer
     stats inline — so the rewritten bucket is single-file, key-clustered,
     and fully stat-ed with zero exchange and no separate stats pass. The
     salted shuffle rewrite left ``salt_factor`` files per bucket.
@@ -567,6 +568,8 @@ def rewrite_buckets_map(
             "(_rewrite_buckets routes them automatically)"
         )
     key_cols = list(snap["key_cols"])
+    # declared sort_order property (key-tiebroken) or key clustering
+    sort_cols = table._sort_cols_of(snap)
     schema_json = table.schema().json()
     bucket_files = {
         b: [
@@ -623,7 +626,7 @@ def rewrite_buckets_map(
                     folded = folded.filter(pc.fill_null(keep, True))
                 folded = folded.take(
                     pc.sort_indices(
-                        folded, sort_keys=[(c, "ascending") for c in key_cols]
+                        folded, sort_keys=[(c, "ascending") for c in sort_cols]
                     )
                 )
                 bdir = os.path.join(stage, f"{BUCKET_COL}={b}")

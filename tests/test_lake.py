@@ -460,3 +460,35 @@ def test_rebucket_to_wide_layout_and_ingest_continues(spark, tmp_table, monkeypa
     )
     golden = final_state(ch.toPandas())
     pd.testing.assert_frame_equal(final, golden, check_dtype=False)
+
+
+def test_point_lookup_casts_caller_key_types(spark, tmp_table):
+    """xxhash64 is type-sensitive (int64 7 != int32 7): lookup keys arriving
+    with the CALLER's inferred types (plain Python ints -> LongType against
+    an int32 turn_idx) must be cast to the table's physical types before
+    bucket hashing, or the lookup silently prunes to the wrong buckets and
+    returns nothing."""
+    cfg, ch = _mk(spark, tmp_table, n_events=2_000)
+    IngestJob(tmp_table, cfg).run_batches(spark, list(epoch_batches(ch, 2)))
+    table = LakeTable.load(tmp_table)
+
+    rows = (
+        table.read(spark)
+        .select("conv_id", "turn_idx")
+        .orderBy("conv_id", "turn_idx")
+        .limit(4)
+        .collect()
+    )
+    # re-enter the keys as vanilla Python values: LongType turn_idx
+    caller_keys = spark.createDataFrame(
+        [(r["conv_id"], int(r["turn_idx"])) for r in rows],
+        "conv_id string, turn_idx long",
+    )
+    assert dict(caller_keys.dtypes)["turn_idx"] == "bigint"
+    got = table.read_keys(spark, caller_keys)
+    assert got.count() == 4
+    # prefix lookup path casts too
+    pre = spark.createDataFrame(
+        [(r["conv_id"],) for r in rows], "conv_id string"
+    )
+    assert table.read_keys(spark, pre, on=["conv_id"]).count() >= 4

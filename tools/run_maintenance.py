@@ -89,6 +89,14 @@ def main() -> None:
 
     sub.add_parser("tags", help="list snapshot tags (metadata-only)")
 
+    p = sub.add_parser("set-sort-order",
+                       help="declare the compaction sort order (Iceberg "
+                            "sortOrder analogue); takes effect at the next "
+                            "rewrite pass")
+    p.add_argument("--columns", required=True,
+                   help="comma-separated column list, or 'none' to reset "
+                        "to key clustering")
+
     p = sub.add_parser("check", help="CHECK TABLE: verify physical files "
                                      "against the manifest")
     p.add_argument("--placement", action="store_true",
@@ -134,6 +142,16 @@ def main() -> None:
         return
     if args.op == "tags":
         print(json.dumps({"op": "tags", "tags": table.tags()}))
+        return
+    if args.op == "set-sort-order":
+        cols = (
+            None
+            if args.columns.strip().lower() == "none"
+            else [c.strip() for c in args.columns.split(",") if c.strip()]
+        )
+        sid = table.set_sort_order(cols)
+        print(json.dumps({"op": "set-sort-order", "snapshot_id": sid,
+                          "sort_order": cols}))
         return
     spark = get_spark(master=args.master) if args.master else get_spark()
     before = table.current_snapshot_id()
