@@ -122,6 +122,17 @@ def write_epoch_bucketed(
                 "n_buckets": n_buckets,
                 "bucket_cols": list(bucket_cols) if bucket_cols else None,
                 "hash": "xxhash64-pmod",
+                # the types the hash actually saw: xxhash64 is type-sensitive
+                # (int32 7 != int64 7), so alignment with a table requires
+                # matching TYPES, not just matching column names
+                "bucket_col_types": (
+                    [
+                        changes.schema[c].dataType.simpleString()
+                        for c in bucket_cols
+                    ]
+                    if bucket_cols
+                    else None
+                ),
             },
             f,
         )
@@ -163,6 +174,20 @@ def bucketed_layout(
         or (desc.get("bucket_cols") or None) != (tbl_bcols or None)
     ):
         return None
+    # type alignment: the producer hashed ITS column types; if they differ
+    # from the table's (e.g. a long turn_idx against an int32 key), equal
+    # values hash to different buckets — the layout is useless here, take
+    # the shuffling path (which casts to the table schema BEFORE hashing).
+    # Descriptors predating bucket_col_types skip the check (trusted as
+    # before); producers should re-materialize to get the guard.
+    declared = desc.get("bucket_col_types")
+    if declared is not None and tbl_bcols:
+        from cnpj_data_pipeline_spark.schemas import schema_from_json
+
+        tbl_schema = schema_from_json(snap["schema"])
+        want = [tbl_schema[c].dataType.simpleString() for c in tbl_bcols]
+        if list(declared) != want:
+            return None
     from cnpj_data_pipeline_spark.config import BUCKET_COL
 
     out: dict[int, list[str]] = {}

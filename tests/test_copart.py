@@ -433,3 +433,33 @@ def test_map_rewrite_auto_falls_back_per_oversized_bucket(spark, tmp_path):
     pd.testing.assert_frame_equal(
         _final(spark, lake), final_state(ch.toPandas()), check_dtype=False
     )
+
+
+def test_bucket_col_type_mismatch_falls_back(spark, tmp_path):
+    """xxhash64 is type-sensitive: a producer hashing a LONG turn_idx places
+    equal VALUES in different buckets than the table's int32 hash. The
+    descriptor records the hashed types, so such a layout must be rejected
+    (shuffle path re-buckets after casting) instead of silently corrupting
+    locality — read_keys would otherwise miss rows forever."""
+    from pyspark.sql import functions as F
+
+    ch = gen_changes(spark, n_events=3_000, n_convs=100, n_epochs=2)
+    ch_long = ch.withColumn("turn_idx", F.col("turn_idx").cast("long"))
+    wal = str(tmp_path / "wal")
+    for e, b in epoch_batches(ch_long, 2):
+        write_epoch_bucketed(b, wal, e, KEYS, N_BUCKETS)
+    lake = str(tmp_path / "lake")
+    m = IngestJob(lake, EngineConfig(n_buckets=N_BUCKETS)).run_stream(
+        spark, wal
+    )
+    assert not any(x.get("copartitioned") for x in m)
+    t = LakeTable.load(lake)
+    assert bucketed_layout(wal, 0, t) is None
+    pd.testing.assert_frame_equal(
+        _final(spark, lake), final_state(ch.toPandas()), check_dtype=False
+    )
+    # and the proof the fallback matters: every key is findable again
+    some = (
+        t.read(spark).select(*KEYS).orderBy(*KEYS).limit(5)
+    )
+    assert t.read_keys(spark, some).count() == 5
