@@ -632,7 +632,22 @@ def rewrite_buckets_map(
                 bdir = os.path.join(stage, f"{BUCKET_COL}={b}")
                 os.makedirs(bdir, exist_ok=True)
                 path = os.path.join(bdir, f"part-{uuid.uuid4().hex}.parquet")
-                pq.write_table(folded, path, compression="zstd")
+                # byte-targeted row groups (~32 MiB decoded), not pyarrow's
+                # 1Mi-row default: row-group min/max stats are the unit of
+                # scan pruning, and a big bucket written as one giant group
+                # gives sorted layouts (sort_order) nothing to skip
+                rows_per_group = max(
+                    8192,
+                    int(
+                        len(folded)
+                        * (32 << 20)
+                        / max(folded.nbytes, 1)
+                    ),
+                ) if len(folded) else None
+                pq.write_table(
+                    folded, path, compression="zstd",
+                    row_group_size=rows_per_group,
+                )
                 if blooms:
                     from cnpj_data_pipeline_spark.lake.bloom import (
                         write_sidecar,
