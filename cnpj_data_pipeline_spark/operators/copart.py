@@ -411,10 +411,19 @@ def apply_changes_copart(
     all_files = [fp for fps in bucket_files.values() for fp in fps]
     base_schema = table.schema()
     if all_files:
-        evolved = union_schema(base_schema, _payload_schema_of_files(all_files))
+        # frozen keys: a WAL epoch with drifted key types cannot reach this
+        # path (bucketed_layout rejects type-misaligned layouts), but the
+        # payload may legitimately widen — never the bucket-hash inputs
+        evolved = union_schema(
+            base_schema,
+            _payload_schema_of_files(all_files),
+            frozen=snap["key_cols"] or (),
+        )
     else:
         evolved = base_schema
-    evolved_changed = len(evolved.fields) != len(base_schema.fields)
+    # field-list comparison, not a length check: a WIDENING evolution
+    # (int -> long) changes a type without adding a column
+    evolved_changed = evolved.fields != base_schema.fields
 
     chunks = [
         (b, chunk)

@@ -274,8 +274,16 @@ def apply_changes(
 
     # -- schema evolution (additive): table schema ∪ batch payload schema
     base_schema = table.schema()
-    evolved = union_schema(base_schema, _payload_schema(changes))
-    evolved_changed = len(evolved.fields) != len(base_schema.fields)
+    # key columns are FROZEN at the table's type: xxhash64 is
+    # type-sensitive, so widening a key would hash the same logical key
+    # into a different bucket than its existing versions — drifted key
+    # batches cast down to the table type instead (pre-widening semantics)
+    evolved = union_schema(
+        base_schema, _payload_schema(changes), frozen=key_cols or ()
+    )
+    # field-list comparison, not a length check: a WIDENING evolution
+    # (int -> long) changes a type without adding a column
+    evolved_changed = evolved.fields != base_schema.fields
 
     # -- normalize the batch: payload aligned to evolved schema + (op, lsn)
     ch = changes

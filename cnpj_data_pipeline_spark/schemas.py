@@ -14,6 +14,8 @@ the ``batch_row_num SERIAL`` arrival order standing in for an LSN
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import types as T
 
 KEY_COLS = ("conv_id", "turn_idx")
@@ -61,16 +63,42 @@ def schema_from_json(s: str) -> T.StructType:
     return T.StructType.fromJson(__import__("json").loads(s))
 
 
-def union_schema(base: T.StructType, other: T.StructType) -> T.StructType:
-    """Additive schema union: base columns keep their position/type; new columns
-    from ``other`` are appended (nullable). Type conflicts are rejected — the
-    engine supports *additive* evolution only, the declared scope of the north
-    rule (new tool/metadata columns), mirroring the reference's tolerance of
-    extra trailing CSV columns (``column_{i}``, src/processor.py:518)."""
+def union_schema(
+    base: T.StructType,
+    other: T.StructType,
+    frozen: "Sequence[str] | set[str]" = (),
+) -> T.StructType:
+    """Additive + widening schema union. Base columns keep their position;
+    new columns from ``other`` are appended (nullable); a numeric column
+    arriving STRICTLY WIDER (int→long, float→double — an upstream ALTER
+    COLUMN) widens the table's declared type in place. Downcasting never
+    happens: a batch narrower than the table casts UP on align, and before
+    widening existed a genuinely-widened batch was cast DOWN — a silent
+    wraparound for values past the narrow range. Parquet state files written
+    under the old narrow type stay valid: Spark's parquet reader upcasts
+    int32→int64 / float→double natively (probed on pyspark 4.1), and the
+    Arrow kernels normalize per file (``operators.copart._normalize_to``).
+
+    ``frozen`` columns never widen — the apply paths pass the key columns,
+    whose type is part of the bucket-hash contract (xxhash64 is
+    type-sensitive): a drifted key batch casts down to the table's type as
+    before, it does not evolve the table.
+
+    Other type conflicts are rejected — the engine supports additive +
+    widening evolution only, mirroring the reference's tolerance of extra
+    trailing CSV columns (``column_{i}``, src/processor.py:518)."""
     by_name = {f.name: f for f in base.fields}
     out = list(base.fields)
+    frozen = set(frozen)
+    # family rank orders: widest type wins within a family
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     fractional = (T.FloatType, T.DoubleType)
+
+    def _wider(a: T.DataType, b: T.DataType, family) -> T.DataType:
+        ra = next(i for i, t in enumerate(family) if isinstance(a, t))
+        rb = next(i for i, t in enumerate(family) if isinstance(b, t))
+        return a if ra >= rb else b
+
     for f in other.fields:
         cur = by_name.get(f.name)
         if isinstance(f.dataType, T.NullType):
@@ -81,9 +109,6 @@ def union_schema(base: T.StructType, other: T.StructType) -> T.StructType:
         if cur is None:
             out.append(T.StructField(f.name, f.dataType, True))
         elif cur.dataType != f.dataType:
-            # tolerate numeric representation drift from upstream producers
-            # (e.g. Arrow/pandas inferring long for an int column); the table's
-            # declared type stays authoritative and the batch is cast to it.
             both_integral = isinstance(cur.dataType, integral) and isinstance(
                 f.dataType, integral
             )
@@ -94,7 +119,18 @@ def union_schema(base: T.StructType, other: T.StructType) -> T.StructType:
             both_ts = isinstance(cur.dataType, ts_types) and isinstance(
                 f.dataType, ts_types
             )
-            if not (both_integral or both_fractional or both_ts):
+            if (both_integral or both_fractional) and f.name not in frozen:
+                family = integral if both_integral else fractional
+                wide = _wider(cur.dataType, f.dataType, family)
+                if wide != cur.dataType:
+                    i = next(
+                        j for j, g in enumerate(out) if g.name == f.name
+                    )
+                    out[i] = T.StructField(f.name, wide, out[i].nullable)
+            elif not (both_ts or both_integral or both_fractional):
+                # tz-variant timestamps and frozen/numeric drift: the
+                # table's declared type stays authoritative (the batch is
+                # cast on align); anything else is a non-additive change
                 raise ValueError(
                     f"non-additive schema change for column {f.name!r}: "
                     f"{cur.dataType} -> {f.dataType}"
