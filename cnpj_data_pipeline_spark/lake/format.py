@@ -674,11 +674,31 @@ class LakeTable:
             return key_cols
         return list(so) + [c for c in key_cols if c not in so]
 
-    def set_sort_order(self, cols: Sequence[str] | None) -> int:
+    @staticmethod
+    def _sort_kind_of(snap: dict) -> str:
+        """"lexical" (default) or "zorder" — how the declared sort_order
+        columns cluster a rewritten bucket."""
+        if not (snap.get("props") or {}).get("sort_order"):
+            return "lexical"
+        return (snap.get("props") or {}).get("sort_order_kind") or "lexical"
+
+    def set_sort_order(
+        self, cols: Sequence[str] | None, kind: str = "lexical"
+    ) -> int:
         """Declare the table's SORT ORDER (Iceberg's sortOrder analogue): the
         columns compaction/vacuum cluster each rewritten bucket's file by,
         replacing the default key clustering. A physical-layout property
         only — logical state and merge semantics are untouched.
+
+        ``kind="lexical"`` clusters perfectly on the FIRST column (range
+        scans on it skip row groups); ``kind="zorder"`` interleaves 2-4
+        columns' rank bits into a Morton code (``operators/zorder.py``) so
+        range predicates on ANY declared column prune — the Delta OPTIMIZE
+        ZORDER analogue. Z-ordering runs in the map-only rewrite kernel;
+        the salted-shuffle kernel (forced strategy, or a bucket over the
+        per-bucket size fallback) degrades that rewrite to LEXICAL
+        clustering on the same columns — physical layout only, correctness
+        is never affected.
 
         The trade: range scans on the sort column get tight parquet
         row-group min/max (Spark's pushdown skips row groups inside a
@@ -690,6 +710,8 @@ class LakeTable:
         rewrite — already-written files keep their layout until then).
         Props-only commit (op='set-props'): atomic, CAS-raced like any
         commit, invisible to the change feed."""
+        if kind not in ("lexical", "zorder"):
+            raise ValueError(f"unknown sort_order kind {kind!r}")
         if cols is not None:
             cols = [str(c) for c in cols]
             if not cols:
@@ -703,11 +725,19 @@ class LakeTable:
                     f"sort_order columns not in schema: {missing} "
                     f"(have {sorted(names)})"
                 )
+            if kind == "zorder" and not 2 <= len(cols) <= 4:
+                raise ValueError(
+                    "zorder interleaves 2-4 columns (one column is just a "
+                    f"lexical sort), got {len(cols)}"
+                )
         return self.commit(
             op="set-props",
             epoch=None,
             bucket_updates={},
-            props={"sort_order": cols},
+            props={
+                "sort_order": cols,
+                "sort_order_kind": kind if cols is not None else None,
+            },
         )
 
     def n_buckets(self) -> int:

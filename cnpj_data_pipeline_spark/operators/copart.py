@@ -577,8 +577,20 @@ def rewrite_buckets_map(
             "(_rewrite_buckets routes them automatically)"
         )
     key_cols = list(snap["key_cols"])
-    # declared sort_order property (key-tiebroken) or key clustering
+    # declared sort_order property (key-tiebroken) or key clustering;
+    # "zorder" interleaves the declared columns' rank bits instead of
+    # sorting lexicographically (operators/zorder.py)
     sort_cols = table._sort_cols_of(snap)
+    sort_kind = table._sort_kind_of(snap)
+    declared_cols = list(
+        (snap.get("props") or {}).get("sort_order") or key_cols
+    )
+    # row-group byte target threaded through the closure (env is captured
+    # DRIVER-side: executor python workers inherit the JVM's launch env,
+    # not later mutations)
+    row_group_bytes = int(
+        os.environ.get("SPARK_GRAFT_REWRITE_ROWGROUP_BYTES", 32 << 20)
+    )
     schema_json = table.schema().json()
     bucket_files = {
         b: [
@@ -633,11 +645,21 @@ def rewrite_buckets_map(
                         )
                     )
                     folded = folded.filter(pc.fill_null(keep, True))
-                folded = folded.take(
-                    pc.sort_indices(
-                        folded, sort_keys=[(c, "ascending") for c in sort_cols]
+                if sort_kind == "zorder":
+                    from cnpj_data_pipeline_spark.operators.zorder import (
+                        sort_indices_zorder,
                     )
-                )
+
+                    folded = folded.take(
+                        sort_indices_zorder(folded, declared_cols, key_cols)
+                    )
+                else:
+                    folded = folded.take(
+                        pc.sort_indices(
+                            folded,
+                            sort_keys=[(c, "ascending") for c in sort_cols],
+                        )
+                    )
                 bdir = os.path.join(stage, f"{BUCKET_COL}={b}")
                 os.makedirs(bdir, exist_ok=True)
                 path = os.path.join(bdir, f"part-{uuid.uuid4().hex}.parquet")
@@ -646,10 +668,10 @@ def rewrite_buckets_map(
                 # scan pruning, and a big bucket written as one giant group
                 # gives sorted layouts (sort_order) nothing to skip
                 rows_per_group = max(
-                    8192,
+                    1024,
                     int(
                         len(folded)
-                        * (32 << 20)
+                        * row_group_bytes
                         / max(folded.nbytes, 1)
                     ),
                 ) if len(folded) else None

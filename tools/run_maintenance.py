@@ -96,6 +96,10 @@ def main() -> None:
     p.add_argument("--columns", required=True,
                    help="comma-separated column list, or 'none' to reset "
                         "to key clustering")
+    p.add_argument("--kind", choices=["lexical", "zorder"], default="lexical",
+                   help="lexical: cluster on the column list in order; "
+                        "zorder: interleave 2-4 columns' rank bits so range "
+                        "predicates on ANY of them prune row groups")
 
     p = sub.add_parser("check", help="CHECK TABLE: verify physical files "
                                      "against the manifest")
@@ -149,9 +153,9 @@ def main() -> None:
             if args.columns.strip().lower() == "none"
             else [c.strip() for c in args.columns.split(",") if c.strip()]
         )
-        sid = table.set_sort_order(cols)
+        sid = table.set_sort_order(cols, kind=args.kind)
         print(json.dumps({"op": "set-sort-order", "snapshot_id": sid,
-                          "sort_order": cols}))
+                          "sort_order": cols, "kind": args.kind}))
         return
     spark = get_spark(master=args.master) if args.master else get_spark()
     before = table.current_snapshot_id()
