@@ -55,6 +55,13 @@ DRIVER = textwrap.dedent(
     got = (t.read(spark).orderBy("conv_id", "turn_idx")
              .toPandas().reset_index(drop=True))
     pd.testing.assert_frame_equal(got, final_state(chp), check_dtype=False)
+    # z-order rewrite across real executor JVMs (numpy kernel + closure
+    # serialization + executor-side module import)
+    t.set_sort_order(["ts", "turn_idx"], kind="zorder")
+    t.compact(spark, buckets=range(8))
+    got2 = (t.read(spark).orderBy("conv_id", "turn_idx")
+              .toPandas().reset_index(drop=True))
+    pd.testing.assert_frame_equal(got2, got, check_dtype=False)
     print(f"LOCAL-CLUSTER-OK rows={{len(got)}}")
     """
 ).format(repo=REPO)
