@@ -2682,6 +2682,7 @@ class LakeTable:
         keep_last: int = 1,
         sweep_orphans: bool = False,
         orphan_grace_sec: float = 600.0,
+        older_than: "_dt.datetime | str | None" = None,
     ) -> dict:
         """Iceberg-style snapshot expiration, METADATA-DRIVEN: keep the newest
         ``keep_last`` snapshots, and derive the deletion set from the expired
@@ -2702,6 +2703,11 @@ class LakeTable:
         files and each compaction supersedes whole generations — without
         expiration the table keeps every byte ever written.
 
+        ``older_than`` (Iceberg's expire_snapshots retention analogue): a
+        UTC datetime or ISO string — snapshots committed AT OR AFTER it are
+        kept regardless of count, so the retention policy is wall-clock
+        ("keep 7 days of time travel") with ``keep_last`` as the floor.
+
         Safe by construction: the pointer is rolled to the head first (probing
         starts there, so it must always name a kept manifest), visibility is
         only via committed manifests, and kept snapshots reference only kept
@@ -2712,6 +2718,26 @@ class LakeTable:
         chain = self.snapshots()
         kept = chain[-keep_last:]
         kept_ids = {s["snapshot_id"] for s in kept}
+        if older_than is not None:
+            if isinstance(older_than, str):
+                horizon = _dt.datetime.strptime(
+                    older_than[:26].rstrip("Z"), "%Y-%m-%dT%H:%M:%S.%f"
+                )
+            else:
+                horizon = older_than
+                if horizon.tzinfo is not None:
+                    horizon = horizon.astimezone(
+                        _dt.timezone.utc
+                    ).replace(tzinfo=None)
+            for s in chain:
+                if s["snapshot_id"] in kept_ids:
+                    continue
+                at = _dt.datetime.strptime(
+                    s["committed_at"], "%Y-%m-%dT%H:%M:%S.%fZ"
+                )
+                if at >= horizon:
+                    kept.append(s)
+                    kept_ids.add(s["snapshot_id"])
         # TAGGED snapshots are pinned: a tag is the operator's promise that
         # this exact state stays reproducible (training-run provenance), so
         # expiration keeps the manifest and everything it references

@@ -492,3 +492,26 @@ def test_point_lookup_casts_caller_key_types(spark, tmp_table):
         [(r["conv_id"],) for r in rows], "conv_id string"
     )
     assert table.read_keys(spark, pre, on=["conv_id"]).count() >= 4
+
+
+def test_expire_snapshots_older_than_wall_clock_retention(spark, tmp_table):
+    """older_than keeps every snapshot committed at or after the horizon
+    regardless of keep_last (the floor), so retention is 'N days of time
+    travel', not 'N commits'."""
+    cfg, ch = _mk(spark, tmp_table, n_epochs=3)
+    job = IngestJob(tmp_table, cfg)
+    job.run_batches(spark, list(epoch_batches(ch, 3)))
+    t = LakeTable.load(tmp_table)
+    chain = t.snapshots()
+    assert len(chain) >= 4  # create + 3 applies
+    horizon = chain[-2]["committed_at"]  # keep the last two commits
+
+    stats = t.expire_snapshots(keep_last=1, older_than=horizon)
+    kept = set(stats["kept_snapshot_ids"])
+    assert chain[-1]["snapshot_id"] in kept
+    assert chain[-2]["snapshot_id"] in kept
+    assert chain[0]["snapshot_id"] not in kept
+    # time travel to a kept snapshot works; an expired one fails loudly
+    assert t.read(spark, snapshot_id=chain[-2]["snapshot_id"]).count() > 0
+    with pytest.raises((FileNotFoundError, OSError, ValueError)):
+        t.read(spark, snapshot_id=chain[0]["snapshot_id"]).count()

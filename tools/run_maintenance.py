@@ -50,6 +50,10 @@ def main() -> None:
 
     p = sub.add_parser("expire", help="GC old snapshots + orphan files")
     p.add_argument("--keep-last", type=int, default=10)
+    p.add_argument("--older-than", default=None,
+                   help="ISO UTC timestamp: snapshots committed at or after "
+                        "it are kept regardless of count (wall-clock "
+                        "time-travel retention; --keep-last stays the floor)")
 
     p = sub.add_parser("rebucket", help="rewrite the table into a new bucket count")
     p.add_argument("--n-buckets", type=int, required=True)
@@ -173,7 +177,8 @@ def main() -> None:
         )
         out = {"op": "vacuum", "snapshot_id": sid}
     elif args.op == "expire":
-        out = {"op": "expire", **table.expire_snapshots(keep_last=args.keep_last)}
+        out = {"op": "expire", **table.expire_snapshots(
+            keep_last=args.keep_last, older_than=args.older_than)}
     elif args.op == "check":
         out = {
             "op": "check",
