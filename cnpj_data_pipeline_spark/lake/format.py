@@ -2921,6 +2921,9 @@ class LakeTable:
             "max_lsn": max(lsns, default=None),
             "snapshots_retained": len(self.snapshots()),
             "schema_fields": [f.name for f in self.schema(snapshot_id).fields],
+            "merge_engine": snap.get("merge_engine", "lww"),
+            "sort_order": (snap.get("props") or {}).get("sort_order"),
+            "sort_order_kind": self._sort_kind_of(snap),
         }
 
     def rollback(self, to_snapshot_id: int) -> int:
