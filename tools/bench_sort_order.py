@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--master", default="local[8]")
     ap.add_argument("--workdir", default=None)
+    ap.add_argument("--zorder", action="store_true",
+                    help="compare lexical vs z-order clustering on "
+                         "(ts, turn_idx): a lexical sort serves only the ts "
+                         "window; the Morton interleave serves BOTH")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -77,24 +81,66 @@ def main() -> None:
         seconds=span * (0.5 + args.window_frac)
     )
 
-    def time_window() -> tuple[float, float, int]:
+    def time_window(col="ts", lo=None, hi=None) -> tuple[float, float, int]:
         """(count_sec, agg_sec, rows): the window row count, then a payload
         aggregation over the window (sum of text lengths — forces decode of
         the wide column, where row-group pruning pays most)."""
+        lo = w_lo if lo is None else lo
+        hi = w_hi if hi is None else hi
         best_c = best_a = None
         n = 0
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            n = t.read_range(spark, "ts", w_lo, w_hi).count()
+            n = t.read_range(spark, col, lo, hi).count()
             el = time.perf_counter() - t0
             best_c = el if best_c is None else min(best_c, el)
             t0 = time.perf_counter()
-            t.read_range(spark, "ts", w_lo, w_hi).agg(
+            t.read_range(spark, col, lo, hi).agg(
                 F.sum(F.length("text"))
             ).collect()
             el = time.perf_counter() - t0
             best_a = el if best_a is None else min(best_a, el)
         return best_c, best_a, n
+
+    if args.zorder:
+        # windows: 5%-of-time on ts, and turns {0,1} (~20% of rows) on the
+        # independent second dimension — the dimension a lexical (ts, ...)
+        # sort cannot cluster
+        t.set_sort_order(["ts", "turn_idx"])
+        t.compact(spark, buckets=range(args.buckets))
+        lex_ts = time_window()
+        lex_turn = time_window("turn_idx", 0, 1)
+        t.set_sort_order(["ts", "turn_idx"], kind="zorder")
+        t.compact(spark, buckets=range(args.buckets))
+        z_ts = time_window()
+        z_turn = time_window("turn_idx", 0, 1)
+        assert lex_ts[2] == z_ts[2] and lex_turn[2] == z_turn[2]
+        print(
+            json.dumps(
+                {
+                    "metric": "zorder vs lexical range-scan",
+                    "events": args.events,
+                    "live_rows": t.read(spark).count(),
+                    "buckets": args.buckets,
+                    "ts_window": {
+                        "rows": lex_ts[2],
+                        "lexical_sec": round(lex_ts[1], 3),
+                        "zorder_sec": round(z_ts[1], 3),
+                    },
+                    "turn_window": {
+                        "rows": lex_turn[2],
+                        "lexical_sec": round(lex_turn[1], 3),
+                        "zorder_sec": round(z_turn[1], 3),
+                        "speedup": (
+                            round(lex_turn[1] / z_turn[1], 2)
+                            if z_turn[1]
+                            else None
+                        ),
+                    },
+                }
+            )
+        )
+        return
 
     t.compact(spark)  # key clustering (default)
     key_cnt, key_agg, n_key = time_window()
