@@ -2417,11 +2417,12 @@ class LakeTable:
             )
         map_victims: list[int] = []
         shuffle_victims: list[int] = []
-        if snap.get("merge_engine", "lww") != "lww":
-            # the map-only Arrow kernel implements the LWW fold; partial/
-            # aggregate tables compact through the shuffle kernel (the same
-            # spec-driven fold as read — one implementation, no bit-parity
-            # risk)
+        if snap.get("merge_engine", "lww") == "aggregate":
+            # LWW and partial tables take the map-only Arrow kernel (folds
+            # proven result-identical to the shuffling path); the AGGREGATE
+            # engine stays on the shuffle kernel — float sums are
+            # order-sensitive, so a numpy refold could differ in final bits
+            # from Spark's
             strategy = "shuffle"
         if strategy == "map":
             limit = (

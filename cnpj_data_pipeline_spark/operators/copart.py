@@ -570,11 +570,13 @@ def rewrite_buckets_map(
     Returns the commit-ready ``bucket_updates`` fragment for the victims
     (caller owns the commit and the watermark-keep/empty-bucket fixups)."""
     snap = table.snapshot()
-    if snap.get("merge_engine", "lww") != "lww":
+    engine = snap.get("merge_engine", "lww")
+    if engine == "aggregate":
         raise ValueError(
-            "the map-only rewrite kernel implements the LWW fold; partial/"
-            "aggregate tables compact via the shuffle kernel "
-            "(_rewrite_buckets routes them automatically)"
+            "the map-only rewrite kernel folds lww/partial tables; "
+            "aggregate tables compact via the shuffle kernel — float sums "
+            "are order-sensitive, so a numpy refold could differ in final "
+            "bits from Spark's (_rewrite_buckets routes them automatically)"
         )
     key_cols = list(snap["key_cols"])
     # declared sort_order property (key-tiebroken) or key clustering;
@@ -611,17 +613,24 @@ def rewrite_buckets_map(
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        from cnpj_data_pipeline_spark.lake.format import _file_stats
+        from cnpj_data_pipeline_spark.lake.format import (
+            PARTIAL_META_FIELDS,
+            _file_stats,
+        )
         from cnpj_data_pipeline_spark.operators.copart import (
             _lww_fold_arrow,
             _normalize_to,
         )
         from cnpj_data_pipeline_spark.schemas import schema_from_json
 
-        phys_fields = list(schema_from_json(schema_json).fields) + list(
-            PHYSICAL_META_FIELDS
-        )
+        payload_fields = list(schema_from_json(schema_json).fields)
+        phys_fields = payload_fields + list(PHYSICAL_META_FIELDS)
+        if engine == "partial":
+            phys_fields = phys_fields + list(PARTIAL_META_FIELDS)
         target = to_arrow_schema(T.StructType(phys_fields))
+        payload_cols = [
+            f.name for f in payload_fields if f.name not in set(key_cols)
+        ]
 
         for driving in batches:
             for _, row in driving.iterrows():
@@ -634,9 +643,23 @@ def rewrite_buckets_map(
                 tbl = pa.concat_tables(
                     [_normalize_to(pq.read_table(f), target) for f in files]
                 )
-                folded = _lww_fold_arrow(
-                    tbl, key_cols, lsn_col=LSN_META_COL, op_col=OP_META_COL
-                )
+                if engine == "partial":
+                    from cnpj_data_pipeline_spark.operators.partial import (
+                        partial_fold_arrow,
+                    )
+
+                    folded = _normalize_to(
+                        partial_fold_arrow(
+                            tbl, key_cols, payload_cols,
+                            lsn_col=LSN_META_COL, op_col=OP_META_COL,
+                        ),
+                        target,
+                    )
+                else:
+                    folded = _lww_fold_arrow(
+                        tbl, key_cols,
+                        lsn_col=LSN_META_COL, op_col=OP_META_COL,
+                    )
                 if lsn_horizon is not None:
                     keep = pc.invert(
                         pc.and_kleene(

@@ -33,9 +33,9 @@ Semantics per key:
   versions, if that origin is STRICTLY above the newest delete LSN;
 * the row is alive iff any non-delete version is strictly above the newest
   delete LSN (an all-NULL insert still creates the key);
-* ties on origin LSN break by (row LSN, value-as-string) so every
-  partitioning and engine picks the same winner; an exact (origin == delete
-  LSN) tie resolves to the delete.
+* ties on origin LSN break by (row LSN, value under its native order) so
+  every partitioning and engine picks the same winner; an exact (origin ==
+  delete LSN) tie resolves to the delete.
 
 Scale shape: identical to the LWW fold — ONE hash aggregate that reuses the
 merge's (bucket, salt-of-full-key) exchange; per payload column it runs one
@@ -150,10 +150,11 @@ def partial_winners_agg(
             continue
         o = origin(c)
         # deterministic total order per column: origin, then row lsn, then
-        # the value itself (as string) — same winner on every partitioning
-        ordk = F.struct(
-            o, lsn, F.coalesce(F.col(c).cast("string"), F.lit(""))
-        )
+        # the value itself under its NATIVE ordering — same winner on every
+        # partitioning AND in the Arrow twin (partial_fold_arrow): UTF-8
+        # byte order == code-point order, timestamps compare as micros,
+        # numerics as numbers; candidates are never null (contrib gates)
+        ordk = F.struct(o, lsn, F.col(c))
         aggs.append(
             F.max_by(
                 F.struct(o.alias("o"), F.col(c).alias("v")),
@@ -198,3 +199,158 @@ def partial_winners_agg(
         F.when(dele >= 0, dele).cast("long").alias(DEL_LSN_META_COL)
     )
     return agg.select(*out_cols)
+
+
+def partial_fold_arrow(
+    tbl,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+):
+    """Arrow/numpy twin of :func:`partial_winners_agg` for the MAP-ONLY
+    bucket rewrite (``operators.copart.rewrite_buckets_map``) — the same
+    per-column fold with zero exchange, proven result-identical to the
+    shuffling kernel by ``tests/test_partial_update.py``. Executor-side
+    helper: no Spark objects, pyarrow + numpy only.
+
+    Semantics (module doc): per key, newest tombstone LSN is the delete
+    horizon; each column independently takes the value whose (origin LSN,
+    row LSN, native value order) is greatest among non-delete versions,
+    surviving only strictly above the horizon; output rows carry
+    ``__col_lsns``/``__del_lsn`` provenance so later folds stay
+    associative. Known edge: a literal float NaN VALUE ranks lowest here
+    but greatest in Spark — it can flip only a duplicate-LSN tie between
+    NaN and a number, which no supported stream produces.
+
+    The AGGREGATE engine (sum/min/max monoids) deliberately stays on the
+    shuffling kernel: float sums are order-sensitive, so a numpy refold
+    could differ in final bits from Spark's — the one engine where
+    bit-parity cannot be promised across kernels."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(tbl)
+    key_cols = list(key_cols)
+    payload_cols = list(payload_cols)
+    names = set(tbl.column_names)
+
+    if n == 0:
+        gid = np.zeros(0, dtype=np.int64)
+        G = 0
+    elif len(key_cols) == 1:
+        gid, _ = pd.factorize(
+            tbl.column(key_cols[0]).to_pandas(), sort=False
+        )
+        G = int(gid.max()) + 1
+    else:
+        gid, _ = pd.factorize(
+            pd.MultiIndex.from_frame(tbl.select(key_cols).to_pandas()),
+            sort=False,
+        )
+        G = int(gid.max()) + 1
+
+    lsn = pc.fill_null(tbl.column(lsn_col), _NO_DEL).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    is_del = pc.fill_null(
+        pc.equal(tbl.column(op_col), "D"), False
+    ).to_numpy(zero_copy_only=False).astype(bool)
+
+    row_del = np.where(is_del, lsn, _NO_DEL)
+    if DEL_LSN_META_COL in names:
+        dl = pc.fill_null(
+            tbl.column(DEL_LSN_META_COL), _NO_DEL
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        row_del = np.maximum(row_del, dl)
+
+    DEL = np.full(G, _NO_DEL, dtype=np.int64)
+    np.maximum.at(DEL, gid, row_del)
+    LIVE = np.full(G, _NO_DEL, dtype=np.int64)
+    live_mask = ~is_del
+    np.maximum.at(LIVE, gid[live_mask], lsn[live_mask])
+    # __LIVE is null iff NO non-delete version exists; lsn values are >= 0
+    has_live = np.zeros(G, dtype=bool)
+    has_live[gid[live_mask]] = True
+    alive = has_live & (LIVE > DEL)
+
+    from cnpj_data_pipeline_spark.operators.zorder import ranks_of
+
+    out_values: list = []
+    surv2d = np.zeros((G, len(payload_cols)), dtype=bool)
+    orig2d = np.zeros((G, len(payload_cols)), dtype=np.int64)
+    for ci, c in enumerate(payload_cols):
+        vc = tbl.column(c)
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        valid = pc.is_valid(vc).to_numpy(zero_copy_only=False).astype(bool)
+        contrib = valid & ~is_del
+        if COL_LSNS_META_COL in names:
+            looked = pc.map_lookup(
+                tbl.column(COL_LSNS_META_COL), pa.scalar(c), "first"
+            )
+            o = pc.fill_null(looked, _NO_DEL).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            o = np.where(
+                pc.is_valid(looked).to_numpy(zero_copy_only=False), o, lsn
+            )
+        else:
+            o = lsn
+        idxs = np.flatnonzero(contrib)
+        if len(idxs):
+            try:
+                vals = vc.to_numpy(zero_copy_only=False)
+            except pa.ArrowInvalid:
+                vals = np.array(vc.to_pylist(), dtype=object)
+            vrank = ranks_of(vals[idxs])
+            order = np.lexsort((vrank, lsn[idxs], o[idxs], gid[idxs]))
+            srt = idxs[order]
+            grp = gid[srt]
+            last = np.flatnonzero(np.r_[grp[1:] != grp[:-1], True])
+            win_rows, win_gids = srt[last], grp[last]
+        else:
+            win_rows = win_gids = np.zeros(0, dtype=np.int64)
+        win_idx = np.full(G, -1, dtype=np.int64)
+        win_idx[win_gids] = win_rows
+        win_o = np.full(G, _NO_DEL - 1, dtype=np.int64)
+        win_o[win_gids] = o[win_rows] if len(win_rows) else win_o[win_gids]
+        survives = (win_idx >= 0) & (win_o > DEL)
+        surv2d[:, ci] = survives
+        orig2d[:, ci] = np.where(survives, win_o, 0)
+        taken = vc.take(pa.array(np.where(win_idx >= 0, win_idx, 0)))
+        out_values.append(
+            pc.if_else(pa.array(survives), taken, pa.scalar(None, vc.type))
+        )
+
+    # group representative row (first occurrence) for the key columns
+    rep = np.zeros(G, dtype=np.int64)
+    rep[gid[::-1]] = np.arange(n - 1, -1, -1, dtype=np.int64)
+    rep_idx = pa.array(rep)
+
+    cols: dict = {}
+    for k in key_cols:
+        cols[k] = tbl.column(k).take(rep_idx)
+    for c, arr in zip(payload_cols, out_values):
+        cols[c] = arr
+    cols[lsn_col] = pa.array(np.where(alive, LIVE, DEL), pa.int64())
+    cols[op_col] = pa.array(np.where(alive, "U", "D"), pa.string())
+    # __col_lsns: surviving {column: origin lsn} per group, payload order
+    counts = surv2d.sum(axis=1)
+    offsets = np.zeros(G + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    flat = surv2d.ravel()
+    key_pool = np.array(payload_cols, dtype=object)
+    map_keys = pa.array(
+        np.tile(key_pool, G)[flat] if G else [], type=pa.string()
+    )
+    map_items = pa.array(orig2d.ravel()[flat], type=pa.int64())
+    cols[COL_LSNS_META_COL] = pa.MapArray.from_arrays(
+        pa.array(offsets, pa.int32()), map_keys, map_items
+    )
+    cols[DEL_LSN_META_COL] = pc.if_else(
+        pa.array(DEL >= 0), pa.array(DEL, pa.int64()), pa.scalar(None, pa.int64())
+    )
+    return pa.table(cols)

@@ -519,3 +519,116 @@ def test_partial_table_rebucket_preserves_fold(spark, tmp_path):
     t.compact(spark)
     got2 = t.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(got2, golden, check_dtype=False)
+
+
+def test_partial_fold_arrow_parity_with_spark_kernel(spark):
+    """The Arrow twin (partial_fold_arrow, the map-only compaction fold)
+    must pick bit-identical winners to partial_winners_agg — including
+    duplicate-LSN ties broken by native value order, folded+raw mixes
+    (origin provenance), delete horizons, and all-null inserts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cnpj_data_pipeline_spark.operators.partial import (
+        partial_fold_arrow,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 4_000
+    rows = []
+    for i in range(n):
+        k = int(rng.integers(0, 300))
+        lsn = int(rng.integers(0, 500))  # heavy lsn collisions
+        op = "D" if rng.random() < 0.08 else "U"
+        rows.append(
+            _ev(
+                f"c{k:04d}", k % 7, lsn, op=op,
+                role=None if rng.random() < 0.4 else f"r{rng.integers(0,4)}",
+                text=None if rng.random() < 0.3 else f"t{rng.integers(0,10**6)}",
+                tool=None if rng.random() < 0.6 else f"x{rng.integers(0,5)}",
+                ts=None if rng.random() < 0.5 else dt.datetime(
+                    2026, 3, 1, int(rng.integers(0, 24)),
+                    int(rng.integers(0, 60)),
+                ),
+            )
+        )
+    df = _batch(spark, rows).drop("epoch")
+    payload = ["role", "text", "tool", "ts"]
+
+    # first fold (Spark) produces provenance-carrying rows; mix them with a
+    # fresh raw suffix and fold again BOTH ways — the compaction shape
+    first = partial_winners_agg(df.limit(2_500), KEY, payload)
+    mixed = first.unionByName(
+        partial_winners_agg(
+            df.exceptAll(df.limit(2_500)), KEY, payload
+        )
+    )
+    want = (
+        partial_winners_agg(mixed, KEY, payload)
+        .orderBy(*KEY)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    mpdf = mixed.toPandas()
+    mpdf["__col_lsns"] = mpdf["__col_lsns"].map(
+        lambda m: list(m.items()) if m is not None else None
+    )
+    arrow_tbl = pa.Table.from_pandas(
+        mpdf, schema=to_arrow_schema(mixed.schema), preserve_index=False
+    )
+    got = (
+        partial_fold_arrow(arrow_tbl, KEY, payload)
+        .to_pandas()
+        .sort_values(KEY, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got = got[want.columns]
+    # map column: compare as dicts (entry order is not semantic); ts: one
+    # side is datetime64[us], the other [ns] — same instants
+    for frame in (want, got):
+        frame["__col_lsns"] = frame["__col_lsns"].map(
+            lambda m: dict(m) if m is not None else None
+        )
+        ts = frame["ts"]
+        if getattr(ts.dtype, "tz", None) is not None:
+            ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+        frame["ts"] = ts.astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_partial_compact_map_equals_shuffle_and_golden(spark, tmp_path):
+    """End-to-end: a partial table compacted by the map-only kernel reads
+    identically to the shuffle kernel's rewrite and the pandas golden —
+    and the map pass leaves exactly one file per bucket."""
+    ch = gen_partial_changes(spark, n_events=6_000, n_convs=180, n_epochs=3)
+    golden = partial_final_state(ch.toPandas())
+
+    states = {}
+    for strategy in ("map", "shuffle"):
+        wal = str(tmp_path / f"wal_{strategy}")
+        for e, b in epoch_batches(ch, 3):
+            cs.write_epoch(b, wal, e)
+        lake = str(tmp_path / f"lake_{strategy}")
+        IngestJob(
+            lake,
+            EngineConfig(
+                n_buckets=4, merge_engine="partial", compact_threshold=None
+            ),
+        ).run_stream(spark, wal)
+        t = LakeTable.load(lake)
+        t.compact(spark, strategy=strategy)
+        snap = t.snapshot()
+        assert all(i.get("merged", True) for i in snap["buckets"].values())
+        if strategy == "map":
+            assert all(
+                len(i["files"]) <= 1 for i in snap["buckets"].values()
+            )
+        states[strategy] = (
+            t.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            states[strategy], golden, check_dtype=False
+        )
+    pd.testing.assert_frame_equal(states["map"], states["shuffle"])
