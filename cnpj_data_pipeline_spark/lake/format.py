@@ -194,6 +194,21 @@ def _phys_meta_fields(snap: dict) -> list:
     return PHYSICAL_META_FIELDS
 
 
+def _has_float_sum(snap: dict) -> bool:
+    """True when an aggregate table folds a FLOATING column by "sum" — the
+    one (engine, column-type, fn) combination whose fold is order-sensitive
+    and therefore cannot be re-run in the Arrow map kernel bit-identically."""
+    spec = snap.get("agg_spec") or {}
+    if not spec:
+        return False
+    sch = schema_from_json(snap["schema"])
+    fractional = (T.FloatType, T.DoubleType)
+    return any(
+        fn == "sum" and isinstance(sch[c].dataType, fractional)
+        for c, fn in spec.items()
+    )
+
+
 def bucket_expr(key_cols: Sequence[str] | None, n_buckets: int, lsn_col: str = "lsn"):
     """Stable bucket assignment on the FULL key. Hashing (conv_id, turn_idx)
     rather than conv_id alone spreads a hot conversation's turns over many
@@ -2417,12 +2432,15 @@ class LakeTable:
             )
         map_victims: list[int] = []
         shuffle_victims: list[int] = []
-        if snap.get("merge_engine", "lww") == "aggregate":
-            # LWW and partial tables take the map-only Arrow kernel (folds
-            # proven result-identical to the shuffling path); the AGGREGATE
-            # engine stays on the shuffle kernel — float sums are
-            # order-sensitive, so a numpy refold could differ in final bits
-            # from Spark's
+        if snap.get("merge_engine", "lww") == "aggregate" and _has_float_sum(
+            snap
+        ):
+            # LWW, partial, and integer-sum aggregate tables take the
+            # map-only Arrow kernel (folds proven result-identical to the
+            # shuffling path: int sums are exact, min/max order-insensitive);
+            # a FLOAT-SUM aggregate column forces the shuffle kernel — float
+            # addition is order-sensitive, so a numpy refold could differ in
+            # final bits from Spark's
             strategy = "shuffle"
         if strategy == "map":
             limit = (

@@ -571,13 +571,17 @@ def rewrite_buckets_map(
     (caller owns the commit and the watermark-keep/empty-bucket fixups)."""
     snap = table.snapshot()
     engine = snap.get("merge_engine", "lww")
+    agg_spec = snap.get("agg_spec") or None
     if engine == "aggregate":
-        raise ValueError(
-            "the map-only rewrite kernel folds lww/partial tables; "
-            "aggregate tables compact via the shuffle kernel — float sums "
-            "are order-sensitive, so a numpy refold could differ in final "
-            "bits from Spark's (_rewrite_buckets routes them automatically)"
-        )
+        from cnpj_data_pipeline_spark.lake.format import _has_float_sum
+
+        if _has_float_sum(snap):
+            raise ValueError(
+                "the map-only rewrite kernel cannot refold a FLOAT-sum "
+                "aggregate column bit-identically (float addition is "
+                "order-sensitive); this table compacts via the shuffle "
+                "kernel (_rewrite_buckets routes it automatically)"
+            )
     key_cols = list(snap["key_cols"])
     # declared sort_order property (key-tiebroken) or key clustering;
     # "zorder" interleaves the declared columns' rank bits instead of
@@ -625,7 +629,7 @@ def rewrite_buckets_map(
 
         payload_fields = list(schema_from_json(schema_json).fields)
         phys_fields = payload_fields + list(PHYSICAL_META_FIELDS)
-        if engine == "partial":
+        if engine != "lww":
             phys_fields = phys_fields + list(PARTIAL_META_FIELDS)
         target = to_arrow_schema(T.StructType(phys_fields))
         payload_cols = [
@@ -643,7 +647,7 @@ def rewrite_buckets_map(
                 tbl = pa.concat_tables(
                     [_normalize_to(pq.read_table(f), target) for f in files]
                 )
-                if engine == "partial":
+                if engine != "lww":
                     from cnpj_data_pipeline_spark.operators.partial import (
                         partial_fold_arrow,
                     )
@@ -652,6 +656,7 @@ def rewrite_buckets_map(
                         partial_fold_arrow(
                             tbl, key_cols, payload_cols,
                             lsn_col=LSN_META_COL, op_col=OP_META_COL,
+                            agg_spec=agg_spec,
                         ),
                         target,
                     )

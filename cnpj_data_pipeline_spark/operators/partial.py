@@ -207,6 +207,7 @@ def partial_fold_arrow(
     payload_cols: Sequence[str],
     lsn_col: str = "lsn",
     op_col: str = "op",
+    agg_spec: dict[str, str] | None = None,
 ):
     """Arrow/numpy twin of :func:`partial_winners_agg` for the MAP-ONLY
     bucket rewrite (``operators.copart.rewrite_buckets_map``) — the same
@@ -281,12 +282,65 @@ def partial_fold_arrow(
     out_values: list = []
     surv2d = np.zeros((G, len(payload_cols)), dtype=bool)
     orig2d = np.zeros((G, len(payload_cols)), dtype=np.int64)
+    def _monoid_numpy(vc):
+        """Null-filled numpy view of a numeric/temporal column: keeps the
+        integer dtype intact (a bare to_numpy would promote int-with-null
+        to float64, losing exactness past 2^53)."""
+        fill = pa.scalar(0, pa.int64()).cast(vc.type)
+        return pc.fill_null(vc, fill).to_numpy(zero_copy_only=False)
+
     for ci, c in enumerate(payload_cols):
+        fn = (agg_spec or {}).get(c, "last")
         vc = tbl.column(c)
         if isinstance(vc, pa.ChunkedArray):
             vc = vc.combine_chunks()
         valid = pc.is_valid(vc).to_numpy(zero_copy_only=False).astype(bool)
         contrib = valid & ~is_del
+        if fn in ("sum", "min", "max"):
+            # commutative monoid: fold contributions; int sums are exact
+            # and min/max are order-insensitive, so parity with the Spark
+            # kernel holds bit-for-bit (float SUMS are routed to the
+            # shuffle kernel before we get here — order-sensitive)
+            idxs = np.flatnonzero(contrib)
+            vals = _monoid_numpy(vc)
+            is_dt = vals.dtype.kind == "M"
+            work = vals.view(np.int64) if is_dt else vals
+            o_grp = np.full(G, _NO_DEL - 1, dtype=np.int64)
+            has = np.zeros(G, dtype=bool)
+            if len(idxs):
+                np.maximum.at(o_grp, gid[idxs], lsn[idxs])
+                has[gid[idxs]] = True
+            if fn == "sum":
+                acc = np.zeros(
+                    G,
+                    dtype=np.int64 if work.dtype.kind in "iu" else np.float64,
+                )
+                if len(idxs):
+                    np.add.at(acc, gid[idxs], work[idxs])
+            else:
+                if work.dtype.kind == "f":
+                    acc = np.full(
+                        G, np.inf if fn == "min" else -np.inf, np.float64
+                    )
+                else:
+                    ii = np.iinfo(np.int64)
+                    acc = np.full(
+                        G, ii.max if fn == "min" else ii.min, np.int64
+                    )
+                    work = work.astype(np.int64)
+                if len(idxs):
+                    ufunc = np.minimum if fn == "min" else np.maximum
+                    ufunc.at(acc, gid[idxs], work[idxs])
+            survives = has & (o_grp > DEL)
+            surv2d[:, ci] = survives
+            orig2d[:, ci] = np.where(survives, o_grp, 0)
+            acc_arrow = pa.array(acc).cast(vc.type)
+            out_values.append(
+                pc.if_else(
+                    pa.array(survives), acc_arrow, pa.scalar(None, vc.type)
+                )
+            )
+            continue
         if COL_LSNS_META_COL in names:
             looked = pc.map_lookup(
                 tbl.column(COL_LSNS_META_COL), pa.scalar(c), "first"

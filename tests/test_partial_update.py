@@ -632,3 +632,74 @@ def test_partial_compact_map_equals_shuffle_and_golden(spark, tmp_path):
             states[strategy], golden, check_dtype=False
         )
     pd.testing.assert_frame_equal(states["map"], states["shuffle"])
+
+
+def test_aggregate_map_compaction_matches_shuffle_and_routes_float_sums(
+    spark, tmp_path
+):
+    """Integer-sum aggregate tables refold exactly in the map kernel (int
+    sums exact, min/max order-insensitive) — map vs shuffle compaction must
+    match bit-for-bit; a FLOAT-sum column forces the shuffle kernel even
+    when strategy='map' is requested."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        dict(
+            user_id=f"u{int(rng.integers(0, 40)):03d}",
+            clicks=int(rng.integers(-5, 50)),
+            max_latency=float(np.round(rng.random() * 10, 3)),
+            last_page=f"p{int(rng.integers(0, 9))}",
+            lsn=i,
+        )
+        for i in range(2_000)
+    ]
+    cfg = EngineConfig(
+        n_buckets=4, merge_engine="aggregate", agg_spec=AGG_SPEC,
+        key_cols=("user_id",), compact_threshold=None,
+    )
+    states = {}
+    for strategy in ("map", "shuffle"):
+        t = _mk_agg_table(tmp_path, name=f"alake_{strategy}")
+        for e in range(3):
+            apply_changes(
+                spark, t,
+                _counter_batch(spark, rows[e * 600:(e + 1) * 600]),
+                e, cfg,
+            )
+        t.compact(spark, strategy=strategy)
+        snap = t.snapshot()
+        if strategy == "map":
+            assert all(
+                len(i["files"]) <= 1 for i in snap["buckets"].values()
+            ), "map pass => one file per bucket"
+        states[strategy] = (
+            t.read(spark).orderBy("user_id").toPandas()
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(states["map"], states["shuffle"])
+
+    # float SUM column: map request routes that table through the shuffle
+    # kernel (bit-parity for order-sensitive float addition is impossible)
+    fs = LakeTable.create(
+        str(tmp_path / "alake_floatsum"), COUNTER_SCHEMA,
+        key_cols=["user_id"], n_buckets=4, merge_engine="aggregate",
+        agg_spec={"max_latency": "sum"},
+    )
+    cfg2 = EngineConfig(
+        n_buckets=4, merge_engine="aggregate",
+        agg_spec={"max_latency": "sum"},
+        key_cols=("user_id",), compact_threshold=None,
+    )
+    apply_changes(spark, fs, _counter_batch(spark, rows[:300]), 0, cfg2)
+    apply_changes(spark, fs, _counter_batch(spark, rows[300:600]), 1, cfg2)
+    before = (
+        fs.read(spark).orderBy("user_id").toPandas().reset_index(drop=True)
+    )
+    fs.compact(spark, strategy="map")  # silently degrades to shuffle
+    snap = fs.snapshot()
+    assert all(i.get("merged", True) for i in snap["buckets"].values())
+    after = (
+        fs.read(spark).orderBy("user_id").toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(after, before)
