@@ -101,6 +101,9 @@ _EXTRA_NAMES = (
     "q_cdc_replay_rebucket",
     "q_time_travel",
     "q_agg_table_counters",
+    # later in round 4: declared sort order — compaction re-clusters by ts,
+    # read must be layout-invariant (same final-state SQL oracle)
+    "q_cdc_replay_sorted",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

@@ -443,6 +443,26 @@ def q_cdc_replay_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_cdc_replay_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay + DECLARED SORT ORDER: after ingest the table declares
+    ``sort_order=["ts"]`` (the Iceberg sortOrder analogue) and compacts via
+    the map-only kernel, re-clustering every bucket by event time for
+    range-scan row-group pruning. A physical-layout property only — the
+    read must equal q_cdc_replay / the SQL fold exactly."""
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2, compact_threshold=None)
+    table = LakeTable.create(
+        os.path.join(_mk_scratch("cdc_replay_s_"), "lake"),
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    table.set_sort_order(["ts"])
+    table.compact(spark)
+    return table.read(spark)
+
+
 def q_turn_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRANSCRIPT STRUCTURE VALIDATION — the data-quality gate a training
     pipeline runs on conversation data before rendering: per conversation
@@ -938,6 +958,7 @@ QUERIES = {
     "q_final_state_sql": q_final_state_sql,
     "q_cdc_replay": q_cdc_replay,
     "q_cdc_replay_compacted": q_cdc_replay_compacted,
+    "q_cdc_replay_sorted": q_cdc_replay_sorted,
     "q_cdc_replay_copart": q_cdc_replay_copart,
     "q_cdc_replay_debezium": q_cdc_replay_debezium,
     "q_turn_structure": q_turn_structure,
@@ -1064,6 +1085,7 @@ ORACLES = {
     "q_final_state_sql": _FINAL_STATE_SQL,
     "q_cdc_replay": _FINAL_STATE_SQL,
     "q_cdc_replay_compacted": _FINAL_STATE_SQL,
+    "q_cdc_replay_sorted": _FINAL_STATE_SQL,
     "q_cdc_replay_copart": _FINAL_STATE_SQL,
     "q_cdc_replay_debezium": _FINAL_STATE_SQL,
     "q_cdc_replay_rebucket": _FINAL_STATE_SQL,
