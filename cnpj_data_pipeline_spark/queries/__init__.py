@@ -104,6 +104,7 @@ _EXTRA_NAMES = (
     # later in round 4: declared sort order — compaction re-clusters by ts,
     # read must be layout-invariant (same final-state SQL oracle)
     "q_cdc_replay_sorted",
+    "q_cdc_replay_widened",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

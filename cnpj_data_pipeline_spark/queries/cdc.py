@@ -131,6 +131,15 @@ def _staged_flat_wal(spark: SparkSession, sf_dir: str) -> str:
 
 N_EPOCHS = 4  # fixed epoch count at any sf (integer arithmetic, oracle-exact)
 
+# transcript schema + a numeric payload column for the widening replay
+# (q_cdc_replay_widened): declared INT at create, widened to LONG mid-stream
+import pyspark.sql.types as _T  # noqa: E402
+
+T_SCHEMA_WITH_SCORE = _T.StructType(
+    list(TRANSCRIPT_SCHEMA.fields)
+    + [_T.StructField("score", _T.IntegerType(), True)]
+)
+
 
 def changes_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -460,6 +469,34 @@ def q_cdc_replay_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_changes(spark, table, batch, epoch=e, cfg=cfg)
     table.set_sort_order(["ts"])
     table.compact(spark)
+    return table.read(spark)
+
+
+def q_cdc_replay_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with a MID-STREAM TYPE WIDENING: the change stream carries a
+    numeric ``score`` payload column that arrives as INT for epochs < 2 and
+    as LONG with values past the int32 range from epoch 2 on (the upstream
+    ALTER COLUMN case). The table's declared type must widen in place —
+    never downcast-wrap the batch — and pre-widening generations must read
+    back exactly. Key columns are unaffected (their types are frozen)."""
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2, compact_threshold=None)
+    schema = T_SCHEMA_WITH_SCORE
+    table = LakeTable.create(
+        os.path.join(_mk_scratch("cdc_replay_w_"), "lake"),
+        schema, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        score = (F.col("lsn") % 1000).cast("int")
+        if e >= 2:
+            # widened column: values the narrow type cannot hold
+            score = (F.col("lsn") % 1000 + F.lit(5_000_000_000)).cast("long")
+        batch = batch.withColumn(
+            "score", F.when(F.col("op") != "D", score)
+        )
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    table.compact(spark)  # mixed int32/int64 generations fold in Arrow
     return table.read(spark)
 
 
@@ -959,6 +996,7 @@ QUERIES = {
     "q_cdc_replay": q_cdc_replay,
     "q_cdc_replay_compacted": q_cdc_replay_compacted,
     "q_cdc_replay_sorted": q_cdc_replay_sorted,
+    "q_cdc_replay_widened": q_cdc_replay_widened,
     "q_cdc_replay_copart": q_cdc_replay_copart,
     "q_cdc_replay_debezium": q_cdc_replay_debezium,
     "q_turn_structure": q_turn_structure,
@@ -1086,6 +1124,28 @@ ORACLES = {
     "q_cdc_replay": _FINAL_STATE_SQL,
     "q_cdc_replay_compacted": _FINAL_STATE_SQL,
     "q_cdc_replay_sorted": _FINAL_STATE_SQL,
+    "q_cdc_replay_widened": f"""
+        WITH {CHANGES_CTE.strip()},
+        scored AS (
+          SELECT *, CASE WHEN op = 'D' THEN NULL
+                         WHEN epoch >= 2 THEN lsn % 1000 + 5000000000
+                         ELSE lsn % 1000 END AS score
+          FROM changes
+        ),
+        winners AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY lsn DESC, ts DESC, op DESC, coalesce(text, '') DESC,
+                         coalesce(tool, '') DESC, coalesce(role, '') DESC
+            ) AS rn
+            FROM scored
+          ) WHERE rn = 1
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts,
+               CAST(score AS BIGINT) AS score
+        FROM winners WHERE op <> 'D'
+    """,
     "q_cdc_replay_copart": _FINAL_STATE_SQL,
     "q_cdc_replay_debezium": _FINAL_STATE_SQL,
     "q_cdc_replay_rebucket": _FINAL_STATE_SQL,
