@@ -537,6 +537,35 @@ class LakeTable:
 
         return _retry_io(_read)
 
+    def snapshot_as_of(self, ts: "_dt.datetime | str") -> int:
+        """TIMESTAMP AS OF time travel (Iceberg's ``snapshot_at``): the id of
+        the newest reachable snapshot committed at or before ``ts`` (UTC
+        datetime or ISO string). Raises if the horizon predates all retained
+        history — expired snapshots cannot be resurrected."""
+        if isinstance(ts, str):
+            horizon = _dt.datetime.strptime(
+                ts[:26].rstrip("Z"), "%Y-%m-%dT%H:%M:%S.%f"
+            )
+        else:
+            horizon = ts
+            if horizon.tzinfo is not None:
+                horizon = horizon.astimezone(_dt.timezone.utc).replace(
+                    tzinfo=None
+                )
+        best = None
+        for s in self.snapshots():
+            at = _dt.datetime.strptime(
+                s["committed_at"], "%Y-%m-%dT%H:%M:%S.%fZ"
+            )
+            if at <= horizon:
+                best = s["snapshot_id"]
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts} — history "
+                "before that point has been expired"
+            )
+        return best
+
     def snapshots(self) -> list[dict]:
         """All committed snapshots reachable from the current pointer (lineage
         chain, oldest first) — the time-travel index. The walk stops at the

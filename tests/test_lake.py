@@ -515,3 +515,27 @@ def test_expire_snapshots_older_than_wall_clock_retention(spark, tmp_table):
     assert t.read(spark, snapshot_id=chain[-2]["snapshot_id"]).count() > 0
     with pytest.raises((FileNotFoundError, OSError, ValueError)):
         t.read(spark, snapshot_id=chain[0]["snapshot_id"]).count()
+
+
+def test_snapshot_as_of_timestamp_time_travel(spark, tmp_table):
+    """TIMESTAMP AS OF: the newest snapshot committed at or before the
+    horizon; pre-history horizons fail loudly."""
+    cfg, ch = _mk(spark, tmp_table, n_epochs=3)
+    IngestJob(tmp_table, cfg).run_batches(spark, list(epoch_batches(ch, 3)))
+    t = LakeTable.load(tmp_table)
+    chain = t.snapshots()
+    mid = chain[-2]
+    assert t.snapshot_as_of(mid["committed_at"]) == mid["snapshot_id"]
+    # a horizon after the head resolves to the head
+    import datetime as dt
+
+    assert (
+        t.snapshot_as_of(dt.datetime(2100, 1, 1))
+        == chain[-1]["snapshot_id"]
+    )
+    # read at that point-in-time equals the direct snapshot read
+    a = t.read(spark, snapshot_id=t.snapshot_as_of(mid["committed_at"]))
+    b = t.read(spark, snapshot_id=mid["snapshot_id"])
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    with pytest.raises(ValueError, match="expired|before"):
+        t.snapshot_as_of(dt.datetime(1999, 1, 1))

@@ -156,3 +156,40 @@ def test_driver_gate_queries_vanilla(vanilla, name):
     con = duck_con(SF_DIR)
     ok, msg = compare_query(name, vanilla, con, SF_DIR, queries, oracles)
     assert ok, f"{name}: {msg}"
+
+
+def test_partial_map_compact_mixed_sessions(spark, vanilla, tmp_path):
+    """Partial-engine map compaction over MIXED-producer generations: the
+    vanilla session's INT96 WAL epochs and the engine's µs-UTC delta files
+    must fold together in partial_fold_arrow (per-file normalization), and
+    the result must equal the pandas golden."""
+    from cnpj_data_pipeline_spark.gen import gen_partial_changes
+    from cnpj_data_pipeline_spark.oracle import partial_final_state
+
+    ch = gen_partial_changes(
+        vanilla, n_events=5_000, n_convs=150, n_epochs=4
+    )
+    golden = partial_final_state(ch.toPandas())
+    wal = str(tmp_path / "wal")
+    for e, b in epoch_batches(ch, 4):
+        # alternate producers: vanilla INT96 vs engine µs-UTC epochs
+        sess = vanilla if e % 2 == 0 else spark
+        write_epoch(
+            sess.createDataFrame(b.toPandas(), b.schema), wal, e
+        )
+    lake = str(tmp_path / "lake")
+    job = IngestJob(
+        lake,
+        EngineConfig(
+            n_buckets=4, merge_engine="partial", compact_threshold=None
+        ),
+    )
+    job.run_stream(vanilla, wal)
+    t = LakeTable.load(lake)
+    t.compact(vanilla)  # map-only partial fold over mixed generations
+    snap = t.snapshot()
+    assert all(len(i["files"]) <= 1 for i in snap["buckets"].values())
+    got = (
+        t.read(vanilla).orderBy(*KEYS).toPandas().reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
