@@ -726,6 +726,56 @@ class LakeTable:
             return "lexical"
         return (snap.get("props") or {}).get("sort_order_kind") or "lexical"
 
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN evolution (the upstream ALTER TABLE DROP a real CDC
+        stream carries): remove ``name`` from the declared schema,
+        metadata-only — no data rewrite. Old files keep the column
+        physically; every read path projects to the declared schema, so it
+        simply stops being read (Spark's explicit-schema scan and the Arrow
+        kernels' per-file normalization both ignore extra file columns).
+        The name is TOMBSTONED (``dropped_cols``): a stale producer still
+        sending it is silently ignored, and the name can never re-enter the
+        schema — old files still carry pre-drop values, so a re-add would
+        silently resurface them; a new column must take a new name (the
+        engine has no Iceberg-style field-id indirection to make re-use
+        safe).
+
+        Refused for key/bucket columns (the layout contract), columns named
+        by the declared ``sort_order`` (reset it first), and columns with an
+        ``agg_spec`` entry (the fold references them)."""
+        snap = self.snapshot()
+        schema = schema_from_json(snap["schema"])
+        names = {f.name for f in schema.fields}
+        if name not in names:
+            raise ValueError(
+                f"column {name!r} not in schema (have {sorted(names)})"
+            )
+        if name in set(snap["key_cols"] or ()) or name in set(
+            self._bucket_cols_of(snap) or ()
+        ):
+            raise ValueError(
+                f"cannot drop key/bucket column {name!r}: the layout and "
+                "every stored row's identity hash on it"
+            )
+        so = (snap.get("props") or {}).get("sort_order") or ()
+        if name in so:
+            raise ValueError(
+                f"column {name!r} is in the declared sort_order "
+                f"{list(so)}; reset the sort order first"
+            )
+        if name in (snap.get("agg_spec") or {}):
+            raise ValueError(
+                f"column {name!r} has an agg_spec fold; dropping it would "
+                "orphan the aggregate definition"
+            )
+        return self.commit(
+            op="evolve",
+            epoch=None,
+            bucket_updates={},
+            drop_column=name,
+            expected_parent=snap["snapshot_id"],
+        )
+
     def set_sort_order(
         self, cols: Sequence[str] | None, kind: str = "lexical"
     ) -> int:
@@ -1727,6 +1777,7 @@ class LakeTable:
         max_retries: int = 10,
         props: dict | None = None,
         expected_props: dict | None = None,
+        drop_column: str | None = None,
     ) -> int:
         """Atomically publish a new snapshot under OPTIMISTIC CONCURRENCY:
         build the snapshot against the current head, then attempt the
@@ -1811,7 +1862,7 @@ class LakeTable:
                 )
             sid = self._build_and_cas(
                 cur, op, epochs, bucket_updates, new_schema, mode, merged,
-                new_n_buckets, props,
+                new_n_buckets, props, drop_column=drop_column,
             )
             if sid is not None:
                 return sid
@@ -1867,6 +1918,7 @@ class LakeTable:
         merged: bool,
         new_n_buckets: int | None,
         props: dict | None = None,
+        drop_column: str | None = None,
     ) -> int | None:
         """One commit attempt against ``cur``: build the snapshot, try the
         exclusive manifest create. Returns the new id, or None on CAS loss."""
@@ -1936,11 +1988,24 @@ class LakeTable:
             )
         applied = list(cur["applied_epochs"])
         applied.extend(e for e in epochs if e not in applied)
-        if new_schema is not None:
+        dropped_cols = list(cur.get("dropped_cols") or [])
+        if drop_column is not None:
+            # schema REPLACEMENT, not union (a union would keep the column);
+            # recomputed from the rebase head so a concurrent evolve's new
+            # columns survive and a concurrent identical drop is a no-op
+            cur_schema = schema_from_json(cur["schema"])
+            schema_json = T.StructType(
+                [f for f in cur_schema.fields if f.name != drop_column]
+            ).json()
+            if drop_column not in dropped_cols:
+                dropped_cols.append(drop_column)
+        elif new_schema is not None:
             # union with the CURRENT head's schema (not the baseline's): a
-            # concurrent evolve commit that won the race keeps its columns
+            # concurrent evolve commit that won the race keeps its columns;
+            # tombstoned names stay out
             schema_json = union_schema(
-                schema_from_json(cur["schema"]), new_schema
+                schema_from_json(cur["schema"]), new_schema,
+                dropped=dropped_cols,
             ).json()
         else:
             schema_json = cur["schema"]
@@ -1955,6 +2020,7 @@ class LakeTable:
             "bucket_cols": cur.get("bucket_cols"),
             "merge_engine": cur.get("merge_engine", "lww"),
             "agg_spec": cur.get("agg_spec"),
+            "dropped_cols": dropped_cols,
             "props": {**(cur.get("props") or {}), **(props or {})},
             "n_buckets": int(new_n_buckets) if new_n_buckets is not None else cur["n_buckets"],
             "buckets": buckets,

@@ -418,6 +418,7 @@ def apply_changes_copart(
             base_schema,
             _payload_schema_of_files(all_files),
             frozen=snap["key_cols"] or (),
+            dropped=snap.get("dropped_cols") or (),
         )
     else:
         evolved = base_schema

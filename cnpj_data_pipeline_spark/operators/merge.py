@@ -279,7 +279,8 @@ def apply_changes(
     # into a different bucket than its existing versions — drifted key
     # batches cast down to the table type instead (pre-widening semantics)
     evolved = union_schema(
-        base_schema, _payload_schema(changes), frozen=key_cols or ()
+        base_schema, _payload_schema(changes), frozen=key_cols or (),
+        dropped=snap.get("dropped_cols") or (),
     )
     # field-list comparison, not a length check: a WIDENING evolution
     # (int -> long) changes a type without adding a column

@@ -67,6 +67,7 @@ def union_schema(
     base: T.StructType,
     other: T.StructType,
     frozen: "Sequence[str] | set[str]" = (),
+    dropped: "Sequence[str] | set[str]" = (),
 ) -> T.StructType:
     """Additive + widening schema union. Base columns keep their position;
     new columns from ``other`` are appended (nullable); a numeric column
@@ -84,12 +85,19 @@ def union_schema(
     type-sensitive): a drifted key batch casts down to the table's type as
     before, it does not evolve the table.
 
+    ``dropped`` names never (re-)enter the schema: a column removed by
+    ``LakeTable.drop_column`` stays out even when a stale producer keeps
+    sending it — old data files still physically carry the column, so
+    re-adding the name would silently resurface pre-drop values. A new
+    column must take a new name.
+
     Other type conflicts are rejected — the engine supports additive +
     widening evolution only, mirroring the reference's tolerance of extra
     trailing CSV columns (``column_{i}``, src/processor.py:518)."""
     by_name = {f.name: f for f in base.fields}
     out = list(base.fields)
     frozen = set(frozen)
+    dropped = set(dropped)
     # family rank orders: widest type wins within a family
     integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     fractional = (T.FloatType, T.DoubleType)
@@ -107,6 +115,8 @@ def union_schema(
             # typed value before it can evolve the schema.
             continue
         if cur is None:
+            if f.name in dropped:
+                continue  # tombstoned name: ignore, never re-add
             out.append(T.StructField(f.name, f.dataType, True))
         elif cur.dataType != f.dataType:
             both_integral = isinstance(cur.dataType, integral) and isinstance(

@@ -105,6 +105,13 @@ def main() -> None:
                         "zorder: interleave 2-4 columns' rank bits so range "
                         "predicates on ANY of them prune row groups")
 
+    p = sub.add_parser("drop-column",
+                       help="DROP COLUMN evolution: metadata-only removal "
+                            "from the declared schema (old files keep the "
+                            "bytes; reads project them out; the name is "
+                            "tombstoned and can never re-enter)")
+    p.add_argument("--name", required=True)
+
     p = sub.add_parser("check", help="CHECK TABLE: verify physical files "
                                      "against the manifest")
     p.add_argument("--placement", action="store_true",
@@ -150,6 +157,11 @@ def main() -> None:
         return
     if args.op == "tags":
         print(json.dumps({"op": "tags", "tags": table.tags()}))
+        return
+    if args.op == "drop-column":
+        sid = table.drop_column(args.name)
+        print(json.dumps({"op": "drop-column", "snapshot_id": sid,
+                          "column": args.name}))
         return
     if args.op == "set-sort-order":
         cols = (
