@@ -105,6 +105,7 @@ _EXTRA_NAMES = (
     # read must be layout-invariant (same final-state SQL oracle)
     "q_cdc_replay_sorted",
     "q_cdc_replay_widened",
+    "q_cdc_replay_dropped",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

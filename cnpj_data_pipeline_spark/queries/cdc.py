@@ -500,6 +500,27 @@ def q_cdc_replay_widened(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_cdc_replay_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with a MID-STREAM DROP COLUMN: after epoch 1 the ``tool``
+    column is dropped (upstream ALTER TABLE DROP); epochs 2-3 still carry
+    it (the stale-producer case) and must apply with the column ignored.
+    Final state equals the plain LWW fold minus the dropped column — row
+    winners are unaffected, the column just stops existing."""
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2, compact_threshold=None)
+    table = LakeTable.create(
+        os.path.join(_mk_scratch("cdc_replay_d_"), "lake"),
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    for e in range(N_EPOCHS):
+        if e == 2:
+            table.drop_column("tool")
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    table.compact(spark)  # folds with/without-column generations
+    return table.read(spark)
+
+
 def q_turn_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRANSCRIPT STRUCTURE VALIDATION — the data-quality gate a training
     pipeline runs on conversation data before rendering: per conversation
@@ -997,6 +1018,7 @@ QUERIES = {
     "q_cdc_replay_compacted": q_cdc_replay_compacted,
     "q_cdc_replay_sorted": q_cdc_replay_sorted,
     "q_cdc_replay_widened": q_cdc_replay_widened,
+    "q_cdc_replay_dropped": q_cdc_replay_dropped,
     "q_cdc_replay_copart": q_cdc_replay_copart,
     "q_cdc_replay_debezium": q_cdc_replay_debezium,
     "q_turn_structure": q_turn_structure,
@@ -1124,6 +1146,11 @@ ORACLES = {
     "q_cdc_replay": _FINAL_STATE_SQL,
     "q_cdc_replay_compacted": _FINAL_STATE_SQL,
     "q_cdc_replay_sorted": _FINAL_STATE_SQL,
+    "q_cdc_replay_dropped": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+        SELECT conv_id, turn_idx, role, text, ts
+        FROM winners WHERE op <> 'D'
+    """,
     "q_cdc_replay_widened": f"""
         WITH {CHANGES_CTE.strip()},
         scored AS (
