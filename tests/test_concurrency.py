@@ -322,3 +322,41 @@ def test_pointer_is_only_a_hint(tmp_path):
     assert LakeTable.load(t.root).current_snapshot_id() == 3
     snap = LakeTable.load(t.root).snapshot()
     assert len(snap["buckets"]["0"]["files"]) == 3
+
+
+def test_drop_column_race_keeps_tombstone_authoritative(tmp_path):
+    """A drop racing an in-flight evolve of a DIFFERENT column: both built
+    against the same head; whoever loses the CAS rebases — the final schema
+    must carry the evolve's new column and NOT the dropped one, with the
+    tombstone recorded. And an evolve re-introducing the dropped NAME after
+    the drop is silently ignored (never re-enters)."""
+    t = _mk_table(str(tmp_path / "t"))
+    a, b = LakeTable.load(t.root), LakeTable.load(t.root)
+    head = a.snapshot()
+
+    # writer A drops `text` against head
+    assert a.drop_column("text") == 1
+    # writer B, built against the SAME head, evolves a new column in; its
+    # commit loop rebases onto the drop
+    sid = b.commit(
+        op="evolve", epoch=None, bucket_updates={},
+        new_schema=T.StructType(
+            [T.StructField("extra", T.StringType(), True)]
+        ),
+        mode="append", expected_parent=head["snapshot_id"],
+    )
+    assert sid == 2
+    final = LakeTable.load(t.root)
+    names = [f.name for f in final.schema().fields]
+    assert "extra" in names and "text" not in names
+    assert final.snapshot()["dropped_cols"] == ["text"]
+
+    # an evolve carrying the tombstoned name is a no-op for that column
+    final.commit(
+        op="evolve", epoch=None, bucket_updates={},
+        new_schema=T.StructType(
+            [T.StructField("text", T.StringType(), True)]
+        ),
+        mode="append",
+    )
+    assert "text" not in [f.name for f in final.schema().fields]
