@@ -194,19 +194,56 @@ def _phys_meta_fields(snap: dict) -> list:
     return PHYSICAL_META_FIELDS
 
 
-def _has_float_sum(snap: dict) -> bool:
-    """True when an aggregate table folds a FLOATING column by "sum" — the
-    one (engine, column-type, fn) combination whose fold is order-sensitive
-    and therefore cannot be re-run in the Arrow map kernel bit-identically."""
-    spec = snap.get("agg_spec") or {}
-    if not spec:
+def _parse_utc_horizon(ts: "_dt.datetime | str") -> "_dt.datetime":
+    """A wall-clock horizon as a NAIVE UTC datetime. Accepts datetimes
+    (tz-aware converted, naive trusted as UTC) and ISO-8601 strings with or
+    without fractional seconds, with 'Z' or a numeric offset — offsets are
+    CONVERTED, never truncated (a +02:00 horizon silently read as UTC would
+    shift retention/time travel by two hours)."""
+    if isinstance(ts, str):
+        s = ts.strip()
+        if s.endswith(("Z", "z")):
+            s = s[:-1] + "+00:00"
+        ts = _dt.datetime.fromisoformat(s)
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return ts
+
+
+def _map_refold_unsafe(snap: dict) -> bool:
+    """True when a partial/aggregate table's fold cannot be re-run in the
+    Arrow map kernel bit-identically to the Spark kernel, forcing the
+    shuffle kernel for compaction/vacuum:
+
+    * a FLOATING column folded by "sum" — float addition is
+      order-sensitive, a numpy refold could differ in final bits;
+    * a monoid fn over a type the numpy fold does not model exactly —
+      "sum" outside the integral family (decimals would truncate), or
+      "min"/"max" outside integral/fractional/timestamp (strings, dates,
+      decimals: the ufunc path would crash or corrupt);
+    * any non-atomic payload column (map/array/struct) — the Spark fold
+      tie-breaks those on to_json, which the Arrow twin does not replicate.
+    """
+    if snap.get("merge_engine", "lww") == "lww":
         return False
     sch = schema_from_json(snap["schema"])
+    key_set = set(snap["key_cols"] or ())
+    for f in sch.fields:
+        if f.name not in key_set and isinstance(
+            f.dataType, (T.MapType, T.ArrayType, T.StructType)
+        ):
+            return True
+    spec = snap.get("agg_spec") or {}
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     fractional = (T.FloatType, T.DoubleType)
-    return any(
-        fn == "sum" and isinstance(sch[c].dataType, fractional)
-        for c, fn in spec.items()
-    )
+    orderable = integral + fractional + (T.TimestampType, T.TimestampNTZType)
+    for c, fn in spec.items():
+        dt = sch[c].dataType
+        if fn == "sum" and not isinstance(dt, integral):
+            return True
+        if fn in ("min", "max") and not isinstance(dt, orderable):
+            return True
+    return False
 
 
 def bucket_expr(key_cols: Sequence[str] | None, n_buckets: int, lsn_col: str = "lsn"):
@@ -457,6 +494,32 @@ class LakeTable:
                     f"invalid agg_spec entries {bad}: fns must be one of "
                     f"{AGG_FNS} over non-key payload columns"
                 )
+            # type validation: a monoid fn over a type it cannot fold is a
+            # latent corruption, not a preference — reject at declaration
+            by_name = {f.name: f.dataType for f in schema.fields}
+            numeric = (
+                T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                T.FloatType, T.DoubleType, T.DecimalType,
+            )
+            orderable = numeric + (
+                T.TimestampType, T.TimestampNTZType, T.DateType,
+                T.StringType, T.BooleanType,
+            )
+            bad_types = {
+                c: (f, by_name[c].simpleString())
+                for c, f in agg_spec.items()
+                if (f == "sum" and not isinstance(by_name[c], numeric))
+                or (
+                    f in ("min", "max")
+                    and not isinstance(by_name[c], orderable)
+                )
+            }
+            if bad_types:
+                raise ValueError(
+                    f"agg_spec fns over unfoldable column types: "
+                    f"{bad_types} (sum needs a numeric column; min/max an "
+                    "orderable atomic one)"
+                )
         if bucket_cols is not None:
             if key_cols is None:
                 raise ValueError("bucket_cols requires a keyed table")
@@ -542,16 +605,7 @@ class LakeTable:
         the newest reachable snapshot committed at or before ``ts`` (UTC
         datetime or ISO string). Raises if the horizon predates all retained
         history — expired snapshots cannot be resurrected."""
-        if isinstance(ts, str):
-            horizon = _dt.datetime.strptime(
-                ts[:26].rstrip("Z"), "%Y-%m-%dT%H:%M:%S.%f"
-            )
-        else:
-            horizon = ts
-            if horizon.tzinfo is not None:
-                horizon = horizon.astimezone(_dt.timezone.utc).replace(
-                    tzinfo=None
-                )
+        horizon = _parse_utc_horizon(ts)
         best = None
         for s in self.snapshots():
             at = _dt.datetime.strptime(
@@ -1019,10 +1073,14 @@ class LakeTable:
         # differently), so a caller passing e.g. plain Python ints (inferred
         # LongType) against an int32 key would hash to the wrong buckets and
         # get silently EMPTY results — the physical types are the table's
-        # contract, not the caller's
+        # contract, not the caller's. try_cast, not cast: a key OUTSIDE the
+        # narrow type's range cannot exist in the table, so it must yield
+        # the empty result (null key never joins) — a plain cast would
+        # throw under ANSI mode or silently WRAP to another key's value
+        # under non-ANSI and return that key's rows
         types = {f.name: f.dataType for f in schema_from_json(snap["schema"]).fields}
         kd = keys.select(
-            *[F.col(c).cast(types[c]).alias(c) for c in on]
+            *[F.col(c).try_cast(types[c]).alias(c) for c in on]
         ).distinct()
         file_index = None
         scan_filter = None
@@ -1989,6 +2047,29 @@ class LakeTable:
         applied = list(cur["applied_epochs"])
         applied.extend(e for e in epochs if e not in applied)
         dropped_cols = list(cur.get("dropped_cols") or [])
+        # cross-validate AT THE REBASE HEAD, not just at the caller's
+        # snapshot: a drop racing a set_sort_order (either order) could
+        # otherwise leave the head's sort_order naming a column the schema
+        # no longer has — breaking every later compaction
+        if drop_column is not None:
+            head_so = (cur.get("props") or {}).get("sort_order") or ()
+            if drop_column in head_so:
+                raise CommitConflictError(
+                    f"cannot drop column {drop_column!r}: a concurrent "
+                    f"commit declared sort_order {list(head_so)} naming it; "
+                    "reset the sort order and retry"
+                )
+        if props and props.get("sort_order"):
+            live = {
+                f.name for f in schema_from_json(cur["schema"]).fields
+            }
+            missing = [c for c in props["sort_order"] if c not in live]
+            if missing:
+                raise CommitConflictError(
+                    f"sort_order names column(s) {missing} that no longer "
+                    "exist at the commit head (concurrent drop/evolve); "
+                    "re-declare against fresh state"
+                )
         if drop_column is not None:
             # schema REPLACEMENT, not union (a union would keep the column);
             # recomputed from the rebase head so a concurrent evolve's new
@@ -2213,9 +2294,13 @@ class LakeTable:
                 "gens": gens,
             }
         if desc.get("new_schema"):
+            # honor dropped-name tombstones: the PREVIEW must match what
+            # publish would commit (a staged batch schema predating a drop
+            # must not resurrect the column in the audit view)
             schema_json = union_schema(
                 schema_from_json(cur["schema"]),
                 schema_from_json(desc["new_schema"]),
+                dropped=cur.get("dropped_cols") or (),
             ).json()
         else:
             schema_json = cur["schema"]
@@ -2240,7 +2325,8 @@ class LakeTable:
             desc = self.load_staged(token)
             if desc.get("new_schema"):
                 schema = union_schema(
-                    self.schema(), schema_from_json(desc["new_schema"])
+                    self.schema(), schema_from_json(desc["new_schema"]),
+                    dropped=self.snapshot().get("dropped_cols") or (),
                 )
             else:
                 schema = self.schema()
@@ -2527,15 +2613,12 @@ class LakeTable:
             )
         map_victims: list[int] = []
         shuffle_victims: list[int] = []
-        if snap.get("merge_engine", "lww") == "aggregate" and _has_float_sum(
-            snap
-        ):
+        if _map_refold_unsafe(snap):
             # LWW, partial, and integer-sum aggregate tables take the
             # map-only Arrow kernel (folds proven result-identical to the
             # shuffling path: int sums are exact, min/max order-insensitive);
-            # a FLOAT-SUM aggregate column forces the shuffle kernel — float
-            # addition is order-sensitive, so a numpy refold could differ in
-            # final bits from Spark's
+            # float sums, non-numeric monoids, and non-atomic payload
+            # columns force the shuffle kernel (_map_refold_unsafe)
             strategy = "shuffle"
         if strategy == "map":
             limit = (
@@ -2833,16 +2916,7 @@ class LakeTable:
         kept = chain[-keep_last:]
         kept_ids = {s["snapshot_id"] for s in kept}
         if older_than is not None:
-            if isinstance(older_than, str):
-                horizon = _dt.datetime.strptime(
-                    older_than[:26].rstrip("Z"), "%Y-%m-%dT%H:%M:%S.%f"
-                )
-            else:
-                horizon = older_than
-                if horizon.tzinfo is not None:
-                    horizon = horizon.astimezone(
-                        _dt.timezone.utc
-                    ).replace(tzinfo=None)
+            horizon = _parse_utc_horizon(older_than)
             for s in chain:
                 if s["snapshot_id"] in kept_ids:
                     continue

@@ -573,14 +573,14 @@ def rewrite_buckets_map(
     snap = table.snapshot()
     engine = snap.get("merge_engine", "lww")
     agg_spec = snap.get("agg_spec") or None
-    if engine == "aggregate":
-        from cnpj_data_pipeline_spark.lake.format import _has_float_sum
+    if engine != "lww":
+        from cnpj_data_pipeline_spark.lake.format import _map_refold_unsafe
 
-        if _has_float_sum(snap):
+        if _map_refold_unsafe(snap):
             raise ValueError(
-                "the map-only rewrite kernel cannot refold a FLOAT-sum "
-                "aggregate column bit-identically (float addition is "
-                "order-sensitive); this table compacts via the shuffle "
+                "the map-only rewrite kernel cannot refold this table "
+                "bit-identically (float sum, non-numeric monoid, or "
+                "non-atomic payload column); it compacts via the shuffle "
                 "kernel (_rewrite_buckets routes it automatically)"
             )
     key_cols = list(snap["key_cols"])

@@ -153,8 +153,22 @@ def partial_winners_agg(
         # the value itself under its NATIVE ordering — same winner on every
         # partitioning AND in the Arrow twin (partial_fold_arrow): UTF-8
         # byte order == code-point order, timestamps compare as micros,
-        # numerics as numbers; candidates are never null (contrib gates)
-        ordk = F.struct(o, lsn, F.col(c))
+        # numerics as numbers; candidates are never null (contrib gates).
+        # Non-orderable value types (map; and array/struct for Arrow-twin
+        # parity) tie-break on their canonical JSON instead — Spark cannot
+        # order a struct containing a MapType at all, and such columns
+        # route compaction to the shuffle kernel (same expression, no
+        # cross-kernel parity needed).
+        vt = df.schema[c].dataType if c in df.columns else None
+        import pyspark.sql.types as _T
+
+        if isinstance(
+            vt, (_T.MapType, _T.ArrayType, _T.StructType)
+        ):
+            tiebreak_val = F.to_json(F.col(c))
+        else:
+            tiebreak_val = F.col(c)
+        ordk = F.struct(o, lsn, tiebreak_val)
         aggs.append(
             F.max_by(
                 F.struct(o.alias("o"), F.col(c).alias("v")),
@@ -330,7 +344,25 @@ def partial_fold_arrow(
                     work = work.astype(np.int64)
                 if len(idxs):
                     ufunc = np.minimum if fn == "min" else np.maximum
-                    ufunc.at(acc, gid[idxs], work[idxs])
+                    w = work[idxs]
+                    if fn == "min" and w.dtype.kind == "f":
+                        # Spark orders NaN GREATEST: min ignores NaN unless
+                        # every contribution is NaN; numpy's ufunc would
+                        # propagate it — mask NaN to +inf, restore NaN for
+                        # all-NaN groups
+                        nan_m = np.isnan(w)
+                        ufunc.at(
+                            acc, gid[idxs], np.where(nan_m, np.inf, w)
+                        )
+                        nn = np.zeros(G, dtype=bool)
+                        nn[gid[idxs][~nan_m]] = True
+                        all_nan = np.zeros(G, dtype=bool)
+                        all_nan[gid[idxs]] = True
+                        acc = np.where(all_nan & ~nn, np.nan, acc)
+                    else:
+                        # max: NaN is greatest in BOTH engines (numpy
+                        # propagates, Spark returns it) — they agree
+                        ufunc.at(acc, gid[idxs], w)
             survives = has & (o_grp > DEL)
             surv2d[:, ci] = survives
             orig2d[:, ci] = np.where(survives, o_grp, 0)

@@ -360,3 +360,41 @@ def test_drop_column_race_keeps_tombstone_authoritative(tmp_path):
         mode="append",
     )
     assert "text" not in [f.name for f in final.schema().fields]
+
+
+def test_sort_order_race_with_drop_is_rejected_at_rebase(tmp_path):
+    """Either ordering of a drop_column racing a set_sort_order on the same
+    column must surface a CommitConflictError — never a head whose
+    sort_order names a column the schema no longer has (which would break
+    every later compaction)."""
+    t = _mk_table(str(tmp_path / "t"))
+    a, b = LakeTable.load(t.root), LakeTable.load(t.root)
+
+    # non-race sanity: dropping a declared sort column is refused upfront
+    b.set_sort_order(["text"])
+    with pytest.raises(ValueError, match="sort_order"):
+        a.drop_column("text")
+    b.set_sort_order(None)
+
+    # order 1 (true race): the drop is BUILT against a head without the
+    # sort order; set_sort_order lands in between; the drop's commit loop
+    # rebases onto it and must abort
+    head = a.snapshot()
+    b.set_sort_order(["text"])
+    with pytest.raises(CommitConflictError, match="sort_order"):
+        a.commit(
+            op="evolve", epoch=None, bucket_updates={},
+            drop_column="text", expected_parent=head["snapshot_id"],
+        )
+    b.set_sort_order(None)
+
+    # order 2: the drop lands first; a set_sort_order built against the
+    # old head rebases and aborts (the column is gone at the new head)
+    head = a.snapshot()
+    a.drop_column("text")
+    with pytest.raises(CommitConflictError, match="no longer exist"):
+        b.commit(
+            op="set-props", epoch=None, bucket_updates={},
+            props={"sort_order": ["text"], "sort_order_kind": "lexical"},
+            expected_parent=head["snapshot_id"],
+        )

@@ -539,3 +539,37 @@ def test_snapshot_as_of_timestamp_time_travel(spark, tmp_table):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     with pytest.raises(ValueError, match="expired|before"):
         t.snapshot_as_of(dt.datetime(1999, 1, 1))
+
+
+def test_horizon_parsing_accepts_whole_seconds_and_offsets(spark, tmp_table):
+    """ISO horizons without fractional seconds (date -u +%FT%TZ) and with
+    numeric offsets must parse; offsets convert instead of truncating."""
+    import datetime as dt
+
+    cfg, ch = _mk(spark, tmp_table, n_epochs=1)
+    IngestJob(tmp_table, cfg).run_batches(spark, list(epoch_batches(ch, 1)))
+    t = LakeTable.load(tmp_table)
+    head = t.current_snapshot_id()
+    assert t.snapshot_as_of("2100-01-01T00:00:00Z") == head
+    # +02:00 at 01:00 local == 23:00 UTC the PREVIOUS day: before all
+    # history -> must raise, proving the offset converted rather than
+    # being truncated to a far-future naive timestamp
+    with pytest.raises(ValueError):
+        t.snapshot_as_of("1999-01-01T01:00:00+02:00")
+    assert t.snapshot_as_of("2100-01-01T00:00:00.5+02:00") == head
+    stats = t.expire_snapshots(keep_last=1, older_than="1999-01-01T00:00:00Z")
+    assert stats["kept_snapshot_ids"]  # parsed, ran
+
+
+def test_point_lookup_out_of_range_key_is_empty_not_wrapped(spark, tmp_table):
+    """A lookup key past the table key type's range cannot exist: it must
+    return the empty result — not throw under ANSI, not wrap to another
+    key's rows under non-ANSI."""
+    cfg, ch = _mk(spark, tmp_table, n_events=1_000)
+    IngestJob(tmp_table, cfg).run_batches(spark, list(epoch_batches(ch, 1)))
+    t = LakeTable.load(tmp_table)
+    some = t.read(spark).select("conv_id").limit(1).collect()[0]["conv_id"]
+    huge = spark.createDataFrame(
+        [(some, 2**33 + 7)], "conv_id string, turn_idx long"
+    )
+    assert t.read_keys(spark, huge).count() == 0

@@ -703,3 +703,151 @@ def test_aggregate_map_compaction_matches_shuffle_and_routes_float_sums(
         fs.read(spark).orderBy("user_id").toPandas().reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(after, before)
+
+
+def test_map_refold_routing_guards(spark, tmp_path):
+    """Fold shapes the Arrow kernel cannot reproduce bit-identically route
+    to the shuffle kernel: string/decimal monoids, float sums, non-atomic
+    payload columns. And NaN min folds like Spark's (NaN is greatest)."""
+    from cnpj_data_pipeline_spark.lake.format import _map_refold_unsafe
+
+    def snap_for(schema, spec, engine="aggregate"):
+        t = LakeTable.create(
+            str(tmp_path / f"t{abs(hash(str(spec)))%10**6}"), schema,
+            ["user_id"], 4, merge_engine=engine,
+            agg_spec=spec if engine == "aggregate" else None,
+        )
+        return t.snapshot()
+
+    base = [T.StructField("user_id", T.StringType(), False)]
+    # string max: legal to declare, but map-unsafe -> shuffle route
+    s = snap_for(
+        T.StructType(base + [T.StructField("page", T.StringType(), True)]),
+        {"page": "max"},
+    )
+    assert _map_refold_unsafe(s)
+    # decimal sum: rejected at declaration? No — decimal is numeric for
+    # Spark; it is map-unsafe (numpy would truncate)
+    s = snap_for(
+        T.StructType(
+            base + [T.StructField("amt", T.DecimalType(10, 2), True)]
+        ),
+        {"amt": "sum"},
+    )
+    assert _map_refold_unsafe(s)
+    # int sum + double max: map-safe
+    s = snap_for(
+        T.StructType(
+            base
+            + [
+                T.StructField("clicks", T.LongType(), True),
+                T.StructField("lat", T.DoubleType(), True),
+            ]
+        ),
+        {"clicks": "sum", "lat": "max"},
+    )
+    assert not _map_refold_unsafe(s)
+    # non-atomic payload on a partial table: map-unsafe
+    s = snap_for(
+        T.StructType(
+            base
+            + [
+                T.StructField(
+                    "meta", T.MapType(T.StringType(), T.StringType()), True
+                )
+            ]
+        ),
+        None, engine="partial",
+    )
+    assert _map_refold_unsafe(s)
+    # sum over a string column: rejected at declaration
+    with pytest.raises(ValueError, match="unfoldable"):
+        LakeTable.create(
+            str(tmp_path / "bad"), 
+            T.StructType(
+                base + [T.StructField("page", T.StringType(), True)]
+            ),
+            ["user_id"], 4, merge_engine="aggregate",
+            agg_spec={"page": "sum"},
+        )
+
+
+def test_float_min_nan_parity_across_kernels(spark, tmp_path):
+    """Spark's min treats NaN as greatest (returns the real minimum unless
+    every contribution is NaN); the map kernel must match — and compaction
+    must not flip a pre-compaction read."""
+    import math
+
+    sch = T.StructType(
+        [
+            T.StructField("user_id", T.StringType(), False),
+            T.StructField("lat", T.DoubleType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        str(tmp_path / "lake"), sch, ["user_id"], 2,
+        merge_engine="aggregate", agg_spec={"lat": "min"},
+    )
+    cfg = EngineConfig(
+        n_buckets=2, merge_engine="aggregate", agg_spec={"lat": "min"},
+        key_cols=("user_id",), compact_threshold=None,
+    )
+    bsch = T.StructType(
+        list(sch.fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    rows = [
+        ("mixed", 3.0, "U", 1), ("mixed", float("nan"), "U", 2),
+        ("allnan", float("nan"), "U", 3), ("allnan", float("nan"), "U", 4),
+        ("plain", 7.5, "U", 5), ("plain", 2.5, "U", 6),
+    ]
+    apply_changes(spark, t, spark.createDataFrame(rows, bsch), 0, cfg)
+    before = {r["user_id"]: r["lat"] for r in t.read(spark).collect()}
+    assert before["mixed"] == 3.0 and before["plain"] == 2.5
+    assert math.isnan(before["allnan"])
+    t.compact(spark)  # map kernel (double min IS map-safe)
+    after = {r["user_id"]: r["lat"] for r in t.read(spark).collect()}
+    assert after["mixed"] == 3.0 and after["plain"] == 2.5
+    assert math.isnan(after["allnan"])
+
+
+def test_partial_map_payload_column_folds_via_json_tiebreak(spark, tmp_path):
+    """A partial table with a MAP payload column must still ingest and read
+    (tie-break on to_json), with compaction routed to the shuffle kernel."""
+    sch = T.StructType(
+        [
+            T.StructField("user_id", T.StringType(), False),
+            T.StructField(
+                "meta", T.MapType(T.StringType(), T.StringType()), True
+            ),
+        ]
+    )
+    t = LakeTable.create(
+        str(tmp_path / "lake"), sch, ["user_id"], 2, merge_engine="partial"
+    )
+    cfg = EngineConfig(
+        n_buckets=2, merge_engine="partial", key_cols=("user_id",),
+        compact_threshold=None,
+    )
+    bsch = T.StructType(
+        list(sch.fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    apply_changes(
+        spark, t,
+        spark.createDataFrame(
+            [("u1", {"a": "1"}, "U", 1), ("u1", {"b": "2"}, "U", 2)], bsch
+        ),
+        0, cfg,
+    )
+    got = t.read(spark).collect()
+    assert len(got) == 1 and got[0]["meta"] == {"b": "2"}
+    t.compact(spark)  # routes to shuffle (map-unsafe payload)
+    got2 = t.read(spark).collect()
+    assert len(got2) == 1 and got2[0]["meta"] == {"b": "2"}
