@@ -160,3 +160,46 @@ def test_set_sort_order_commit_is_invisible_to_change_feed(
     # exactly epoch 1's changes and nothing else
     feed = t.read_changes(spark, s0, s1)
     assert feed.count() == len(_epoch_rows(1))
+
+
+def test_sort_order_applies_to_partial_engine_map_compaction(
+    spark, tmp_table
+):
+    """The map rewrite sorts the PARTIAL fold's output by the declared
+    sort order too — layout property and merge engine compose."""
+    from cnpj_data_pipeline_spark.gen import epoch_batches, gen_partial_changes
+    from cnpj_data_pipeline_spark.oracle import partial_final_state
+    from cnpj_data_pipeline_spark.sources import change_stream as cs
+    from cnpj_data_pipeline_spark import IngestJob
+
+    ch = gen_partial_changes(spark, n_events=4_000, n_convs=120, n_epochs=2)
+    golden = partial_final_state(ch.toPandas())
+    import tempfile
+
+    wal = tempfile.mkdtemp(prefix="so_partial_wal_")
+    for e, b in epoch_batches(ch, 2):
+        cs.write_epoch(b, wal, e)
+    IngestJob(
+        tmp_table,
+        EngineConfig(
+            n_buckets=4, merge_engine="partial", compact_threshold=None
+        ),
+    ).run_stream(spark, wal)
+    t = LakeTable.load(tmp_table)
+    t.set_sort_order(["ts"])
+    t.compact(spark)
+    got = t.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, golden, check_dtype=False)
+    # physical clustering on the folded output: nulls-last arrow sort means
+    # the non-null prefix must be ascending
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    for _b, info in t.snapshot()["buckets"].items():
+        for rel in info["files"]:
+            vals = _pq.read_table(
+                _os.path.join(t.root, rel), columns=["ts"]
+            ).column("ts").to_pylist()
+            nn = [v for v in vals if v is not None]
+            assert nn == sorted(nn)
