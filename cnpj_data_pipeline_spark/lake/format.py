@@ -218,9 +218,12 @@ def _map_refold_unsafe(snap: dict) -> bool:
     * a FLOATING column folded by "sum" — float addition is
       order-sensitive, a numpy refold could differ in final bits;
     * a monoid fn over a type the numpy fold does not model exactly —
-      "sum" outside the integral family (decimals would truncate), or
-      "min"/"max" outside integral/fractional/timestamp (strings, dates,
-      decimals: the ufunc path would crash or corrupt);
+      "sum" on anything but LONG (decimals would truncate; narrower ints
+      diverge on overflow: the map kernel's int64 accumulate + Arrow cast
+      raises ArrowInvalid where the Spark long-sum path surfaces its own
+      overflow behavior — routing to one kernel keeps the behavior
+      single), or "min"/"max" outside integral/fractional/timestamp
+      (strings, dates, decimals: the ufunc path would crash or corrupt);
     * any non-atomic payload column (map/array/struct) — the Spark fold
       tie-breaks those on to_json, which the Arrow twin does not replicate.
     """
@@ -239,7 +242,7 @@ def _map_refold_unsafe(snap: dict) -> bool:
     orderable = integral + fractional + (T.TimestampType, T.TimestampNTZType)
     for c, fn in spec.items():
         dt = sch[c].dataType
-        if fn == "sum" and not isinstance(dt, integral):
+        if fn == "sum" and not isinstance(dt, T.LongType):
             return True
         if fn in ("min", "max") and not isinstance(dt, orderable):
             return True
@@ -866,12 +869,29 @@ class LakeTable:
                 raise ValueError("sort_order must be a non-empty list or None")
             if len(set(cols)) != len(cols):
                 raise ValueError(f"sort_order has duplicate columns: {cols}")
-            names = {f.name for f in self.schema().fields}
-            missing = [c for c in cols if c not in names]
+            fields = {f.name: f.dataType for f in self.schema().fields}
+            missing = [c for c in cols if c not in fields]
             if missing:
                 raise ValueError(
                     f"sort_order columns not in schema: {missing} "
-                    f"(have {sorted(names)})"
+                    f"(have {sorted(fields)})"
+                )
+            # orderability must be checked HERE: a map/array/struct column
+            # would commit fine and then wedge every later compact/vacuum
+            # at rewrite time (Spark cannot sort by MapType; zorder's
+            # object argsort on dicts raises TypeError) until the order is
+            # reset — mirror the agg_spec type validation in create()
+            unsortable = [
+                c
+                for c in cols
+                if isinstance(
+                    fields[c], (T.MapType, T.ArrayType, T.StructType)
+                )
+            ]
+            if unsortable:
+                raise ValueError(
+                    f"sort_order columns must be atomic (orderable) types; "
+                    f"got {[(c, fields[c].simpleString()) for c in unsortable]}"
                 )
             if kind == "zorder" and not 2 <= len(cols) <= 4:
                 raise ValueError(

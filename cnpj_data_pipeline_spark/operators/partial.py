@@ -234,9 +234,10 @@ def partial_fold_arrow(
     row LSN, native value order) is greatest among non-delete versions,
     surviving only strictly above the horizon; output rows carry
     ``__col_lsns``/``__del_lsn`` provenance so later folds stay
-    associative. Known edge: a literal float NaN VALUE ranks lowest here
-    but greatest in Spark — it can flip only a duplicate-LSN tie between
-    NaN and a number, which no supported stream produces.
+    associative. The value tie-break ranks float NaN GREATEST
+    (``ranks_of(..., nan_greatest=True)``) to match Spark's total order,
+    so even a duplicate-LSN tie between NaN and a number picks the same
+    winner in both kernels.
 
     The AGGREGATE engine (sum/min/max monoids) deliberately stays on the
     shuffling kernel: float sums are order-sensitive, so a numpy refold
@@ -391,7 +392,12 @@ def partial_fold_arrow(
                 vals = vc.to_numpy(zero_copy_only=False)
             except pa.ArrowInvalid:
                 vals = np.array(vc.to_pylist(), dtype=object)
-            vrank = ranks_of(vals[idxs])
+            # nan_greatest: Spark's total order ranks NaN above every
+            # number, so a duplicate-LSN tie between NaN and a finite
+            # value must resolve to NaN here too (bit-parity with the
+            # shuffle kernel's max_by); candidates are never null (contrib
+            # gates on validity), so null-first handling is moot here
+            vrank = ranks_of(vals[idxs], nan_greatest=True)
             order = np.lexsort((vrank, lsn[idxs], o[idxs], gid[idxs]))
             srt = idxs[order]
             grp = gid[srt]

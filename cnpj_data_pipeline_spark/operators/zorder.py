@@ -28,9 +28,13 @@ BITS = 16
 MAX_COLS = 4
 
 
-def ranks_of(col: np.ndarray) -> np.ndarray:
-    """Stable rank positions of one column (int64). NaN/None rank lowest,
-    deterministically."""
+def ranks_of(col: np.ndarray, nan_greatest: bool = False) -> np.ndarray:
+    """Stable rank positions of one column (int64). NaN/None rank lowest
+    by default (the layout use: nulls cluster first, deterministically);
+    ``nan_greatest=True`` ranks float NaN HIGHEST instead — Spark's
+    NaN-greatest total order — for value tie-breaks that must pick the
+    same winner as a Spark ``max_by`` (candidates there are never null,
+    so None handling is irrelevant on that path)."""
     n = len(col)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
@@ -48,7 +52,9 @@ def ranks_of(col: np.ndarray) -> np.ndarray:
         ]
     else:
         if np.issubdtype(col.dtype, np.floating):
-            key = np.where(np.isnan(col), -np.inf, col)
+            key = np.where(
+                np.isnan(col), np.inf if nan_greatest else -np.inf, col
+            )
         else:
             key = col
         order = np.argsort(key, kind="stable")

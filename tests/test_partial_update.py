@@ -492,6 +492,11 @@ def test_partial_fold_associativity_sweep(spark):
             .sort_values(KEY, kind="mergesort")
             .reset_index(drop=True)
         )
+        # the golden's all-None ts is object dtype (None) while Spark's
+        # toPandas yields datetime64 (NaT); pandas>=2.2 warns on mixed
+        # null-likes and will hard-fail a future upgrade — unify first
+        for fr in (live, golden):
+            fr["ts"] = _pd.to_datetime(fr["ts"])
         pd.testing.assert_frame_equal(
             live, golden, check_dtype=False
         )
@@ -596,6 +601,58 @@ def test_partial_fold_arrow_parity_with_spark_kernel(spark):
             ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
         frame["ts"] = ts.astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_partial_fold_nan_tiebreak_matches_spark(spark):
+    """A duplicate-LSN tie between float NaN and a finite value must pick
+    the SAME winner in both kernels: Spark's total order ranks NaN above
+    every number, so the Arrow twin's value tie-break ranks NaN greatest
+    too (ranks_of nan_greatest=True) — the last known cross-kernel parity
+    edge, now closed."""
+    import math
+
+    import pyarrow as pa
+
+    from cnpj_data_pipeline_spark.operators.partial import (
+        partial_fold_arrow,
+    )
+
+    sch = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.DoubleType(), True),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    rows = [
+        ("a", float("nan"), "U", 5),
+        ("a", 1.5, "U", 5),  # same lsn: value tie-break decides
+        ("b", 2.5, "U", 7),
+        ("b", float("nan"), "U", 7),
+    ]
+    df = spark.createDataFrame(rows, sch)
+    want = {
+        r["k"]: r["v"]
+        for r in partial_winners_agg(df, ["k"], ["v"]).collect()
+    }
+    got_tbl = partial_fold_arrow(
+        pa.table(
+            {
+                "k": [r[0] for r in rows],
+                "v": pa.array([r[1] for r in rows], pa.float64()),
+                "op": [r[2] for r in rows],
+                "lsn": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        ),
+        ["k"],
+        ["v"],
+    )
+    got = dict(
+        zip(got_tbl.column("k").to_pylist(), got_tbl.column("v").to_pylist())
+    )
+    assert all(math.isnan(v) for v in want.values()), want
+    assert all(math.isnan(got[k]) for k in want), got
 
 
 def test_partial_compact_map_equals_shuffle_and_golden(spark, tmp_path):
@@ -745,6 +802,24 @@ def test_map_refold_routing_guards(spark, tmp_path):
             ]
         ),
         {"clicks": "sum", "lat": "max"},
+    )
+    assert not _map_refold_unsafe(s)
+    # sum over an int narrower than long: map-unsafe — the map kernel's
+    # int64-accumulate + Arrow downcast raises on overflow where the Spark
+    # long-sum path has its own overflow behavior; one kernel = one behavior
+    s = snap_for(
+        T.StructType(
+            base + [T.StructField("hits", T.IntegerType(), True)]
+        ),
+        {"hits": "sum"},
+    )
+    assert _map_refold_unsafe(s)
+    # min over a narrow int stays map-safe (no accumulation, no overflow)
+    s = snap_for(
+        T.StructType(
+            base + [T.StructField("rank", T.IntegerType(), True)]
+        ),
+        {"rank": "min"},
     )
     assert not _map_refold_unsafe(s)
     # non-atomic payload on a partial table: map-unsafe

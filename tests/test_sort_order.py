@@ -145,6 +145,32 @@ def test_sort_order_validation(spark, tmp_table):
         t.set_sort_order(["ts", "ts"])
 
 
+def test_sort_order_rejects_unorderable_types(spark, tmp_path):
+    """A map/array/struct sort column must be rejected at DECLARATION —
+    accepted, it would commit fine and then wedge every later compact/
+    vacuum at rewrite time (Spark cannot sort by MapType; zorder's object
+    argsort on dicts raises TypeError) until the order is reset."""
+    import pyspark.sql.types as T
+
+    sch = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields)
+        + [
+            T.StructField(
+                "meta", T.MapType(T.StringType(), T.StringType()), True
+            ),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+        ]
+    )
+    t = LakeTable.create(str(tmp_path / "t"), sch, KEY, CFG.n_buckets)
+    with pytest.raises(ValueError, match="atomic"):
+        t.set_sort_order(["meta"])
+    with pytest.raises(ValueError, match="atomic"):
+        t.set_sort_order(["ts", "tags"], kind="zorder")
+    # atomic columns still accepted
+    t.set_sort_order(["ts"])
+    t.set_sort_order(["ts", "role"], kind="zorder")
+
+
 def test_set_sort_order_commit_is_invisible_to_change_feed(
     spark, tmp_table
 ):
