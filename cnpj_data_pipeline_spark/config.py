@@ -95,16 +95,19 @@ class EngineConfig:
     copart_verify_placement: bool = False
     # Per-file key bloom sidecars (lake/bloom.py) — the third pruning level
     # for point lookups (under bucket + key-range). "auto" (default):
-    # built only by the MAINTENANCE passes (compact/vacuum/rebucket — the
-    # read-optimization passes, where Iceberg likewise spends its stats
-    # budget); the ingest hot path writes none, keeping the north-star
-    # throughput untouched (measured: inline blooms cost ~10% of copart
-    # ingest at bench scale — vectorized Arrow dictionary-encode + hash,
-    # but still per-row work in the hottest loop). "force": ALSO built
-    # inline at every ingest apply and stats harvest — for lookup-heavy
-    # tables that want delta-level file skipping between compactions and
-    # accept the ingest tax. "off": never. Sidecars are caches: any file
-    # may lack one and lookups stay correct, just less pruned.
+    # built only by EXPLICIT maintenance (table.compact/vacuum/rebucket,
+    # tools/run_maintenance.py — the read-optimization passes, where
+    # Iceberg likewise spends its stats budget); the ingest hot path,
+    # INCLUDING the inline threshold-triggered auto-compaction it runs,
+    # writes none, keeping the north-star throughput untouched (measured:
+    # inline blooms cost ~10% of copart ingest at bench scale, and riding
+    # auto-compaction cost the gated replay +20% in round 4 — one extra
+    # column-pruned read per rewritten file the replay never redeems).
+    # "force": ALSO built inline at every ingest apply, stats harvest, and
+    # auto-compaction — for lookup-heavy tables that want delta-level file
+    # skipping between compactions and accept the ingest tax. "off":
+    # never. Sidecars are caches: any file may lack one and lookups stay
+    # correct, just less pruned.
     key_blooms: str = "auto"
 
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")

@@ -516,12 +516,14 @@ def apply_changes_copart(
     _mark("commit")
     compacted_sid = None
     if key_cols is not None and cfg.compact_threshold:
+        # footer-only under "auto": see the twin call in merge.py — inline
+        # auto-compaction is ingest-path work, blooms belong to maintenance
         compacted_sid = table.compact_if_needed(
             spark,
             cfg.compact_threshold,
             salt_factor=cfg.salt_factor,
             max_buckets=cfg.compact_max_buckets,
-            blooms=cfg.key_blooms != "off",
+            blooms=cfg.key_blooms == "force",
         )
         if compacted_sid is not None:
             sid = compacted_sid

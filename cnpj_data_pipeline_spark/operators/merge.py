@@ -469,12 +469,17 @@ def apply_changes(
         _mark("commit")
         compacted_sid = None
         if cfg.compact_threshold:
+            # inline auto-compaction rides the GATED ingest path: under
+            # "auto" it stays footer-only (blooms are built by explicit
+            # maintenance — run_maintenance.py / table.compact — where
+            # Iceberg likewise spends its stats budget); "force" pays the
+            # extra column-pruned read per rewritten file here too
             compacted_sid = table.compact_if_needed(
                 spark,
                 cfg.compact_threshold,
                 salt_factor=cfg.salt_factor,
                 max_buckets=cfg.compact_max_buckets,
-                blooms=cfg.key_blooms != "off",
+                blooms=cfg.key_blooms == "force",
             )
             if compacted_sid is not None:
                 sid = compacted_sid
