@@ -249,6 +249,31 @@ def _map_refold_unsafe(snap: dict) -> bool:
     return False
 
 
+def batch_to_physical(df: DataFrame, snap: dict) -> DataFrame:
+    """Map an incoming change batch's column names LOGICAL -> PHYSICAL at
+    the apply boundary (identity when the snapshot has no renames). A
+    post-rename producer sends the new logical name; a stale producer may
+    still send the physical (old) name — both land in the same physical
+    column. A batch carrying BOTH names for one column is ambiguous and
+    refused. Columns matching neither map entry (genuinely new columns)
+    pass through and take their own name as physical via schema-evolution
+    union."""
+    ren = snap.get("renames") or {}
+    if not ren:
+        return df
+    inv = {l: p for p, l in ren.items()}
+    cols = df.columns
+    both = [(p, l) for p, l in ren.items() if p in cols and l in cols]
+    if both:
+        raise ValueError(
+            f"batch carries both the physical and the logical name for "
+            f"renamed column(s) {both}: ambiguous — fix the producer"
+        )
+    if not any(c in inv for c in cols):
+        return df
+    return df.select(*[F.col(c).alias(inv.get(c, c)) for c in cols])
+
+
 def bucket_expr(key_cols: Sequence[str] | None, n_buckets: int, lsn_col: str = "lsn"):
     """Stable bucket assignment on the FULL key. Hashing (conv_id, turn_idx)
     rather than conv_id alone spreads a hot conversation's turns over many
@@ -649,6 +674,114 @@ class LakeTable:
             + _phys_meta_fields(snap)
         )
 
+    # ---------------- column rename (name-mapping) evolution ----------
+
+    def renames(self, sid: int | None = None) -> dict[str, str]:
+        """PHYSICAL -> LOGICAL column-name map at a snapshot (empty when no
+        column was ever renamed). The engine's lightweight form of Iceberg
+        field-id indirection / Delta ``columnMapping.mode=name``: data
+        files ALWAYS store a column under its physical name (the name it
+        first entered the schema with, stable forever), and a rename only
+        changes the logical name readers and writers speak — metadata-only,
+        no data rewrite, and pre-rename files read back under the new name
+        because their physical column still matches. Snapshot-versioned:
+        time travel to a pre-rename snapshot reads the old names."""
+        return dict(self.snapshot(sid).get("renames") or {})
+
+    def logical_schema(self, sid: int | None = None) -> T.StructType:
+        """The user-facing schema: the stored (physical) schema with the
+        snapshot's renames applied. Equal to ``schema()`` when no column
+        was ever renamed."""
+        snap = self.snapshot(sid)
+        ren = snap.get("renames") or {}
+        return T.StructType(
+            [
+                T.StructField(ren.get(f.name, f.name), f.dataType, f.nullable)
+                for f in schema_from_json(snap["schema"]).fields
+            ]
+        )
+
+    @staticmethod
+    def _resolve_column(name: str, snap: dict) -> str:
+        """A LOGICAL (or already-physical) column name -> PHYSICAL name.
+        Rename validation guarantees a logical name never collides with
+        another column's physical name, so the lookup is unambiguous."""
+        for p, l in (snap.get("renames") or {}).items():
+            if l == name:
+                return p
+        return name
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN evolution (the upstream ``ALTER TABLE RENAME`` a
+        real CDC stream carries — the reference's entire schema system is
+        rename-driven, src/processor.py:507-519 positional->name mapping).
+        Metadata-only: updates the physical->logical name map (see
+        :meth:`renames`); no file is rewritten, and every read path aliases
+        the physical column to its current logical name at the API
+        boundary. ``old`` may be the current logical name or the physical
+        name. Renaming back to the physical name clears the map entry.
+
+        Refused for key/bucket columns — not because the rename would be
+        unsound (bucket hashes are over values), but because the key names
+        are the cross-cutting contract of WAL layout descriptors, lookup
+        APIs and downstream consumers; versioning THOSE is out of scope.
+        ``new`` must not collide with any current logical OR physical name
+        (physical too, so the batch-entry and per-file inverse mapping is
+        always unambiguous) nor with a dropped-column tombstone."""
+        snap = self.snapshot()
+        phys = self._resolve_column(old, snap)
+        schema = schema_from_json(snap["schema"])
+        names = {f.name for f in schema.fields}
+        ren = snap.get("renames") or {}
+        if phys not in names:
+            raise ValueError(
+                f"column {old!r} not in schema (have "
+                f"{sorted(ren.get(n, n) for n in names)})"
+            )
+        if phys in set(snap["key_cols"] or ()) or phys in set(
+            self._bucket_cols_of(snap) or ()
+        ):
+            raise ValueError(
+                f"cannot rename key/bucket column {old!r}: key names are "
+                "the layout/lookup contract shared with WAL producers and "
+                "consumers"
+            )
+        if new == ren.get(phys, phys):
+            raise ValueError(f"column is already named {new!r}")
+        logical_others = {ren.get(n, n) for n in names if n != phys}
+        if new in logical_others:
+            raise ValueError(f"column name {new!r} already in use")
+        if new in names and new != phys:
+            raise ValueError(
+                f"{new!r} is the physical name of another column (its "
+                "data files store it); pick a different name"
+            )
+        if new in set(snap.get("dropped_cols") or ()):
+            raise ValueError(
+                f"{new!r} is a dropped-column tombstone; old files still "
+                "carry its pre-drop values under that name"
+            )
+        return self.commit(
+            op="evolve",
+            epoch=None,
+            bucket_updates={},
+            rename=(phys, new),
+            expected_parent=snap["snapshot_id"],
+        )
+
+    @staticmethod
+    def _logical_alias(df: DataFrame, snap: dict) -> DataFrame:
+        """Alias a physical-named DataFrame's payload columns to their
+        logical names (identity when the snapshot has no renames). Meta
+        columns (``__lsn``/``__op``/...) are never renamed and pass
+        through."""
+        ren = snap.get("renames") or {}
+        if not ren:
+            return df
+        return df.select(
+            *[F.col(c).alias(ren.get(c, c)) for c in df.columns]
+        )
+
     # ---------------- snapshot tags ----------------
     #
     # Iceberg-style NAMED snapshot references: a tag pins a snapshot id
@@ -803,6 +936,7 @@ class LakeTable:
         snap = self.snapshot()
         schema = schema_from_json(snap["schema"])
         names = {f.name for f in schema.fields}
+        name = self._resolve_column(name, snap)  # accept the logical name
         if name not in names:
             raise ValueError(
                 f"column {name!r} not in schema (have {sorted(names)})"
@@ -864,7 +998,10 @@ class LakeTable:
         if kind not in ("lexical", "zorder"):
             raise ValueError(f"unknown sort_order kind {kind!r}")
         if cols is not None:
-            cols = [str(c) for c in cols]
+            # stored under PHYSICAL names (the rewrite kernels read files);
+            # callers may pass current logical names
+            snap_now = self.snapshot()
+            cols = [self._resolve_column(str(c), snap_now) for c in cols]
             if not cols:
                 raise ValueError("sort_order must be a non-empty list or None")
             if len(set(cols)) != len(cols):
@@ -939,9 +1076,13 @@ class LakeTable:
         file_index: dict[int, list[str]] | None = None,
         snapshot_override: dict | None = None,
         scan_filter=None,
+        logical: bool = True,
     ) -> DataFrame:
         """Read the table at a snapshot. Old files written before a schema
         evolution are read with the evolved schema (missing columns → NULL).
+        Renamed columns come back under their LOGICAL names (the name map,
+        see :meth:`rename_column`); ``logical=False`` keeps the physical
+        (file) names — internal fold/merge consumers only.
 
         ``scan_filter`` (a Column) is applied to the RAW scans, BEFORE the
         merge-on-read fold — so it reaches the Parquet reader as a pushed
@@ -1034,7 +1175,7 @@ class LakeTable:
             df = df.drop(LSN_META_COL, OP_META_COL)
             if engine != "lww":
                 df = df.drop(*[f.name for f in PARTIAL_META_FIELDS])
-        return df
+        return self._logical_alias(df, snap) if logical else df
 
     def read_keys(
         self,
@@ -1045,6 +1186,7 @@ class LakeTable:
         snapshot_id: int | None = None,
         broadcast_keys: bool = True,
         on: Sequence[str] | None = None,
+        logical: bool = True,
     ) -> DataFrame:
         """Point / multi-get lookup with BUCKET PRUNING: the requested keys
         are hashed to their buckets and only those buckets' files are
@@ -1151,6 +1293,7 @@ class LakeTable:
             buckets=buckets,
             file_index=file_index,
             scan_filter=scan_filter,
+            logical=logical,
         )
         join_keys = F.broadcast(kd) if broadcast_keys else kd
         return df.join(join_keys, on=on, how="left_semi")
@@ -1281,7 +1424,11 @@ class LakeTable:
         makes per-file ``ts`` ranges nearly disjoint — IO becomes
         O(window), not O(table)."""
         snap = self.snapshot(snapshot_id)
-        idx, _report = self.prune_files_by_range(snap, col, lo, hi)
+        # footer stats are keyed by PHYSICAL name; the final exact filter
+        # runs on the logical-aliased read, so resolve both directions
+        phys_col = self._resolve_column(col, snap)
+        col = (snap.get("renames") or {}).get(phys_col, phys_col)
+        idx, _report = self.prune_files_by_range(snap, phys_col, lo, hi)
         df = self.read(
             spark,
             snapshot_id=snapshot_id,
@@ -1410,7 +1557,9 @@ class LakeTable:
             df = spark.read.schema(phys).parquet(*new_files)
         if not include_meta:
             df = df.drop(LSN_META_COL, OP_META_COL)
-        return df
+        # renamed columns surface under the WINDOW-END logical names, like
+        # the schema itself (additive evolution uses the end schema too)
+        return self._logical_alias(df, self.snapshot(to_sid))
 
     def read_changes_typed(
         self,
@@ -1480,7 +1629,10 @@ class LakeTable:
         ).persist(StorageLevel.MEMORY_AND_DISK)
         touched = win.select(*key_cols)
 
-        end_schema = schema_from_json(self.snapshot(to_sid)["schema"])
+        # LOGICAL names throughout: the feed (read_changes) and the
+        # pre-image lookup (read_keys) both alias at their boundary, so the
+        # typed rows compose under the window-end logical schema
+        end_schema = self.logical_schema(to_sid)
         payload_cols = [f.name for f in end_schema.fields]
         phys_cols = payload_cols + [LSN_META_COL, OP_META_COL]
 
@@ -1856,6 +2008,7 @@ class LakeTable:
         props: dict | None = None,
         expected_props: dict | None = None,
         drop_column: str | None = None,
+        rename: tuple[str, str] | None = None,
     ) -> int:
         """Atomically publish a new snapshot under OPTIMISTIC CONCURRENCY:
         build the snapshot against the current head, then attempt the
@@ -1940,7 +2093,7 @@ class LakeTable:
                 )
             sid = self._build_and_cas(
                 cur, op, epochs, bucket_updates, new_schema, mode, merged,
-                new_n_buckets, props, drop_column=drop_column,
+                new_n_buckets, props, drop_column=drop_column, rename=rename,
             )
             if sid is not None:
                 return sid
@@ -1997,6 +2150,7 @@ class LakeTable:
         new_n_buckets: int | None,
         props: dict | None = None,
         drop_column: str | None = None,
+        rename: tuple[str, str] | None = None,
     ) -> int | None:
         """One commit attempt against ``cur``: build the snapshot, try the
         exclusive manifest create. Returns the new id, or None on CAS loss."""
@@ -2067,6 +2221,36 @@ class LakeTable:
         applied = list(cur["applied_epochs"])
         applied.extend(e for e in epochs if e not in applied)
         dropped_cols = list(cur.get("dropped_cols") or [])
+        renames = dict(cur.get("renames") or {})
+        # rename validation AT THE REBASE HEAD (like the drop/sort_order
+        # cross-checks): a concurrent drop/evolve could have taken the
+        # target name or removed the source column since the caller read
+        if rename is not None:
+            phys, new_logical = rename
+            head_fields = {
+                f.name for f in schema_from_json(cur["schema"]).fields
+            }
+            if phys not in head_fields:
+                raise CommitConflictError(
+                    f"cannot rename {phys!r}: dropped by a concurrent commit"
+                )
+            logical_others = {
+                renames.get(n, n) for n in head_fields if n != phys
+            }
+            if (
+                new_logical in logical_others
+                or (new_logical in head_fields and new_logical != phys)
+                or new_logical in dropped_cols
+            ):
+                raise CommitConflictError(
+                    f"rename target {new_logical!r} collides with a "
+                    "column or tombstone at the commit head (concurrent "
+                    "evolve/drop); re-plan against fresh state"
+                )
+            if new_logical == phys:
+                renames.pop(phys, None)
+            else:
+                renames[phys] = new_logical
         # cross-validate AT THE REBASE HEAD, not just at the caller's
         # snapshot: a drop racing a set_sort_order (either order) could
         # otherwise leave the head's sort_order naming a column the schema
@@ -2100,14 +2284,31 @@ class LakeTable:
             ).json()
             if drop_column not in dropped_cols:
                 dropped_cols.append(drop_column)
+            renames.pop(drop_column, None)
         elif new_schema is not None:
             # union with the CURRENT head's schema (not the baseline's): a
             # concurrent evolve commit that won the race keeps its columns;
             # tombstoned names stay out
-            schema_json = union_schema(
+            unioned = union_schema(
                 schema_from_json(cur["schema"]), new_schema,
                 dropped=dropped_cols,
-            ).json()
+            )
+            # a NEW physical column must not shadow a live logical name —
+            # two user-visible columns would share one name (the racing
+            # twin of rename_column's own collision check)
+            head_names = {
+                f.name for f in schema_from_json(cur["schema"]).fields
+            }
+            shadow = {
+                f.name for f in unioned.fields if f.name not in head_names
+            } & set(renames.values())
+            if shadow:
+                raise CommitConflictError(
+                    f"schema evolution adds column(s) {sorted(shadow)} "
+                    "that collide with a renamed column's logical name at "
+                    "the commit head; rename the incoming column upstream"
+                )
+            schema_json = unioned.json()
         else:
             schema_json = cur["schema"]
         snap = {
@@ -2122,6 +2323,7 @@ class LakeTable:
             "merge_engine": cur.get("merge_engine", "lww"),
             "agg_spec": cur.get("agg_spec"),
             "dropped_cols": dropped_cols,
+            "renames": renames,
             "props": {**(cur.get("props") or {}), **(props or {})},
             "n_buckets": int(new_n_buckets) if new_n_buckets is not None else cur["n_buckets"],
             "buckets": buckets,
@@ -2359,8 +2561,10 @@ class LakeTable:
                 for f in info["files"]
             ]
             if not files:
-                return spark.createDataFrame([], phys)
-            return spark.read.schema(phys).parquet(*files)
+                df = spark.createDataFrame([], phys)
+            else:
+                df = spark.read.schema(phys).parquet(*files)
+            return self._logical_alias(df, self.snapshot())
         return self.read(
             spark,
             include_meta=include_meta,

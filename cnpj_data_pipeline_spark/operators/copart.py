@@ -83,17 +83,25 @@ from cnpj_data_pipeline_spark.schemas import union_schema
 _RESULT_SCHEMA = "bucket int, relpath string, stats string"
 
 
-def _payload_schema_of_files(files: Sequence[str]) -> T.StructType:
+def _payload_schema_of_files(
+    files: Sequence[str], inv_renames: dict[str, str] | None = None
+) -> T.StructType:
     """Spark payload schema from Parquet footers (driver-side, no data scan).
 
     One footer is read PER EPOCH DIRECTORY, then unioned: files within one
     epoch share a schema by the producer contract, but a folded catch-up
     window (``run_pending(fold_window=K)``) spans epochs that may differ by
     an additive evolution — inferring from a single file would silently drop
-    the evolved-in column for every row in the window."""
+    the evolved-in column for every row in the window.
+
+    ``inv_renames`` (logical -> physical, from the table's rename map) maps
+    producer column names to the physical names files store, so a
+    post-rename WAL epoch unions against the table schema instead of
+    evolving in a duplicate column."""
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    inv = inv_renames or {}
     reps: dict[str, str] = {}
     for fp in files:
         epoch_parts = [
@@ -105,15 +113,29 @@ def _payload_schema_of_files(files: Sequence[str]) -> T.StructType:
     out: T.StructType | None = None
     for fp in reps.values():
         sch = from_arrow_schema(pq.ParquetFile(fp).schema_arrow)
+        mapped = [inv.get(f.name, f.name) for f in sch.fields]
+        if len(set(mapped)) != len(mapped):
+            raise ValueError(
+                f"WAL file {fp} carries both the physical and the logical "
+                "name of a renamed column: ambiguous — fix the producer"
+            )
         payload = T.StructType(
-            [f for f in sch.fields if f.name not in drop]
+            [
+                T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
+                for f in sch.fields
+                if inv.get(f.name, f.name) not in drop
+            ]
         )
         out = payload if out is None else union_schema(out, payload)
     return out
 
 
-def _normalize_to(tbl, target):
+def _normalize_to(tbl, target, inv_renames=None):
     """Pad + project + cast ONE file's Arrow table to ``target`` (pa.Schema).
+    ``inv_renames`` (logical -> physical) first maps renamed columns a
+    post-rename producer wrote under their logical names back to the
+    physical names the table stores; a file carrying BOTH names for one
+    column is ambiguous and refused.
 
     This must run PER FILE, before any ``pa.concat_tables``: a bucket's
     generations can come from different producer sessions — the engine's own
@@ -127,6 +149,14 @@ def _normalize_to(tbl, target):
     projection."""
     import pyarrow as pa
 
+    if inv_renames:
+        mapped = [inv_renames.get(c, c) for c in tbl.column_names]
+        if len(set(mapped)) != len(mapped):
+            raise ValueError(
+                "file carries both the physical and the logical name of a "
+                "renamed column: ambiguous — fix the producer"
+            )
+        tbl = tbl.rename_columns(mapped)
     have = set(tbl.column_names)
     for f in target:
         if f.name not in have:
@@ -244,6 +274,7 @@ def _make_task(
     blooms: bool = False,
     fold: bool = True,
     forbid_deletes: bool = False,
+    inv_renames: dict[str, str] | None = None,
 ):
     """Build the Arrow task body. Everything it closes over is tiny and
     picklable; the evolved schema travels as JSON and is rebuilt per task
@@ -286,7 +317,12 @@ def _make_task(
                 b = int(row["bucket"])
                 files = list(row["files"])
                 tbl = pa.concat_tables(
-                    [_normalize_to(pq.read_table(f), wal_target) for f in files]
+                    [
+                        _normalize_to(
+                            pq.read_table(f), wal_target, inv_renames
+                        )
+                        for f in files
+                    ]
                 )
                 if forbid_deletes and len(tbl):
                     import pyarrow.compute as pc
@@ -410,13 +446,17 @@ def apply_changes_copart(
         verify_bucket_placement(spark, table, bucket_files)
     all_files = [fp for fps in bucket_files.values() for fp in fps]
     base_schema = table.schema()
+    # renamed columns: producers write logical names, files store physical
+    # — the inverse map rides into the footer union and every per-file
+    # normalize (identity when nothing was renamed)
+    inv_renames = {l: p for p, l in (snap.get("renames") or {}).items()}
     if all_files:
         # frozen keys: a WAL epoch with drifted key types cannot reach this
         # path (bucketed_layout rejects type-misaligned layouts), but the
         # payload may legitimately widen — never the bucket-hash inputs
         evolved = union_schema(
             base_schema,
-            _payload_schema_of_files(all_files),
+            _payload_schema_of_files(all_files, inv_renames or None),
             frozen=snap["key_cols"] or (),
             dropped=snap.get("dropped_cols") or (),
         )
@@ -465,6 +505,7 @@ def apply_changes_copart(
             evolved.json(),
             cfg.audit_col if cfg.write_audit_col else None,
             blooms=cfg.key_blooms == "force",
+            inv_renames=inv_renames or None,
             # non-LWW engines: append ALL raw versions — the Arrow kernel's
             # LWW fold would drop batch "losers" whose columns/deltas the
             # winner lacks; raw rows carry their origin LSN implicitly, so

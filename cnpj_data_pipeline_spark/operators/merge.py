@@ -54,6 +54,7 @@ from cnpj_data_pipeline_spark.lake.format import (
     EpochAlreadyAppliedError,
     LakeTable,
     OP_META_COL,
+    batch_to_physical,
     bucket_expr,
     owned_write_conf,
 )
@@ -256,6 +257,9 @@ def apply_changes(
         )
 
     snap = table.snapshot()
+    # renamed columns: producers speak logical names, files store physical
+    # — map the batch at the boundary (identity when nothing was renamed)
+    changes = batch_to_physical(changes, snap)
     key_cols = list(snap["key_cols"]) if snap["key_cols"] is not None else None
     bucket_cols = LakeTable._bucket_cols_of(snap)
     n_buckets = int(snap["n_buckets"])

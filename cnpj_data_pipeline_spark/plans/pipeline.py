@@ -219,7 +219,9 @@ class IngestJob:
                     spark,
                     stream_root,
                     e,
-                    table.schema(),
+                    # LOGICAL names: a post-rename upstream emits the new
+                    # field names; apply_changes maps them back to physical
+                    table.logical_schema(),
                     dlq_dir=dlq_dir,
                 ), None
 

@@ -99,13 +99,28 @@ _EXTRA_NAMES = (
     # snapshot time travel, aggregate merge engine) — oracle-gated here;
     # the primary registry is already at the driver's 50-row cap
     "q_cdc_replay_rebucket",
-    "q_time_travel",
-    "q_agg_table_counters",
     # later in round 4: declared sort order — compaction re-clusters by ts,
     # read must be layout-invariant (same final-state SQL oracle)
     "q_cdc_replay_sorted",
     "q_cdc_replay_widened",
     "q_cdc_replay_dropped",
+    # round 5 (VERDICT r4 advice #6): q_time_travel and
+    # q_agg_table_counters PROMOTED into the driver gate (whole components
+    # whose only gated exposure was indirect), plus the new
+    # q_cdc_replay_renamed (column-rename evolution). Demoted here to make
+    # room, all still oracle-gated via check_oracles + pytest:
+    #   q_media_decode       -> the declared decode stub's deterministic
+    #                           twin; the multimodal plumbing stays gated
+    #                           via q_media_byte_stats
+    #   q_stateful_conv_state-> applyInPandasWithState running counters;
+    #                           overlaps q_sessionize's per-conversation
+    #                           session semantics (tests/test_streaming
+    #                           keeps the state-store path red-green)
+    #   q_ivm_minmax         -> the min/max-retraction IVM variant; the
+    #                           IVM component stays gated via q_ivm_agg
+    "q_media_decode",
+    "q_stateful_conv_state",
+    "q_ivm_minmax",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

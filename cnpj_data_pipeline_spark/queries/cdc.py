@@ -521,6 +521,32 @@ def q_cdc_replay_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_cdc_replay_renamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay with a MID-STREAM RENAME COLUMN (upstream ALTER TABLE RENAME
+    — the reference's schema system is rename-driven,
+    src/processor.py:507-519): after epoch 1 ``tool`` is renamed to
+    ``tool_name``; epoch 2's producer sends the NEW name, epoch 3's is a
+    stale producer still sending the OLD name — both land in the same
+    physical column via the name-mapping layer (metadata-only, no file
+    rewrite). Pre-rename files read back under the new name, so the final
+    state equals the plain LWW fold with the column aliased."""
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2, compact_threshold=None)
+    table = LakeTable.create(
+        os.path.join(_mk_scratch("cdc_replay_r_"), "lake"),
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    for e in range(N_EPOCHS):
+        if e == 2:
+            table.rename_column("tool", "tool_name")
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        if e == 2:  # post-rename producer speaks the new logical name
+            batch = batch.withColumnRenamed("tool", "tool_name")
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    table.compact(spark)  # folds pre- and post-rename generations
+    return table.read(spark)
+
+
 def q_turn_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRANSCRIPT STRUCTURE VALIDATION — the data-quality gate a training
     pipeline runs on conversation data before rendering: per conversation
@@ -1019,6 +1045,7 @@ QUERIES = {
     "q_cdc_replay_sorted": q_cdc_replay_sorted,
     "q_cdc_replay_widened": q_cdc_replay_widened,
     "q_cdc_replay_dropped": q_cdc_replay_dropped,
+    "q_cdc_replay_renamed": q_cdc_replay_renamed,
     "q_cdc_replay_copart": q_cdc_replay_copart,
     "q_cdc_replay_debezium": q_cdc_replay_debezium,
     "q_turn_structure": q_turn_structure,
@@ -1149,6 +1176,11 @@ ORACLES = {
     "q_cdc_replay_dropped": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
         SELECT conv_id, turn_idx, role, text, ts
+        FROM winners WHERE op <> 'D'
+    """,
+    "q_cdc_replay_renamed": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+        SELECT conv_id, turn_idx, role, text, tool AS tool_name, ts
         FROM winners WHERE op <> 'D'
     """,
     "q_cdc_replay_widened": f"""

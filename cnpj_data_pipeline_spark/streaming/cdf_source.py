@@ -56,9 +56,16 @@ class _FilePartition(InputPartition):
 
 
 def _physical_schema(root: str) -> T.StructType:
+    """Stream schema: payload under LOGICAL names (renames applied as of
+    query start — a stream's schema is fixed for its lifetime) + meta."""
     snap = LakeTable.load(root).snapshot()
+    ren = snap.get("renames") or {}
     return T.StructType(
-        list(schema_from_json(snap["schema"]).fields) + list(PHYSICAL_META_FIELDS)
+        [
+            T.StructField(ren.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema_from_json(snap["schema"]).fields
+        ]
+        + list(PHYSICAL_META_FIELDS)
     )
 
 
@@ -74,6 +81,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
         self.spark_schema = schema
         self.from_snapshot = from_snapshot
         self.max_snapshots = max_snapshots_per_batch
+        # physical -> logical column map captured at query start; the
+        # executor-side read uses it to match a logical stream field to
+        # the physical column the delta files actually store
+        self.renames = dict(
+            LakeTable.load(root).snapshot().get("renames") or {}
+        )
         # batch-size cursor: the last batch-end this reader planned. None
         # until learned (fresh start: initialOffset; restart: the first
         # partitions() call reveals the committed offset) — clamping against
@@ -125,8 +138,12 @@ class LakeCDFStreamReader(DataSourceStreamReader):
             # silently dropped by the executor-side pad/cast — fail loudly
             # instead (mirrors the CoW rejection; the batch reader handles
             # evolution because each call re-reads the window-end schema)
+            # compare in LOGICAL space: the stream schema carries logical
+            # names, the window-end schema physical ones — a rename is
+            # metadata-only, not a new column
             end_fields = {
-                f.name for f in schema_from_json(end_schema_json).fields
+                self.renames.get(f.name, f.name)
+                for f in schema_from_json(end_schema_json).fields
             }
             stream_fields = {f.name for f in self.spark_schema.fields}
             new_cols = sorted(end_fields - stream_fields)
@@ -155,6 +172,11 @@ class LakeCDFStreamReader(DataSourceStreamReader):
 
         arrow_schema = to_arrow_schema(self.spark_schema)
         tbl = pq.read_table(partition.path)
+        if self.renames:
+            # delta files store physical names; surface logical ones
+            tbl = tbl.rename_columns(
+                [self.renames.get(c, c) for c in tbl.column_names]
+            )
         cols = []
         for field in arrow_schema:
             if field.name in tbl.column_names:
