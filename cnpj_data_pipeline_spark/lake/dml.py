@@ -1,0 +1,282 @@
+"""SQL DML surface over lake tables: ``MERGE INTO`` / ``INSERT INTO``
+statements compiled to the engine's ``apply_changes``.
+
+The reference's consumers speak SQL in BOTH directions — Postgres is the
+API as well as the state (``docs/data-schema/relationships.md:36-60``;
+``init-db/postgres.sql``); its ingest is literally
+``INSERT ... ON CONFLICT DO UPDATE`` text SQL
+(``src/database/postgres.py:269-531``). ``lake/sql.py`` covers the read
+side (state / history / change-window views); this module closes the write
+side: a consumer hands the engine one MERGE statement and the engine runs
+its normal gated apply — same salted shuffle or copart fold, same
+exactly-once epoch ledger, same atomic CAS commit. The statement is a
+FRONT-END, not a second write path.
+
+Supported grammar (case-insensitive keywords; one statement per call):
+
+    MERGE INTO <table-name> [AS <t>]
+    USING <view-name | (subquery)> [AS] <s>
+    ON <t>.<k1> = <s>.<k1> [AND <t>.<k2> = <s>.<k2> ...]
+    [WHEN MATCHED AND <condition-over-s> THEN DELETE]
+    WHEN MATCHED THEN UPDATE SET * | SET <c> = <s>.<c> [, ...]
+    [WHEN NOT MATCHED THEN INSERT *]
+
+    INSERT INTO <table-name> <select-statement>
+
+Deliberate constraints, each from the engine's semantics rather than
+parser laziness:
+
+* The ON condition must equate EXACTLY the table's key columns — the
+  engine's merge identity is the key; arbitrary join predicates would be a
+  different operator (and Iceberg/Delta reject non-key merges into
+  bucket-managed layouts for the same reason).
+* The source must carry a monotone ``lsn`` column (the WAL offset): MERGE
+  resolves concurrent versions by LSN, exactly like every other ingest
+  path — SQL writers don't get weaker ordering guarantees.
+* ``UPDATE SET *`` + ``INSERT *`` is the LWW whole-row upsert. A COLUMN
+  SUBSET ``SET c = s.c, ...`` is only accepted on a partial-update merge
+  engine table (it compiles to a column patch); on an LWW table a partial
+  row would win the fold and null the untouched columns — refused loudly.
+* WHEN-MATCHED-DELETE's condition is evaluated over the SOURCE row (the
+  CDC idiom ``WHEN MATCHED AND s.op = 'D' THEN DELETE``); conditions
+  referencing the target would require a state read the MoR engine
+  deliberately never does on ingest.
+* Exactly-once: the statement itself is pure text, so the epoch ledger
+  rides on the call (``epoch=``), same contract as ``apply_changes``.
+
+At 100 TB this surface costs nothing: parsing is driver-side string work;
+the compiled plan IS the engine's existing apply plan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cnpj_data_pipeline_spark.config import EngineConfig
+from cnpj_data_pipeline_spark.lake.format import LakeTable
+from cnpj_data_pipeline_spark.operators.merge import apply_changes
+
+_MERGE_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w./-]+)"
+    r"(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>\w+))?\s+USING\s+",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_HEAD = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>[\w./-]+)\s+(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _scan_source(rest: str) -> tuple[str, bool, str]:
+    """Consume the USING source: a balanced ``(subquery)`` or a bare view
+    name. Returns (source_text, is_subquery, remainder)."""
+    rest = rest.lstrip()
+    if rest.startswith("("):
+        depth = 0
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return rest[1:i], True, rest[i + 1:]
+        raise ValueError("MERGE: unbalanced parentheses in USING subquery")
+    m = re.match(r"([\w./-]+)", rest)
+    if not m:
+        raise ValueError(f"MERGE: cannot parse USING source at: {rest[:60]!r}")
+    return m.group(1), False, rest[m.end():]
+
+
+def _strip_alias(cond: str, *aliases: str | None) -> str:
+    """Drop ``alias.`` qualifiers so the condition evaluates over the bare
+    source DataFrame."""
+    for a in aliases:
+        if a:
+            cond = re.sub(rf"\b{re.escape(a)}\s*\.\s*", "", cond)
+    return cond
+
+
+def _parse_on(on: str, talias: str | None, salias: str | None) -> list[str]:
+    """The ON conjunction -> list of equated column names. Only
+    ``t.k = s.k`` conjuncts are accepted (see module doc)."""
+    cols = []
+    for conj in re.split(r"\s+AND\s+", on.strip(), flags=re.IGNORECASE):
+        m = re.match(
+            r"^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(?:(\w+)\s*\.\s*)?(\w+)\s*$",
+            conj,
+        )
+        if not m:
+            raise ValueError(
+                f"MERGE ON supports only key-equality conjuncts, got: {conj!r}"
+            )
+        a1, c1, a2, c2 = m.groups()
+        if c1 != c2:
+            raise ValueError(
+                f"MERGE ON must equate the SAME key column on both sides "
+                f"(the merge identity), got {conj!r}"
+            )
+        for al in (a1, a2):
+            if al is not None and al not in (talias, salias):
+                raise ValueError(f"MERGE ON references unknown alias {al!r}")
+        cols.append(c1)
+    return cols
+
+
+def merge_into(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, LakeTable | str],
+    epoch: int | None = None,
+    cfg: EngineConfig | None = None,
+    props: dict | None = None,
+    expected_props: dict | None = None,
+) -> dict:
+    """Execute one MERGE INTO / INSERT INTO statement (module-doc grammar)
+    against ``tables`` (SQL name -> LakeTable or root path), compiling to
+    :func:`apply_changes`. Returns the apply's metrics dict (exactly-once
+    ledger, snapshot id, phase timings — identical to the Python API)."""
+    stmt = statement.strip().rstrip(";")
+    mi = _INSERT_HEAD.match(stmt)
+    if mi and not _MERGE_HEAD.match(stmt):
+        target = _resolve(mi.group("target"), tables)
+        src = spark.sql(mi.group("select"))
+        batch = src.withColumn("op", F.lit("I"))
+        return apply_changes(
+            spark, target, batch, epoch=epoch, cfg=cfg,
+            props=props, expected_props=expected_props,
+        )
+
+    mh = _MERGE_HEAD.match(stmt)
+    if not mh:
+        raise ValueError(
+            "expected 'MERGE INTO <t> USING ...' or 'INSERT INTO <t> "
+            f"<select>', got: {stmt[:80]!r}"
+        )
+    target = _resolve(mh.group("target"), tables)
+    talias = mh.group("talias")
+    source_txt, is_subquery, rest = _scan_source(stmt[mh.end():])
+    am = re.match(r"\s*(?:AS\s+)?(\w+)\s+(?=ON\b)", rest, re.IGNORECASE)
+    salias = None
+    if am and am.group(1).upper() != "ON":
+        salias = am.group(1)
+        rest = rest[am.end():]
+    om = re.match(
+        r"\s*ON\s+(?P<on>.+?)\s*(?=\bWHEN\b)", rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not om:
+        raise ValueError("MERGE: missing ON ... WHEN ...")
+    on_cols = _parse_on(om.group("on"), talias, salias)
+    clauses = rest[om.end():]
+
+    key_cols = target.key_cols()
+    if key_cols is None:
+        raise ValueError(
+            "MERGE INTO a keyless (append-only) table is undefined — use "
+            "INSERT INTO"
+        )
+    if set(on_cols) != set(key_cols):
+        raise ValueError(
+            f"MERGE ON must equate exactly the table key {key_cols}, "
+            f"got {on_cols}"
+        )
+
+    del_m = re.search(
+        r"WHEN\s+MATCHED\s+AND\s+(?P<cond>.+?)\s+THEN\s+DELETE",
+        clauses, re.IGNORECASE | re.DOTALL,
+    )
+    upd_m = re.search(
+        r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+"
+        r"(?P<set>\*|.+?)(?=\s+WHEN\b|\s*$)",
+        clauses, re.IGNORECASE | re.DOTALL,
+    )
+    ins_m = re.search(
+        r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
+        clauses, re.IGNORECASE,
+    )
+    leftover = clauses
+    for m in (del_m, upd_m, ins_m):
+        if m:
+            leftover = leftover.replace(m.group(0), "", 1)
+    if re.search(r"\bWHEN\b", leftover, re.IGNORECASE):
+        raise ValueError(
+            f"MERGE: unsupported WHEN clause(s): {leftover.strip()[:80]!r} "
+            "(module doc lists the accepted forms)"
+        )
+    if not upd_m:
+        raise ValueError(
+            "MERGE requires WHEN MATCHED THEN UPDATE SET ... (the LWW/"
+            "partial upsert); insert-if-absent is the anti-join operator "
+            "(operators.antijoin), not a MERGE"
+        )
+
+    if is_subquery:
+        src = spark.sql(f"SELECT * FROM ({source_txt}) AS __merge_src")
+    else:
+        src = spark.table(source_txt)
+    if "lsn" not in src.columns:
+        raise ValueError(
+            "MERGE source must carry a monotone 'lsn' column (the WAL "
+            "offset) — the engine resolves versions by LSN on every path"
+        )
+    missing = [k for k in key_cols if k not in src.columns]
+    if missing:
+        raise ValueError(f"MERGE source lacks key column(s) {missing}")
+
+    set_txt = upd_m.group("set").strip()
+    if set_txt != "*":
+        if target.snapshot().get("merge_engine", "lww") != "partial":
+            raise ValueError(
+                "UPDATE SET <column subset> compiles to a column PATCH, "
+                "which only the partial-update merge engine folds "
+                "correctly; this table is LWW — use UPDATE SET * or create "
+                "the table with merge_engine='partial'"
+            )
+        cols = []
+        for assign in set_txt.split(","):
+            m = re.match(
+                r"^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(?:(\w+)\s*\.\s*)?(\w+)\s*$",
+                assign,
+            )
+            if not m or m.group(2) != m.group(4):
+                raise ValueError(
+                    f"UPDATE SET supports only '<c> = {salias or 's'}.<c>' "
+                    f"assignments, got {assign.strip()!r}"
+                )
+            cols.append(m.group(2))
+        keep = list(dict.fromkeys([*key_cols, *cols, "lsn"]))
+        extra = [c for c in ("op",) if c in src.columns]
+        src = src.select(*keep, *extra)
+
+    if del_m:
+        cond = _strip_alias(del_m.group("cond"), talias, salias)
+        op = F.when(F.expr(cond), F.lit("D")).otherwise(F.lit("U"))
+    else:
+        op = F.lit("U")
+    batch = src.withColumn("__dml_op", op).drop("op").withColumnRenamed(
+        "__dml_op", "op"
+    )
+    if not ins_m:
+        # matched-only merge: restrict to keys already present. The key
+        # set read is bucket-pruned (read_keys), and the semi join keeps
+        # the batch O(batch) — still no full state read.
+        existing = target.read_keys(
+            spark, batch.select(*key_cols), broadcast_keys=False
+        ).select(*key_cols)
+        batch = batch.join(existing, on=key_cols, how="left_semi")
+    return apply_changes(
+        spark, target, batch, epoch=epoch, cfg=cfg,
+        props=props, expected_props=expected_props,
+    )
+
+
+def _resolve(name: str, tables: dict[str, LakeTable | str]) -> LakeTable:
+    if name not in tables:
+        raise ValueError(
+            f"unknown DML target {name!r} (registered: {sorted(tables)})"
+        )
+    t = tables[name]
+    return t if isinstance(t, LakeTable) else LakeTable.load(t)

@@ -121,6 +121,9 @@ _EXTRA_NAMES = (
     "q_media_decode",
     "q_stateful_conv_state",
     "q_ivm_minmax",
+    # round 5: the SQL DML surface (MERGE INTO compiling to apply_changes)
+    # — replay driven purely via SQL, same final-state oracle
+    "q_cdc_replay_sql",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

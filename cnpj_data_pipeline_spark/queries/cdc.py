@@ -521,6 +521,43 @@ def q_cdc_replay_dropped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_cdc_replay_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay driven PURELY through the SQL DML surface (lake/dml.py):
+    each epoch batch is registered as a temp view and applied with one
+    MERGE INTO statement (the CDC idiom — WHEN MATCHED AND s.op='D' THEN
+    DELETE / UPDATE SET * / INSERT *), compiling to the same gated
+    apply_changes as the Python API. Final state must equal the plain LWW
+    fold — the reference's consumers write SQL, not Python
+    (src/database/postgres.py:269-531 is text SQL)."""
+    from cnpj_data_pipeline_spark.lake.dml import merge_into
+
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    table = LakeTable.create(
+        os.path.join(_mk_scratch("cdc_replay_q_"), "lake"),
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    for e in range(N_EPOCHS):
+        spark.read.parquet(
+            os.path.join(wal, f"epoch={e}")
+        ).createOrReplaceTempView("__sql_epoch_batch")
+        merge_into(
+            spark,
+            """
+            MERGE INTO transcripts AS t
+            USING __sql_epoch_batch AS s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+            {"transcripts": table},
+            epoch=e,
+            cfg=cfg,
+        )
+    return table.read(spark)
+
+
 def q_cdc_replay_renamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay with a MID-STREAM RENAME COLUMN (upstream ALTER TABLE RENAME
     — the reference's schema system is rename-driven,
@@ -1046,6 +1083,7 @@ QUERIES = {
     "q_cdc_replay_widened": q_cdc_replay_widened,
     "q_cdc_replay_dropped": q_cdc_replay_dropped,
     "q_cdc_replay_renamed": q_cdc_replay_renamed,
+    "q_cdc_replay_sql": q_cdc_replay_sql,
     "q_cdc_replay_copart": q_cdc_replay_copart,
     "q_cdc_replay_debezium": q_cdc_replay_debezium,
     "q_turn_structure": q_turn_structure,
@@ -1206,6 +1244,7 @@ ORACLES = {
         FROM winners WHERE op <> 'D'
     """,
     "q_cdc_replay_copart": _FINAL_STATE_SQL,
+    "q_cdc_replay_sql": _FINAL_STATE_SQL,
     "q_cdc_replay_debezium": _FINAL_STATE_SQL,
     "q_cdc_replay_rebucket": _FINAL_STATE_SQL,
     "q_time_travel": _TIME_TRAVEL_SQL,

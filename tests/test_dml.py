@@ -1,0 +1,196 @@
+"""SQL DML surface: MERGE INTO / INSERT INTO statements compiling to
+apply_changes (lake/dml.py). The reference's consumers write SQL — its
+ingest IS text SQL (INSERT ... ON CONFLICT DO UPDATE,
+src/database/postgres.py:269-531); these tests prove a pure-SQL writer
+drives the same gated apply (exactly-once ledger, LWW fold, atomic
+commit) as the Python API, and that the statement's output state is
+bit-equal to apply_changes over the same batch."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyspark.sql.types as T
+import pytest
+
+from cnpj_data_pipeline_spark import (
+    EngineConfig,
+    LakeTable,
+    apply_changes,
+    merge_into,
+)
+from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+KEY = ["conv_id", "turn_idx"]
+CFG = EngineConfig(n_buckets=4, salt_factor=1, compact_threshold=None)
+TS = dt.datetime(2026, 1, 1)
+
+
+def _batch_df(spark, rows):
+    sch = T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, sch)
+
+
+ROWS0 = [
+    ("a", 0, "user", "hi", None, TS, "I", 1),
+    ("b", 0, "user", "yo", None, TS, "I", 2),
+    ("a", 1, "assistant", "hello", "search", TS, "I", 3),
+]
+ROWS1 = [
+    ("a", 0, "user", "hi-edited", None, TS, "U", 4),
+    ("b", 0, None, None, None, None, "D", 5),
+    ("c", 0, "user", "new", None, TS, "I", 6),
+]
+
+
+def _mk(spark, root):
+    t = LakeTable.create(str(root), TRANSCRIPT_SCHEMA, KEY, CFG.n_buckets)
+    apply_changes(spark, t, _batch_df(spark, ROWS0), epoch=0, cfg=CFG)
+    return t
+
+
+MERGE = """
+    MERGE INTO transcripts AS t
+    USING batch AS s
+    ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+    WHEN MATCHED AND s.op = 'D' THEN DELETE
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+"""
+
+
+def test_merge_into_equals_python_apply(spark, tmp_path):
+    t_sql = _mk(spark, tmp_path / "sql")
+    t_py = _mk(spark, tmp_path / "py")
+    _batch_df(spark, ROWS1).createOrReplaceTempView("batch")
+    m = merge_into(
+        spark, MERGE, {"transcripts": t_sql}, epoch=1, cfg=CFG
+    )
+    assert m["rows_applied"] > 0 and not m["skipped"]
+    apply_changes(spark, t_py, _batch_df(spark, ROWS1), epoch=1, cfg=CFG)
+    got = t_sql.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    want = t_py.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert set(got["conv_id"]) == {"a", "c"}  # b deleted
+    # exactly-once: replaying the SAME statement+epoch is a skip
+    m2 = merge_into(spark, MERGE, {"transcripts": t_sql}, epoch=1, cfg=CFG)
+    assert m2["skipped"]
+
+
+def test_merge_using_subquery(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    _batch_df(spark, ROWS1).createOrReplaceTempView("raw_feed")
+    stmt = """
+        MERGE INTO transcripts t
+        USING (SELECT * FROM raw_feed WHERE conv_id <> 'c') s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """
+    merge_into(spark, stmt, {"transcripts": t}, epoch=1, cfg=CFG)
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    assert set(got["conv_id"]) == {"a"}  # b deleted, c filtered out
+    assert got[got["turn_idx"] == 0]["text"].iloc[0] == "hi-edited"
+
+
+def test_merge_matched_only_restricts_to_existing_keys(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    _batch_df(spark, ROWS1).createOrReplaceTempView("batch")
+    stmt = """
+        MERGE INTO transcripts AS t USING batch AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+    """
+    merge_into(spark, stmt, {"transcripts": t}, epoch=1, cfg=CFG)
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    # no INSERT clause: ('c', 0) must NOT appear; updates/deletes applied
+    assert set(got["conv_id"]) == {"a"}
+    assert got[got["turn_idx"] == 0]["text"].iloc[0] == "hi-edited"
+
+
+def test_insert_into_keyless_append(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "log"), TRANSCRIPT_SCHEMA, None, CFG.n_buckets
+    )
+    _batch_df(spark, ROWS0).drop("op").createOrReplaceTempView("src_rows")
+    m = merge_into(
+        spark,
+        "INSERT INTO log SELECT * FROM src_rows",
+        {"log": t}, epoch=0, cfg=CFG,
+    )
+    assert m["rows_applied"] == 3
+    assert t.read(spark).count() == 3
+
+
+def test_merge_validation(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    _batch_df(spark, ROWS1).createOrReplaceTempView("batch")
+    tables = {"transcripts": t}
+    with pytest.raises(ValueError, match="exactly the table key"):
+        merge_into(spark, """
+            MERGE INTO transcripts t USING batch s
+            ON t.conv_id = s.conv_id
+            WHEN MATCHED THEN UPDATE SET *
+        """, tables, epoch=9, cfg=CFG)
+    with pytest.raises(ValueError, match="UPDATE SET"):
+        merge_into(spark, """
+            MERGE INTO transcripts t USING batch s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN NOT MATCHED THEN INSERT *
+        """, tables, epoch=9, cfg=CFG)
+    with pytest.raises(ValueError, match="partial-update"):
+        merge_into(spark, """
+            MERGE INTO transcripts t USING batch s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED THEN UPDATE SET text = s.text
+        """, tables, epoch=9, cfg=CFG)
+    with pytest.raises(ValueError, match="unknown DML target"):
+        merge_into(spark, MERGE, {"other": t}, epoch=9, cfg=CFG)
+    with pytest.raises(ValueError, match="lsn"):
+        spark.sql("SELECT 'x' AS conv_id, 0 AS turn_idx").createOrReplaceTempView(
+            "nolsn"
+        )
+        merge_into(spark, """
+            MERGE INTO transcripts t USING nolsn s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED THEN UPDATE SET *
+        """, tables, epoch=9, cfg=CFG)
+    with pytest.raises(ValueError, match="unsupported WHEN"):
+        merge_into(spark, MERGE + " WHEN NOT MATCHED BY SOURCE THEN DELETE",
+                   tables, epoch=9, cfg=CFG)
+
+
+def test_merge_column_subset_patch_on_partial_engine(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "p"), TRANSCRIPT_SCHEMA, KEY, CFG.n_buckets,
+        merge_engine="partial",
+    )
+    apply_changes(spark, t, _batch_df(spark, ROWS0), epoch=0, cfg=CFG)
+    _batch_df(
+        spark, [("a", 0, "ignored", "patched", "tool-x", TS, "U", 9)]
+    ).createOrReplaceTempView("patch")
+    stmt = """
+        MERGE INTO transcripts t USING patch s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED THEN UPDATE SET text = s.text, tool = s.tool
+        WHEN NOT MATCHED THEN INSERT *
+    """
+    merge_into(spark, stmt, {"transcripts": t}, epoch=1, cfg=CFG)
+    got = (
+        t.read(spark)
+        .filter("conv_id = 'a' and turn_idx = 0")
+        .toPandas()
+        .iloc[0]
+    )
+    # patched columns updated, untouched column keeps its old value
+    assert got["text"] == "patched" and got["tool"] == "tool-x"
+    assert got["role"] == "user"
