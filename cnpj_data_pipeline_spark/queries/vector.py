@@ -269,35 +269,53 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _trained_cents(e: DataFrame) -> DataFrame:
-    """One seeded Lloyd iteration, entirely as DataFrame aggregations: assign
-    every vector to its nearest SEED centroid (the fixed vec_id range —
-    deterministic), then recompute each cell's centroid as the per-dimension
-    mean of its members. Decimal-sum accumulation + 6dp rounding keeps the
-    result bit-identical across engines and partitionings (the same
-    determinism discipline as q_label_centroid_stats).
+def _trained_cents(e: DataFrame, iters: int = 1) -> DataFrame:
+    """``iters`` seeded Lloyd iterations, entirely as DataFrame
+    aggregations: assign every vector to its nearest centroid (iteration 1
+    starts from the SEED centroids — the fixed vec_id range,
+    deterministic), then recompute each cell's centroid as the
+    per-dimension mean of its members; repeat. Decimal-sum accumulation +
+    6dp rounding keeps every iteration bit-identical across engines and
+    partitionings (the same determinism discipline as
+    q_label_centroid_stats), so k iterations are as oracle-checkable as
+    one. Recall@k per iteration vs brute force is measured by
+    ``tools/ivf_recall.py`` and recorded in BENCH.md.
 
-    Shape at scale: posexplode is a map-side flatMap (64 rows per vector),
-    the groupBy(cell, pos) hash-agg has map-side partial sums, and the
-    output is K*64 rows — broadcastable. No full-data shuffle beyond the
-    one aggregation; this is the standard distributed k-means step."""
+    Shape at scale PER ITERATION: posexplode is a map-side flatMap (64
+    rows per vector), the groupBy(cell, pos) hash-agg has map-side partial
+    sums, and the output is K*64 rows — broadcastable; the reassignment is
+    a broadcast-K join. No full-data shuffle beyond the one aggregation —
+    the standard distributed k-means step, k times."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
     assigned = _cells(e)
-    dims = (
-        assigned.select("cell", F.posexplode("emb").alias("pos", "v"))
-        .groupBy("cell", "pos")
-        .agg(
-            F.round(
-                F.sum(F.round(F.col("v"), 6).cast("decimal(28,6)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("m")
+    cents = None
+    for i in range(iters):
+        dims = (
+            assigned.select("cell", F.posexplode("emb").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.round(F.col("v"), 6).cast("decimal(28,6)")
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("m")
+            )
         )
-    )
-    return dims.groupBy("cell").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("cent")
-    )
+        cents = dims.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cent")
+        )
+        if i + 1 < iters:
+            # materialize the small codebook so the next assignment's
+            # broadcast doesn't recompute the whole lineage per iteration
+            cents = cents.localCheckpoint(eager=True)
+            assigned = _assign_to(e, cents)
+    return cents
 
 
 def _assign_to(e: DataFrame, cents: DataFrame) -> DataFrame:
@@ -329,12 +347,11 @@ def q_ivf_train_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed ANN over the TRAINED codebook: queries probe their N_PROBE
-    nearest trained cells' posting lists; exact cosine within. Validated
-    against q_ann_topk's brute force (recall reported in BENCH.md)."""
-    e = _emb(spark, sf_dir)
-    cents = _trained_cents(e)
+def _ivf_topk(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """IVF probe search against an arbitrary (small) codebook: queries
+    probe their N_PROBE nearest cells' posting lists; exact cosine within.
+    Shared by the trained query and the per-iteration recall measurement
+    (tools/ivf_recall.py)."""
     assigned = _assign_to(e, cents)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qe")
@@ -373,6 +390,15 @@ def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "cand_id", "cosine", "rank")
     )
+
+
+def q_ivf_ann_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN over the TRAINED codebook (one Lloyd iteration — the
+    oracle-pinned configuration; tools/ivf_recall.py measures recall@k for
+    1-3 iterations against q_ann_topk's brute force, reported in
+    BENCH.md)."""
+    e = _emb(spark, sf_dir)
+    return _ivf_topk(e, _trained_cents(e))
 
 
 def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
