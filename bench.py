@@ -189,12 +189,16 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 _BENCH_N_BUCKETS = 64
 
 
-def ingest_worker(master_cores: int, wal: str, lake: str) -> None:
+def ingest_worker(
+    master_cores: int, wal: str, lake: str, engine: str = "lww"
+) -> None:
     """Subprocess body: warmup on a scratch table, then tail the WAL into a
     fresh lake table and print timing stats. The ingest path (shuffling vs
     co-partitioned map-only) follows the WAL's own layout — run_stream
     auto-detects per epoch; the warmup mirrors whichever path the timed run
-    will take so JIT/codegen/Arrow-worker startup never lands in epoch 1."""
+    will take so JIT/codegen/Arrow-worker startup never lands in epoch 1.
+    ``engine`` picks the merge engine of the CREATED table ("lww" or
+    "partial" — the per-column max_by fold over patch envelopes)."""
     from cnpj_data_pipeline_spark import EngineConfig, IngestJob
     from cnpj_data_pipeline_spark.session import get_spark
     from cnpj_data_pipeline_spark.sources.change_stream import (
@@ -224,7 +228,8 @@ def ingest_worker(master_cores: int, wal: str, lake: str) -> None:
     # smooth waves — a Pareto win; mp=64's extra per-task/file overhead
     # starts costing the 2-core side).
     cfg = EngineConfig(
-        n_buckets=_BENCH_N_BUCKETS, salt_factor=4, merge_partitions=32
+        n_buckets=_BENCH_N_BUCKETS, salt_factor=4, merge_partitions=32,
+        merge_engine=engine,
     )
 
     # warmup: apply a small generated batch into a throwaway table (JIT/
@@ -274,13 +279,25 @@ def ingest_worker(master_cores: int, wal: str, lake: str) -> None:
     )
 
 
-def gen_wal(wal: str, n_events: int, cpus: int, bucketed: bool = False) -> None:
+def gen_wal(
+    wal: str,
+    n_events: int,
+    cpus: int,
+    bucketed: bool = False,
+    partial: bool = False,
+) -> None:
     """Materialize the bench WAL. ``bucketed=True`` produces the
     KEY-PARTITIONED layout (sources.change_stream.write_epoch_bucketed) —
     the Kafka-keyed-topic deployment shape the co-partitioned ingest fast
     path consumes; ``False`` produces the arbitrary-partitioned layout the
-    general shuffling path must handle."""
-    from cnpj_data_pipeline_spark.gen import epoch_batches, gen_changes
+    general shuffling path must handle. ``partial=True`` generates
+    PATCH-shaped envelopes (each event sets a hash-selected column subset,
+    the Debezium unchanged-TOAST shape) for the partial-update engine."""
+    from cnpj_data_pipeline_spark.gen import (
+        epoch_batches,
+        gen_changes,
+        gen_partial_changes,
+    )
     from cnpj_data_pipeline_spark.session import get_spark
     from cnpj_data_pipeline_spark.sources.change_stream import (
         write_epoch,
@@ -291,15 +308,17 @@ def gen_wal(wal: str, n_events: int, cpus: int, bucketed: bool = False) -> None:
         app_name="bench-gen", master=f"local[{cpus}]", extra_conf=_big_heap_conf()
     )
     n_epochs = 4
-    ch = gen_changes(
+    gen_fn = gen_partial_changes if partial else gen_changes
+    kw = {} if partial else {"dup_ratio": 0.02}
+    ch = gen_fn(
         spark,
         n_events=n_events,
         n_convs=max(n_events // 10, 1000),
         turns_per_conv=16,
         n_epochs=n_epochs,
         skew=1.2,
-        dup_ratio=0.02,
         late_ratio=0.02,
+        **kw,
     )
     for e, b in epoch_batches(ch, n_epochs):
         if bucketed:
@@ -311,7 +330,9 @@ def gen_wal(wal: str, n_events: int, cpus: int, bucketed: bool = False) -> None:
     spark.stop()
 
 
-def _one_ingest_run(cores: int, wal: str, lake: str) -> dict:
+def _one_ingest_run(
+    cores: int, wal: str, lake: str, engine: str = "lww"
+) -> dict:
     shutil.rmtree(lake, ignore_errors=True)
     # Pin the whole worker process tree to exactly `cores` CPUs: a local[N]
     # JVM otherwise still sizes GC/JIT/IO helper threads off the machine's 32
@@ -323,7 +344,11 @@ def _one_ingest_run(cores: int, wal: str, lake: str) -> dict:
         else []
     )
     proc = subprocess.run(
-        pin + [sys.executable, __file__, "--ingest-worker", str(cores), wal, lake],
+        pin
+        + [
+            sys.executable, __file__, "--ingest-worker", str(cores), wal,
+            lake, engine,
+        ],
         capture_output=True,
         text=True,
         timeout=3600,
@@ -426,7 +451,12 @@ def run_scaling(
         return (time.monotonic() - t_start) < budget
 
     try:
-        gen_wal(wal, n_events, cpus, bucketed=(mode == "copart"))
+        gen_wal(
+            wal, n_events, cpus,
+            bucketed=(mode == "copart"),
+            partial=(mode == "partial"),
+        )
+        engine = "partial" if mode == "partial" else "lww"
         runs: dict[int, list[dict]] = {lo: [], hi: []}
         probe_effs: list[float] = []
         for _ in range(reps):
@@ -435,7 +465,10 @@ def run_scaling(
             # interleaved so noisy-neighbor phases hit both configs alike
             for cores in (hi, lo):
                 runs[cores].append(
-                    _one_ingest_run(cores, wal, os.path.join(base, f"lake_{cores}"))
+                    _one_ingest_run(
+                        cores, wal, os.path.join(base, f"lake_{cores}"),
+                        engine,
+                    )
                 )
         # straggler retry: if a config's CLEAN epoch sequence still carries a
         # >2.5x-median outlier (the stall hit the same epoch index in every
@@ -448,7 +481,10 @@ def run_scaling(
                 and _budget_left()
             ):
                 runs[cores].append(
-                    _one_ingest_run(cores, wal, os.path.join(base, f"lake_{cores}"))
+                    _one_ingest_run(
+                        cores, wal, os.path.join(base, f"lake_{cores}"),
+                        engine,
+                    )
                 )
                 extra += 1
 
@@ -584,7 +620,10 @@ def run_scaling(
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--ingest-worker":
-        ingest_worker(int(sys.argv[2]), sys.argv[3], sys.argv[4])
+        ingest_worker(
+            int(sys.argv[2]), sys.argv[3], sys.argv[4],
+            sys.argv[5] if len(sys.argv) > 5 else "lww",
+        )
         return
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -596,6 +635,7 @@ def main() -> None:
 
     scaling = None
     shuffle_scaling = None
+    partial_scaling = None
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         # HEADLINE: the co-partitioned (bucket-aligned WAL -> map-only)
         # ingest — the deployment shape at scale, where the upstream stream
@@ -608,6 +648,13 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_SKIP_SHUFFLE_SCALING") != "1":
             shuffle_scaling = run_scaling(
                 n_events, cpus, mode="shuffle", light=True
+            )
+        # TERTIARY: the partial-update merge engine over the same flat WAL
+        # shape with PATCH envelopes — records the per-column max_by fold's
+        # throughput/scaling next to the LWW numbers (VERDICT r4 #8).
+        if os.environ.get("SPARK_GRAFT_SKIP_PARTIAL_SCALING") != "1":
+            partial_scaling = run_scaling(
+                n_events, cpus, mode="partial", light=True
             )
 
     total = round(sum(queries.values()), 3)
@@ -625,6 +672,8 @@ def main() -> None:
         result["scaling_efficiency"] = scaling["scaling_efficiency"]
     if shuffle_scaling:
         result["ingest_scaling_shuffle"] = shuffle_scaling
+    if partial_scaling:
+        result["ingest_scaling_partial"] = partial_scaling
     # Full detail (incl. every raw run) goes to a sidecar file AND to an
     # earlier stdout line; the FINAL stdout line is ≤ ~500 bytes of scalars
     # only. Rounds 2 AND 3 both overflowed the driver's ~2 KB tail window
@@ -640,7 +689,9 @@ def main() -> None:
     except OSError:
         pass
     full_line = dict(result)
-    for key in ("ingest_scaling", "ingest_scaling_shuffle"):
+    for key in (
+        "ingest_scaling", "ingest_scaling_shuffle", "ingest_scaling_partial"
+    ):
         if key in full_line:
             full_line[key] = {
                 k: v for k, v in full_line[key].items() if k != "all_runs"
@@ -665,6 +716,14 @@ def main() -> None:
         )
         compact["scaling_efficiency_shuffle"] = (
             shuffle_scaling["scaling_efficiency"]
+        )
+    if partial_scaling:
+        hi_key = [k for k in partial_scaling if k.startswith("local")][-1]
+        compact["partial_events_per_sec"] = (
+            partial_scaling[hi_key]["events_per_sec"]
+        )
+        compact["scaling_efficiency_partial"] = (
+            partial_scaling["scaling_efficiency"]
         )
     print(json.dumps(compact))
 
