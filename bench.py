@@ -207,6 +207,9 @@ def ingest_worker(
         read_epoch,
     )
 
+    # experiment passthrough (BENCH.md §1 shuffle-envelope experiments):
+    # a JSON dict of extra Spark confs, e.g. a shuffle codec override
+    extra = json.loads(os.environ.get("SPARK_GRAFT_EXTRA_CONF", "{}"))
     spark = get_spark(
         app_name=f"bench-ingest-{master_cores}",
         master=f"local[{master_cores}]",
@@ -214,6 +217,7 @@ def ingest_worker(
         extra_conf={
             "spark.local.dir": os.path.join(lake + "-spark-local"),
             **_big_heap_conf(),
+            **extra,
         },
     )
     # merge_partitions is FIXED (sized by data volume: ~4M-row epochs / 32
