@@ -112,6 +112,17 @@ def main() -> None:
                             "tombstoned and can never re-enter)")
     p.add_argument("--name", required=True)
 
+    p = sub.add_parser("rename-column",
+                       help="RENAME COLUMN evolution: metadata-only "
+                            "physical->logical name mapping (files keep "
+                            "the physical name; pre-rename files read "
+                            "back under the new name; time travel shows "
+                            "the old names)")
+    p.add_argument("--from", dest="old", required=True,
+                   help="current (logical) column name")
+    p.add_argument("--to", dest="new", required=True,
+                   help="new logical name")
+
     p = sub.add_parser("check", help="CHECK TABLE: verify physical files "
                                      "against the manifest")
     p.add_argument("--placement", action="store_true",
@@ -162,6 +173,12 @@ def main() -> None:
         sid = table.drop_column(args.name)
         print(json.dumps({"op": "drop-column", "snapshot_id": sid,
                           "column": args.name}))
+        return
+    if args.op == "rename-column":
+        sid = table.rename_column(args.old, args.new)
+        print(json.dumps({"op": "rename-column", "snapshot_id": sid,
+                          "from": args.old, "to": args.new,
+                          "renames": table.renames()}))
         return
     if args.op == "set-sort-order":
         cols = (
