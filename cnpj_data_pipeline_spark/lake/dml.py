@@ -23,6 +23,24 @@ Supported grammar (case-insensitive keywords; one statement per call):
 
     INSERT INTO <table-name> <select-statement>
 
+    DELETE FROM <table-name> [AS <t>] WHERE <predicate>
+
+    UPDATE <table-name> [AS <t>]
+    SET <c> = <spark-sql-expr> [, ...] WHERE <predicate>
+
+MERGE/INSERT are the STREAM statements: the source carries its own WAL
+``lsn`` and the batch flows through ingest untouched. DELETE/UPDATE are
+the DRIVER statements (ad-hoc repair, GDPR erasure, backfill): they read
+the current state under the predicate — key-column predicates push
+through the merge-on-read fold to the scan; column pruning keeps a
+DELETE's read to key + predicate columns — and emit tombstones/updated
+rows at one-past-the-high-water-mark LSN, applied as a normal O(matched)
+delta epoch, never a table rewrite. They are read-committed with respect
+to concurrent writers; serialize via the epoch ledger / ``expected_props``
+where that matters. ``UPDATE SET`` accepts full Spark SQL expressions
+(``SET n = n + 1``); on a partial-update table it compiles to a column
+patch so untouched columns keep their own origin LSNs.
+
 Deliberate constraints, each from the engine's semantics rather than
 parser laziness:
 
@@ -66,6 +84,18 @@ _MERGE_HEAD = re.compile(
 )
 _INSERT_HEAD = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<target>[\w./-]+)\s+(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_HEAD = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>[\w./-]+)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b)(?P<talias>\w+))?"
+    r"\s+WHERE\s+(?P<where>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_HEAD = re.compile(
+    r"^\s*UPDATE\s+(?P<target>[\w./-]+)"
+    r"(?:\s+(?:AS\s+)?(?!SET\b)(?P<talias>\w+))?"
+    r"\s+SET\s+(?P<set>.+?)\s+WHERE\s+(?P<where>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -125,6 +155,130 @@ def _parse_on(on: str, talias: str | None, salias: str | None) -> list[str]:
     return cols
 
 
+def _split_top_level(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` outside parentheses and single-quoted strings, so
+    SET expressions like ``concat(a, b)`` or ``'x,y'`` survive intact."""
+    parts, depth, quote, start = [], 0, False, 0
+    for i, ch in enumerate(s):
+        if quote:
+            quote = ch != "'"
+        elif ch == "'":
+            quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _next_lsn(table: LakeTable) -> int:
+    """Driver-issued statements (UPDATE/DELETE have no WAL offset) get an
+    LSN one past the table's high-water mark, so they win the LWW fold
+    against everything already applied. Metadata-only read."""
+    return max(
+        (v for v in table.watermarks().values() if v is not None), default=0
+    ) + 1
+
+
+def _delete_stmt(
+    spark: SparkSession, m: re.Match, tables: dict,
+    epoch, cfg, props, expected_props,
+) -> dict:
+    """``DELETE FROM t WHERE pred``: read the CURRENT state filtered by the
+    predicate (key-column predicates push through the MoR fold to the scan;
+    only key + predicate columns are read thanks to column pruning), emit
+    op=D tombstones for the matched keys at a fresh LSN, and run the normal
+    gated apply — O(matched) delta write, never a table rewrite. The
+    statement is read-committed: it tombstones the keys matched at its read
+    snapshot (serialize against concurrent writers with the epoch ledger /
+    ``expected_props``, as on every other write path)."""
+    target = _resolve(m.group("target"), tables)
+    key_cols = target.key_cols()
+    if key_cols is None:
+        raise ValueError(
+            "DELETE FROM a keyless (append-only) table is undefined — "
+            "append-only logs have no row identity to tombstone"
+        )
+    pred = _strip_alias(m.group("where"), m.group("talias"))
+    matched = target.read(spark).filter(F.expr(pred)).select(*key_cols)
+    batch = (
+        matched.withColumn("op", F.lit("D"))
+        .withColumn("lsn", F.lit(_next_lsn(target)).cast("long"))
+    )
+    return apply_changes(
+        spark, target, batch, epoch=epoch, cfg=cfg,
+        props=props, expected_props=expected_props,
+    )
+
+
+def _update_stmt(
+    spark: SparkSession, m: re.Match, tables: dict,
+    epoch, cfg, props, expected_props,
+) -> dict:
+    """``UPDATE t SET c = <expr> [, ...] WHERE pred``: read the CURRENT
+    state filtered by the predicate, evaluate the SET expressions over the
+    matched rows (full Spark SQL expressions — ``SET n = n + 1`` works),
+    and apply at a fresh LSN. On an LWW table the matched row is already
+    whole, so the batch is the full updated row; on a partial-update table
+    the batch is a column PATCH (keys + assigned columns), which the
+    partial engine folds per-column. Same read-committed caveat as
+    DELETE."""
+    target = _resolve(m.group("target"), tables)
+    key_cols = target.key_cols()
+    if key_cols is None:
+        raise ValueError(
+            "UPDATE of a keyless (append-only) table is undefined — "
+            "use INSERT INTO"
+        )
+    talias = m.group("talias")
+    schema_names = [f.name for f in target.schema().fields]
+    assigns: list[tuple[str, str]] = []
+    for a in _split_top_level(m.group("set"), ","):
+        am = re.match(
+            r"^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(?P<rhs>.+?)\s*$",
+            a, re.DOTALL,
+        )
+        if not am:
+            raise ValueError(f"UPDATE SET: cannot parse assignment {a!r}")
+        al, col, rhs = am.group(1), am.group(2), am.group("rhs")
+        if al is not None and al != talias:
+            raise ValueError(f"UPDATE SET references unknown alias {al!r}")
+        if col in key_cols:
+            raise ValueError(
+                f"UPDATE SET may not assign key column {col!r} — changing "
+                "the merge identity is a DELETE + INSERT, not an UPDATE"
+            )
+        if col not in schema_names:
+            raise ValueError(f"UPDATE SET: unknown column {col!r}")
+        assigns.append((col, _strip_alias(rhs, talias)))
+    if not assigns:
+        raise ValueError("UPDATE requires at least one SET assignment")
+    pred = _strip_alias(m.group("where"), talias)
+    matched = target.read(spark).filter(F.expr(pred))
+    updated = matched
+    for col, rhs in assigns:
+        updated = updated.withColumn(
+            col, F.expr(rhs).cast(matched.schema[col].dataType)
+        )
+    if target.snapshot().get("merge_engine", "lww") == "partial":
+        # column patch: untouched columns stay at their own origin LSNs
+        updated = updated.select(
+            *key_cols, *[c for c, _ in assigns if c not in key_cols]
+        )
+    batch = (
+        updated.withColumn("op", F.lit("U"))
+        .withColumn("lsn", F.lit(_next_lsn(target)).cast("long"))
+    )
+    return apply_changes(
+        spark, target, batch, epoch=epoch, cfg=cfg,
+        props=props, expected_props=expected_props,
+    )
+
+
 def merge_into(
     spark: SparkSession,
     statement: str,
@@ -134,11 +288,22 @@ def merge_into(
     props: dict | None = None,
     expected_props: dict | None = None,
 ) -> dict:
-    """Execute one MERGE INTO / INSERT INTO statement (module-doc grammar)
-    against ``tables`` (SQL name -> LakeTable or root path), compiling to
-    :func:`apply_changes`. Returns the apply's metrics dict (exactly-once
-    ledger, snapshot id, phase timings — identical to the Python API)."""
+    """Execute one DML statement — MERGE INTO / INSERT INTO / DELETE FROM /
+    UPDATE (module-doc grammar) — against ``tables`` (SQL name -> LakeTable
+    or root path), compiling to :func:`apply_changes`. Returns the apply's
+    metrics dict (exactly-once ledger, snapshot id, phase timings —
+    identical to the Python API)."""
     stmt = statement.strip().rstrip(";")
+    md = _DELETE_HEAD.match(stmt)
+    if md:
+        return _delete_stmt(
+            spark, md, tables, epoch, cfg, props, expected_props
+        )
+    mu = _UPDATE_HEAD.match(stmt)
+    if mu:
+        return _update_stmt(
+            spark, mu, tables, epoch, cfg, props, expected_props
+        )
     mi = _INSERT_HEAD.match(stmt)
     if mi and not _MERGE_HEAD.match(stmt):
         target = _resolve(mi.group("target"), tables)
@@ -152,8 +317,9 @@ def merge_into(
     mh = _MERGE_HEAD.match(stmt)
     if not mh:
         raise ValueError(
-            "expected 'MERGE INTO <t> USING ...' or 'INSERT INTO <t> "
-            f"<select>', got: {stmt[:80]!r}"
+            "expected 'MERGE INTO <t> USING ...', 'INSERT INTO <t> "
+            "<select>', 'DELETE FROM <t> WHERE ...' or 'UPDATE <t> SET ... "
+            f"WHERE ...', got: {stmt[:80]!r}"
         )
     target = _resolve(mh.group("target"), tables)
     talias = mh.group("talias")

@@ -526,8 +526,12 @@ def q_cdc_replay_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     each epoch batch is registered as a temp view and applied with one
     MERGE INTO statement (the CDC idiom — WHEN MATCHED AND s.op='D' THEN
     DELETE / UPDATE SET * / INSERT *), compiling to the same gated
-    apply_changes as the Python API. Final state must equal the plain LWW
-    fold — the reference's consumers write SQL, not Python
+    apply_changes as the Python API; then two DRIVER statements run over
+    the replayed table — an ``UPDATE ... WHERE`` (ad-hoc repair) and a
+    ``DELETE FROM ... WHERE`` (GDPR-style erasure), each an O(matched)
+    delta epoch at one-past-high-water LSN, never a rewrite. Final state
+    must equal the plain LWW fold with the same UPDATE/DELETE applied
+    relationally — the reference's consumers write SQL, not Python
     (src/database/postgres.py:269-531 is text SQL)."""
     from cnpj_data_pipeline_spark.lake.dml import merge_into
 
@@ -555,6 +559,16 @@ def q_cdc_replay_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch=e,
             cfg=cfg,
         )
+    merge_into(
+        spark,
+        "UPDATE transcripts SET tool = 'sql-redacted' WHERE role = 'tool'",
+        {"transcripts": table}, epoch=N_EPOCHS, cfg=cfg,
+    )
+    merge_into(
+        spark,
+        "DELETE FROM transcripts WHERE turn_idx % 7 = 3",
+        {"transcripts": table}, epoch=N_EPOCHS + 1, cfg=cfg,
+    )
     return table.read(spark)
 
 
@@ -1244,7 +1258,17 @@ ORACLES = {
         FROM winners WHERE op <> 'D'
     """,
     "q_cdc_replay_copart": _FINAL_STATE_SQL,
-    "q_cdc_replay_sql": _FINAL_STATE_SQL,
+    # the MERGE replay's LWW fold, then the driver UPDATE/DELETE statements
+    # applied relationally (UPDATE touches tool only; DELETE's predicate is
+    # on a key column, so the two compose order-free)
+    "q_cdc_replay_sql": f"""
+WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+SELECT conv_id, turn_idx, role, text,
+       CASE WHEN role = 'tool' THEN 'sql-redacted' ELSE tool END AS tool,
+       ts
+FROM winners
+WHERE op <> 'D' AND NOT (turn_idx % 7 = 3)
+""",
     "q_cdc_replay_debezium": _FINAL_STATE_SQL,
     "q_cdc_replay_rebucket": _FINAL_STATE_SQL,
     "q_time_travel": _TIME_TRAVEL_SQL,

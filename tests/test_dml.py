@@ -194,3 +194,120 @@ def test_merge_column_subset_patch_on_partial_engine(spark, tmp_path):
     # patched columns updated, untouched column keeps its old value
     assert got["text"] == "patched" and got["tool"] == "tool-x"
     assert got["role"] == "user"
+
+
+def test_delete_where_payload_predicate(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    m = merge_into(
+        spark,
+        "DELETE FROM transcripts WHERE role = 'assistant'",
+        {"transcripts": t}, epoch=1, cfg=CFG,
+    )
+    assert m["rows_applied"] == 1 and not m["skipped"]
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    assert list(zip(got["conv_id"], got["turn_idx"])) == [("a", 0), ("b", 0)]
+    # exactly-once: same statement + epoch replays as a skip
+    m2 = merge_into(
+        spark,
+        "DELETE FROM transcripts WHERE role = 'assistant'",
+        {"transcripts": t}, epoch=1, cfg=CFG,
+    )
+    assert m2["skipped"]
+
+
+def test_delete_where_key_predicate(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    merge_into(
+        spark,
+        "DELETE FROM transcripts AS t WHERE t.conv_id = 'a'",
+        {"transcripts": t}, epoch=1, cfg=CFG,
+    )
+    got = t.read(spark).toPandas()
+    assert set(got["conv_id"]) == {"b"}
+
+
+def test_update_expression_and_lww_fold(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    m = merge_into(
+        spark,
+        """UPDATE transcripts
+           SET text = concat(text, '!'), tool = 'audited'
+           WHERE conv_id = 'a'""",
+        {"transcripts": t}, epoch=1, cfg=CFG,
+    )
+    assert m["rows_applied"] == 2
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    a_rows = got[got["conv_id"] == "a"]
+    assert list(a_rows["text"]) == ["hi!", "hello!"]
+    assert set(a_rows["tool"]) == {"audited"}
+    # untouched row unchanged
+    assert got[got["conv_id"] == "b"]["text"].iloc[0] == "yo"
+    # the statement's LSN beats every applied LSN: a later stream UPDATE at
+    # a HIGHER lsn still wins over it
+    apply_changes(
+        spark, t,
+        _batch_df(spark, [("a", 0, "user", "stream-wins", None, TS, "U", 99)]),
+        epoch=2, cfg=CFG,
+    )
+    assert (
+        t.read(spark).filter("conv_id='a' and turn_idx=0")
+        .toPandas()["text"].iloc[0] == "stream-wins"
+    )
+
+
+def test_update_column_patch_on_partial_engine(spark, tmp_path):
+    t = LakeTable.create(
+        str(tmp_path / "p"), TRANSCRIPT_SCHEMA, KEY, CFG.n_buckets,
+        merge_engine="partial",
+    )
+    apply_changes(spark, t, _batch_df(spark, ROWS0), epoch=0, cfg=CFG)
+    merge_into(
+        spark,
+        "UPDATE transcripts SET tool = 'patched' WHERE conv_id = 'a'",
+        {"transcripts": t}, epoch=1, cfg=CFG,
+    )
+    got = t.read(spark).filter("conv_id = 'a'").orderBy(*KEY).toPandas()
+    assert set(got["tool"]) == {"patched"}
+    # untouched columns keep their own values under the partial fold
+    assert list(got["text"]) == ["hi", "hello"]
+    assert list(got["role"]) == ["user", "assistant"]
+
+
+def test_update_delete_validation(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    tables = {"transcripts": t}
+    with pytest.raises(ValueError, match="key column"):
+        merge_into(
+            spark,
+            "UPDATE transcripts SET conv_id = 'z' WHERE turn_idx = 0",
+            tables, epoch=9, cfg=CFG,
+        )
+    with pytest.raises(ValueError, match="unknown column"):
+        merge_into(
+            spark,
+            "UPDATE transcripts SET nope = 'z' WHERE turn_idx = 0",
+            tables, epoch=9, cfg=CFG,
+        )
+    with pytest.raises(ValueError, match="unknown alias"):
+        merge_into(
+            spark,
+            "UPDATE transcripts AS t SET x.text = 'z' WHERE turn_idx = 0",
+            tables, epoch=9, cfg=CFG,
+        )
+    keyless = LakeTable.create(
+        str(tmp_path / "log"), TRANSCRIPT_SCHEMA, None, CFG.n_buckets
+    )
+    with pytest.raises(ValueError, match="keyless"):
+        merge_into(
+            spark, "DELETE FROM log WHERE role = 'user'",
+            {"log": keyless}, epoch=9, cfg=CFG,
+        )
+    with pytest.raises(ValueError, match="keyless"):
+        merge_into(
+            spark, "UPDATE log SET text = 'x' WHERE role = 'user'",
+            {"log": keyless}, epoch=9, cfg=CFG,
+        )
+    # a WHERE-less DELETE/UPDATE does not parse (full-table mutations must
+    # say WHERE true explicitly)
+    with pytest.raises(ValueError, match="expected"):
+        merge_into(spark, "DELETE FROM transcripts", tables, epoch=9, cfg=CFG)
