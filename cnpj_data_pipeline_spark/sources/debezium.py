@@ -242,14 +242,9 @@ def list_debezium_epochs(stream_root: str) -> list[int]:
     return sorted(out)
 
 
-def changes_to_debezium_json(changes: DataFrame) -> DataFrame:
-    """Inverse mapping (test/bench producer): engine change envelopes →
-    one-column DataFrame of Debezium JSON strings. Timestamp columns become
-    epoch micros (MicroTimestamp — lossless); deletes put the image in
-    ``before`` with ``after: null``."""
-    payload_fields = [
-        f for f in changes.schema.fields if f.name not in ("op", "lsn", "epoch")
-    ]
+def _image_exprs(payload_fields: list[T.StructField]):
+    """(image struct over the payload columns, matching typed NULL image).
+    Timestamp columns become epoch micros (MicroTimestamp — lossless)."""
     image_cols = []
     for f in payload_fields:
         c = F.col(f.name)
@@ -267,6 +262,18 @@ def changes_to_debezium_json(changes: DataFrame) -> DataFrame:
         )
         + ">"
     )
+    return image, null_image
+
+
+def changes_to_debezium_json(changes: DataFrame) -> DataFrame:
+    """Inverse mapping (test/bench producer): engine change envelopes →
+    one-column DataFrame of Debezium JSON strings. Timestamp columns become
+    epoch micros (MicroTimestamp — lossless); deletes put the image in
+    ``before`` with ``after: null``."""
+    payload_fields = [
+        f for f in changes.schema.fields if f.name not in ("op", "lsn", "epoch")
+    ]
+    image, null_image = _image_exprs(payload_fields)
     is_del = F.col("op") == "D"
     envelope = F.struct(
         F.when(is_del, image).otherwise(null_image).alias("before"),
@@ -280,4 +287,99 @@ def changes_to_debezium_json(changes: DataFrame) -> DataFrame:
     )
     return changes.select(
         F.to_json(F.struct(envelope.alias("payload"))).alias("value")
+    )
+
+
+def export_changes_debezium(
+    spark: SparkSession,
+    table,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+) -> DataFrame:
+    """OUTBOUND CDC: the table's net change window ``(from_snapshot,
+    to_snapshot]`` as Debezium-envelope JSON — the lake as a CDC *producer*,
+    closing the loop with the inbound source above. A downstream system
+    that already speaks Debezium (another lake, a search index, a cache)
+    tails this instead of re-reading state; the reference has no outbound
+    feed at all (its consumers re-SELECT Postgres).
+
+    Semantics ride on :meth:`LakeTable.read_changes_typed` (the Delta-CDF
+    row shape): inserts become ``op:"c"`` with ``before: null``; updates
+    become one ``op:"u"`` with BOTH images (the typed feed's
+    preimage/postimage pair, pivoted per key); deletes become ``op:"d"``
+    with the pre-image in ``before`` — a richer envelope than the engine's
+    own tombstones (which carry only the key). ``source.lsn`` is the
+    event's LSN — for deletes the TOMBSTONE's LSN (joined from the raw
+    feed; the typed delete row itself carries the pre-image's LSN), so
+    replaying the export elsewhere beats the replica's pre-image in the
+    LWW order: export → ``read_debezium_epoch`` → ``apply_changes`` on a
+    mirror reproduces the source state exactly (the roundtrip gate in
+    ``tests/test_debezium.py``).
+
+    Execution shape, all O(changed data): the typed feed's one
+    hash-aggregate + pruned pre-image read, one more per-key pivot
+    aggregate (map-side combined), and a tombstone-LSN aggregate over the
+    same window delta files, joined on the (changed-keys-sized) result.
+    For a CONTINUOUS outbound stream, compose the streaming source with
+    the row mapper instead: ``spark.readStream.format("lake_cdf")`` →
+    :func:`changes_to_debezium_json` → any sink.
+    """
+    from cnpj_data_pipeline_spark.lake.format import (
+        CHANGE_TYPE_COL,
+        LSN_META_COL,
+        OP_META_COL,
+    )
+
+    key_cols = table.key_cols()
+    if key_cols is None:
+        raise ValueError(
+            "outbound Debezium export requires a keyed table (the envelope "
+            "is per-key before/after images)"
+        )
+    typed = table.read_changes_typed(spark, from_snapshot, to_snapshot)
+    payload_fields = [
+        f for f in typed.schema.fields
+        if f.name not in ("lsn", CHANGE_TYPE_COL)
+    ]
+    image, _ = _image_exprs(payload_fields)
+    ct = F.col(CHANGE_TYPE_COL)
+    pivoted = typed.groupBy(*key_cols).agg(
+        F.first(
+            F.when(ct.isin("update_preimage", "delete"), image),
+            ignorenulls=True,
+        ).alias("before"),
+        F.first(
+            F.when(ct.isin("insert", "update_postimage"), image),
+            ignorenulls=True,
+        ).alias("after"),
+        F.max(
+            F.when(ct != "update_preimage", F.col("lsn"))
+        ).alias("__evt_lsn"),
+    )
+    tomb = (
+        table.read_changes(spark, from_snapshot, to_snapshot)
+        .filter(F.col(OP_META_COL) == "D")
+        .groupBy(*key_cols)
+        .agg(F.max(LSN_META_COL).alias("__tomb_lsn"))
+    )
+    j = pivoted.join(tomb, on=key_cols, how="left")
+    is_del = F.col("after").isNull()
+    lsn = F.when(is_del, F.col("__tomb_lsn")).otherwise(F.col("__evt_lsn"))
+    envelope = F.struct(
+        F.col("before"),
+        F.col("after"),
+        F.when(is_del, F.lit("d"))
+        .when(F.col("before").isNull(), F.lit("c"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        (lsn * F.lit(1000)).cast("long").alias("ts_ms"),
+        F.struct(lsn.cast("long").alias("lsn")).alias("source"),
+    )
+    # ignoreNullFields=false: real Debezium emits explicit "after": null
+    # on deletes (and "before": null on creates); consumers key on that
+    return j.select(
+        F.to_json(
+            F.struct(envelope.alias("payload")),
+            {"ignoreNullFields": "false"},
+        ).alias("value")
     )

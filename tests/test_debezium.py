@@ -227,3 +227,113 @@ def test_debezium_job_surface_crash_resume_with_dlq(spark, tmp_path):
     n_bad = int((chp["lsn"] % 11 == 0).sum())
     dlq_df = spark.read.option("basePath", dlq).parquet(dlq + "/epoch=*")
     assert dlq_df.count() == n_bad  # once per line, despite 3 runs
+
+
+def test_export_roundtrip_full_window(spark, tmp_path):
+    """Outbound CDC gate: source table -> export_changes_debezium(0) ->
+    Debezium JSON -> read_debezium_epoch -> apply onto an EMPTY mirror
+    must reproduce the source state exactly (full-window export: every
+    live key becomes one op='c' envelope)."""
+    from cnpj_data_pipeline_spark.sources.debezium import (
+        export_changes_debezium,
+    )
+
+    ch = gen_changes(
+        spark, n_events=4_000, n_convs=120, n_epochs=3,
+        dup_ratio=0.1, late_ratio=0.1, delete_ratio=0.1,
+    )
+    cfg = EngineConfig(n_buckets=8, compact_threshold=None)
+    src = LakeTable.create(str(tmp_path / "src"), TRANSCRIPT_SCHEMA, KEY, 8)
+    for e, b in epoch_batches(ch, 3):
+        apply_changes(spark, src, b, epoch=e, cfg=cfg)
+
+    out = str(tmp_path / "feed")
+    exported = export_changes_debezium(spark, src, from_snapshot=0)
+    exported.coalesce(2).write.mode("overwrite").text(
+        os.path.join(out, "epoch=0")
+    )
+    # from an empty start every envelope is a create with no before image
+    import json as _json
+
+    ops = {
+        _json.loads(r["value"])["payload"]["op"]
+        for r in exported.collect()
+    }
+    assert ops == {"c"}
+
+    mirror = LakeTable.create(
+        str(tmp_path / "mirror"), TRANSCRIPT_SCHEMA, KEY, 8
+    )
+    batch = read_debezium_epoch(spark, out, 0, TRANSCRIPT_SCHEMA)
+    apply_changes(spark, mirror, batch, epoch=0, cfg=cfg)
+    got = (
+        mirror.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    )
+    want = src.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_export_roundtrip_incremental_window(spark, tmp_path):
+    """Outbound CDC over a LATER window: mirror synced at snapshot S, then
+    export (S -> current] and apply — updates carry both images, deletes
+    carry the pre-image with the TOMBSTONE's lsn (so they beat the
+    mirror's pre-image in the LWW order), and the mirror converges to the
+    source state."""
+    from cnpj_data_pipeline_spark.sources.debezium import (
+        export_changes_debezium,
+    )
+
+    ch = gen_changes(
+        spark, n_events=6_000, n_convs=150, n_epochs=4,
+        dup_ratio=0.1, late_ratio=0.1, delete_ratio=0.15,
+    )
+    cfg = EngineConfig(n_buckets=8, compact_threshold=None)
+    src = LakeTable.create(str(tmp_path / "src"), TRANSCRIPT_SCHEMA, KEY, 8)
+    batches = dict(epoch_batches(ch, 4))
+    for e in (0, 1):
+        apply_changes(spark, src, batches[e], epoch=e, cfg=cfg)
+    mid_sid = src.current_snapshot_id()
+
+    # mirror = source at the mid snapshot (bootstrap via full export)
+    mirror = LakeTable.create(
+        str(tmp_path / "mirror"), TRANSCRIPT_SCHEMA, KEY, 8
+    )
+    boot = str(tmp_path / "boot")
+    export_changes_debezium(
+        spark, src, from_snapshot=0, to_snapshot=mid_sid
+    ).write.mode("overwrite").text(os.path.join(boot, "epoch=0"))
+    apply_changes(
+        spark, mirror,
+        read_debezium_epoch(spark, boot, 0, TRANSCRIPT_SCHEMA),
+        epoch=0, cfg=cfg,
+    )
+
+    for e in (2, 3):
+        apply_changes(spark, src, batches[e], epoch=e, cfg=cfg)
+
+    inc = str(tmp_path / "inc")
+    exported = export_changes_debezium(spark, src, from_snapshot=mid_sid)
+    exported.write.mode("overwrite").text(os.path.join(inc, "epoch=0"))
+    import json as _json
+
+    envs = [_json.loads(r["value"])["payload"] for r in exported.collect()]
+    by_op = {o: [e for e in envs if e["op"] == o] for o in ("c", "u", "d")}
+    # the seeded window must exercise every envelope kind
+    assert by_op["c"] and by_op["u"] and by_op["d"]
+    # updates carry BOTH images; deletes carry the pre-image only
+    assert all(e["before"] and e["after"] for e in by_op["u"])
+    assert all(e["before"] and e["after"] is None for e in by_op["d"])
+    assert all(e["before"] is None and e["after"] for e in by_op["c"])
+
+    apply_changes(
+        spark, mirror,
+        read_debezium_epoch(spark, inc, 0, TRANSCRIPT_SCHEMA),
+        epoch=1, cfg=cfg,
+    )
+    got = (
+        mirror.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    )
+    want = src.read(spark).orderBy(*KEY).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    golden = final_state(ch.toPandas())
+    pd.testing.assert_frame_equal(want, golden, check_dtype=False)
