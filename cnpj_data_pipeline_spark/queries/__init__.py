@@ -122,8 +122,12 @@ _EXTRA_NAMES = (
     "q_stateful_conv_state",
     "q_ivm_minmax",
     # round 5: the SQL DML surface (MERGE INTO compiling to apply_changes)
-    # — replay driven purely via SQL, same final-state oracle
+    # — replay driven purely via SQL + driver UPDATE/DELETE statements
     "q_cdc_replay_sql",
+    # round 5: outbound CDC — export the source's typed change feed as
+    # Debezium envelopes, land on a differently-bucketed mirror, read the
+    # mirror; same final-state oracle
+    "q_cdc_replay_outbound",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

@@ -710,6 +710,48 @@ def q_cdc_replay_debezium(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_cdc_replay_outbound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTBOUND CDC roundtrip: replay the WAL into a source table, export
+    its net change window as Debezium envelopes
+    (sources/debezium.py:export_changes_debezium — updates carry both
+    images, deletes the pre-image with the tombstone's LSN), land the
+    export on a SECOND, independently-bucketed mirror table through the
+    normal Debezium source path, and read the MIRROR. The lake acting as a
+    CDC *producer* must hand a downstream consumer enough to reproduce its
+    state exactly, so the mirror equals the same final-state SQL fold as
+    the source. Export cost is O(changed keys) — typed-feed aggregate +
+    one pivot aggregate + the tombstone-LSN join — never O(table)."""
+    from cnpj_data_pipeline_spark.sources.debezium import (
+        export_changes_debezium,
+        read_debezium_epoch,
+    )
+
+    wal = _staged_wal(spark, sf_dir)
+    root = _mk_scratch("cdc_replay_out_")
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    src = LakeTable.create(
+        os.path.join(root, "src"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], cfg.n_buckets,
+    )
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, src, batch, epoch=e, cfg=cfg)
+    feed = os.path.join(root, "feed")
+    export_changes_debezium(spark, src, from_snapshot=0).coalesce(
+        4
+    ).write.mode("overwrite").text(os.path.join(feed, "epoch=0"))
+    mirror = LakeTable.create(
+        os.path.join(root, "mirror"), TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"], 8,  # different layout on purpose
+    )
+    out_batch = read_debezium_epoch(spark, feed, 0, TRANSCRIPT_SCHEMA)
+    apply_changes(
+        spark, mirror, out_batch, epoch=0,
+        cfg=EngineConfig(n_buckets=8, salt_factor=1),
+    )
+    return mirror.read(spark)
+
+
 def q_cdc_replay_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming replay: the same derived WAL drained through
     readStream + foreachBatch (availableNow) into the same merge path.
@@ -1100,6 +1142,7 @@ QUERIES = {
     "q_cdc_replay_sql": q_cdc_replay_sql,
     "q_cdc_replay_copart": q_cdc_replay_copart,
     "q_cdc_replay_debezium": q_cdc_replay_debezium,
+    "q_cdc_replay_outbound": q_cdc_replay_outbound,
     "q_turn_structure": q_turn_structure,
     "q_cdc_replay_streaming": q_cdc_replay_streaming,
     "q_cdc_replay_evolve": q_cdc_replay_evolve,
@@ -1270,6 +1313,7 @@ FROM winners
 WHERE op <> 'D' AND NOT (turn_idx % 7 = 3)
 """,
     "q_cdc_replay_debezium": _FINAL_STATE_SQL,
+    "q_cdc_replay_outbound": _FINAL_STATE_SQL,
     "q_cdc_replay_rebucket": _FINAL_STATE_SQL,
     "q_time_travel": _TIME_TRAVEL_SQL,
     "q_cdc_replay_partial": _PARTIAL_FOLD_SQL.format(
