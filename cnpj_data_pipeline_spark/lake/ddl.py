@@ -1,0 +1,346 @@
+"""SQL DDL surface over lake tables: ``CREATE TABLE`` / ``ALTER TABLE``
+statements compiled to the engine's table-format operations.
+
+The reference is DDL-driven end to end — its entire schema system is the
+``CREATE TABLE`` text in ``init-db/postgres.sql`` (tables, PRIMARY KEYs,
+types), declared BEFORE any data arrives, and its loader trusts that
+declaration (``src/database/postgres.py:269-531`` writes against it).
+``lake/sql.py`` covers reads and ``lake/dml.py`` covers writes; this module
+closes the last asymmetry with the "Postgres is both API and state" model:
+a deployment can now declare and evolve its tables in SQL text too. Every
+statement is a FRONT-END over an existing engine operation — the compiled
+action is one metadata-only snapshot commit (CAS-raced, atomic), never a
+data rewrite.
+
+Supported grammar (case-insensitive keywords; one statement per call):
+
+    CREATE TABLE <name> (
+        <col> <spark-sql-type> [, ...]
+        [, PRIMARY KEY (<k1> [, <k2> ...])]
+    )
+    [USING lake]
+    [CLUSTERED BY (<c1> [, ...]) INTO <n> BUCKETS]
+    [LOCATION '<path>']
+    [TBLPROPERTIES ('<k>'='<v>' [, ...])]
+
+    ALTER TABLE <name> RENAME COLUMN <old> TO <new>
+    ALTER TABLE <name> DROP COLUMN <c>
+    ALTER TABLE <name> ADD COLUMN <c> <type>
+    ALTER TABLE <name> ADD COLUMNS (<c> <type> [, ...])
+    ALTER TABLE <name> ALTER COLUMN <c> TYPE <type>
+    ALTER TABLE <name> SET TBLPROPERTIES ('<k>'='<v>' [, ...])
+    ALTER TABLE <name> WRITE ORDERED BY [ZORDER] (<c1> [, ...])
+    ALTER TABLE <name> WRITE UNORDERED
+
+Semantics, each inherited from the operation the statement compiles to:
+
+* ``PRIMARY KEY`` declares the merge identity (``key_cols``); omitting it
+  declares a KEYLESS append-only table (the reference's no-PK ``socios``
+  path). ``CLUSTERED BY ... INTO n BUCKETS`` is the physical layout
+  (``bucket_cols`` must be a key subset; default: the full key, 32
+  buckets). ``LOCATION`` is required — the lake is path-addressed; there
+  is no warehouse catalog to allocate paths from.
+* ``TBLPROPERTIES`` at CREATE: ``'merge_engine'`` picks lww / partial /
+  aggregate; ``'agg.<col>'`` entries build the aggregate ``agg_spec``
+  ("sum"/"min"/"max"/"last"). Everything else lands in the persistent
+  property map via a follow-up props commit.
+* ``ADD COLUMN`` / ``ALTER COLUMN TYPE`` are the EXPLICIT forms of the
+  evolution the ingest path also applies implicitly (additive union /
+  in-family numeric widening) — declared ahead of data, exactly how a
+  DDL-driven upstream announces a migration before the CDC stream carries
+  it. Key/bucket columns never widen (bucket-hash contract); tombstoned
+  names never re-enter.
+* ``WRITE ORDERED BY`` is Iceberg's declared-sort-order DDL analogue,
+  compiling to ``set_sort_order`` (ZORDER interleaves 2-4 columns).
+* There is deliberately no ``DROP TABLE``: destroying state is an
+  operator action (retention/expiry are the governed paths), not a
+  statement a streaming consumer should ever hold.
+
+``CREATE TABLE`` registers the new table into the caller's ``tables``
+mapping under its statement name, so a script of CREATE-then-MERGE
+statements (see ``lake/dml.py``) runs against one shared dict — the
+closest thing to a session catalog this path-addressed engine needs.
+
+At 100 TB this surface costs nothing: parsing is driver-side string work
+and every compiled action is a metadata-only commit of O(schema) bytes.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from cnpj_data_pipeline_spark.lake.format import LakeTable
+
+_CREATE_HEAD = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>[\w.-]+)\s*\(",
+    re.IGNORECASE,
+)
+_ALTER_HEAD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.-]+)\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PK_RE = re.compile(
+    r"^\s*PRIMARY\s+KEY\s*\((?P<cols>[^)]+)\)\s*$", re.IGNORECASE
+)
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses, angle brackets and single
+    quotes, so ``decimal(10,2)``, ``array<struct<a:int,b:int>>`` and
+    ``'x,y'`` survive intact."""
+    parts, depth, quote, start = [], 0, False, 0
+    for i, ch in enumerate(s):
+        if quote:
+            quote = ch != "'"
+        elif ch == "'":
+            quote = True
+        elif ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+def _scan_balanced(s: str) -> tuple[str, str]:
+    """Consume a balanced ``(...)`` group from the head of ``s`` (opening
+    paren already positioned at s[0]); returns (inner, remainder)."""
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[1:i], s[i + 1:]
+    raise ValueError("DDL: unbalanced parentheses")
+
+
+def _parse_type(spark: SparkSession, typ: str) -> T.DataType:
+    """One Spark-SQL type string -> DataType, via the engine Spark already
+    ships (StructType.fromDDL), so every type CREATE accepts, ALTER
+    accepts too."""
+    try:
+        return T.StructType.fromDDL(f"__c {typ}").fields[0].dataType
+    except Exception as exc:  # noqa: BLE001 — surface the SQL position
+        raise ValueError(f"DDL: cannot parse type {typ!r}: {exc}") from exc
+
+
+def _parse_props(text: str) -> dict[str, str]:
+    """``'k'='v' [, ...]`` -> dict (keys/values are single-quoted SQL
+    string literals)."""
+    props: dict[str, str] = {}
+    for item in _split_top_level(text):
+        m = re.match(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$", item)
+        if not m:
+            raise ValueError(
+                f"TBLPROPERTIES entries must be '<k>'='<v>', got {item!r}"
+            )
+        props[m.group(1)] = m.group(2)
+    return props
+
+
+def _create_stmt(
+    spark: SparkSession, stmt: str, tables: dict
+) -> LakeTable:
+    mh = _CREATE_HEAD.match(stmt)
+    name = mh.group("name")
+    if name in tables:
+        raise ValueError(f"table {name!r} is already registered")
+    cols_txt, rest = _scan_balanced(stmt[mh.end() - 1:])
+
+    key_cols: list[str] | None = None
+    col_defs: list[str] = []
+    for item in _split_top_level(cols_txt):
+        pk = _PK_RE.match(item)
+        if pk:
+            if key_cols is not None:
+                raise ValueError("CREATE TABLE: duplicate PRIMARY KEY")
+            key_cols = [c.strip() for c in pk.group("cols").split(",")]
+            continue
+        col_defs.append(item)
+    if not col_defs:
+        raise ValueError("CREATE TABLE requires at least one column")
+    try:
+        schema = T.StructType.fromDDL(", ".join(col_defs))
+    except Exception as exc:  # noqa: BLE001
+        raise ValueError(
+            f"CREATE TABLE: cannot parse column list: {exc}"
+        ) from exc
+    names = [f.name for f in schema.fields]
+    for k in key_cols or ():
+        if k not in names:
+            raise ValueError(
+                f"PRIMARY KEY column {k!r} is not a declared column"
+            )
+
+    rest = rest.strip().rstrip(";").strip()
+    m = re.match(r"^USING\s+lake\b", rest, re.IGNORECASE)
+    if m:
+        rest = rest[m.end():].strip()
+
+    bucket_cols: list[str] | None = None
+    n_buckets = 32
+    m = re.match(
+        r"^CLUSTERED\s+BY\s*\((?P<cols>[^)]+)\)\s+INTO\s+(?P<n>\d+)\s+"
+        r"BUCKETS\b",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:
+        bucket_cols = [c.strip() for c in m.group("cols").split(",")]
+        n_buckets = int(m.group("n"))
+        rest = rest[m.end():].strip()
+
+    location: str | None = None
+    m = re.match(r"^LOCATION\s+'(?P<loc>[^']+)'", rest, re.IGNORECASE)
+    if m:
+        location = m.group("loc")
+        rest = rest[m.end():].strip()
+
+    props: dict[str, str] = {}
+    m = re.match(r"^TBLPROPERTIES\s*\(", rest, re.IGNORECASE)
+    if m:
+        inner, rest = _scan_balanced(rest[m.end() - 1:])
+        props = _parse_props(inner)
+        rest = rest.strip()
+    if rest:
+        raise ValueError(f"CREATE TABLE: unsupported trailing DDL: {rest[:60]!r}")
+    if location is None:
+        raise ValueError(
+            "CREATE TABLE requires LOCATION '<path>' — the lake is "
+            "path-addressed (no warehouse catalog allocates paths)"
+        )
+
+    merge_engine = props.pop("merge_engine", "lww")
+    agg_spec = {
+        k[len("agg."):]: props.pop(k)
+        for k in [p for p in props if p.startswith("agg.")]
+    } or None
+    # bucket_cols defaulting + subset validation live in LakeTable.create
+    table = LakeTable.create(
+        location,
+        schema,
+        key_cols,
+        n_buckets,
+        bucket_cols=bucket_cols,
+        merge_engine=merge_engine,
+        agg_spec=agg_spec,
+    )
+    if props:
+        table.set_props(props)
+    tables[name] = table
+    return table
+
+
+def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
+    name, rest = m.group("name"), m.group("rest").strip().rstrip(";")
+    if name not in tables:
+        raise ValueError(
+            f"unknown DDL target {name!r} (registered: {sorted(tables)})"
+        )
+    t = tables[name]
+    table = t if isinstance(t, LakeTable) else LakeTable.load(t)
+
+    rm = re.match(
+        r"^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)$", rest, re.IGNORECASE
+    )
+    if rm:
+        return table.rename_column(rm.group(1), rm.group(2))
+
+    dm = re.match(r"^DROP\s+COLUMN\s+(\w+)$", rest, re.IGNORECASE)
+    if dm:
+        return table.drop_column(dm.group(1))
+
+    am = re.match(
+        r"^ADD\s+COLUMN\s+(\w+)\s+(.+)$", rest, re.IGNORECASE | re.DOTALL
+    )
+    if am:
+        return table.add_column(
+            am.group(1), _parse_type(spark, am.group(2).strip())
+        )
+
+    asm = re.match(r"^ADD\s+COLUMNS\s*\(", rest, re.IGNORECASE)
+    if asm:
+        inner, tail = _scan_balanced(rest[asm.end() - 1:])
+        if tail.strip():
+            raise ValueError(
+                f"ADD COLUMNS: unsupported trailing DDL: {tail[:60]!r}"
+            )
+        sid = table.current_snapshot_id()
+        for item in _split_top_level(inner):
+            cm = re.match(r"^(\w+)\s+(.+)$", item, re.DOTALL)
+            if not cm:
+                raise ValueError(
+                    f"ADD COLUMNS: cannot parse column def {item!r}"
+                )
+            sid = table.add_column(
+                cm.group(1), _parse_type(spark, cm.group(2).strip())
+            )
+        return sid
+
+    tm = re.match(
+        r"^ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(.+)$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if tm:
+        return table.widen_column(
+            tm.group(1), _parse_type(spark, tm.group(2).strip())
+        )
+
+    pm = re.match(r"^SET\s+TBLPROPERTIES\s*\(", rest, re.IGNORECASE)
+    if pm:
+        inner, tail = _scan_balanced(rest[pm.end() - 1:])
+        if tail.strip():
+            raise ValueError(
+                f"SET TBLPROPERTIES: unsupported trailing DDL: "
+                f"{tail[:60]!r}"
+            )
+        return table.set_props(_parse_props(inner))
+
+    wm = re.match(
+        r"^WRITE\s+ORDERED\s+BY\s+(?P<z>ZORDER\s+)?\((?P<cols>[^)]+)\)$",
+        rest,
+        re.IGNORECASE,
+    )
+    if wm:
+        cols = [c.strip() for c in wm.group("cols").split(",")]
+        kind = "zorder" if wm.group("z") else "lexical"
+        return table.set_sort_order(cols, kind=kind)
+
+    if re.match(r"^WRITE\s+UNORDERED$", rest, re.IGNORECASE):
+        return table.set_sort_order(None)
+
+    raise ValueError(
+        f"ALTER TABLE: unsupported clause {rest[:80]!r} "
+        "(module doc lists the accepted forms)"
+    )
+
+
+def execute_ddl(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, "LakeTable | str"],
+) -> "LakeTable | int":
+    """Execute one DDL statement (module-doc grammar) against ``tables``
+    (SQL name -> LakeTable or root path). ``CREATE TABLE`` returns the new
+    :class:`LakeTable` (and registers it into ``tables``); every ``ALTER``
+    returns the committed snapshot id — the same metadata-only commit the
+    Python API issues."""
+    stmt = statement.strip()
+    if _CREATE_HEAD.match(stmt):
+        return _create_stmt(spark, stmt, tables)
+    am = _ALTER_HEAD.match(stmt.rstrip().rstrip(";"))
+    if am:
+        return _alter_stmt(spark, am, tables)
+    raise ValueError(
+        "expected 'CREATE TABLE <t> (...)' or 'ALTER TABLE <t> ...', got: "
+        f"{stmt[:80]!r}"
+    )

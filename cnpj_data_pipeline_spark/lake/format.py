@@ -967,6 +967,127 @@ class LakeTable:
             expected_parent=snap["snapshot_id"],
         )
 
+    def add_column(self, name: str, dtype: T.DataType) -> int:
+        """ADD COLUMN evolution, declared EXPLICITLY (the ``ALTER TABLE
+        ADD COLUMN`` a DDL-driven deployment issues before the first batch
+        carrying the column arrives — the reference's schema is declared
+        up-front in ``init-db/postgres.sql``, not discovered from data).
+        Metadata-only: appends a nullable field to the declared schema via
+        the same evolve commit the ingest path's implicit union evolution
+        uses; existing files simply read back NULL for it. Implicit
+        evolution (a batch showing up with a new column) keeps working —
+        this is the same commit, issued ahead of data.
+
+        The name must be genuinely NEW: not a current physical or logical
+        name, and not a dropped-column tombstone (old files still carry a
+        tombstoned name's pre-drop values — re-adding it would silently
+        resurface them)."""
+        if isinstance(dtype, T.NullType):
+            raise ValueError(
+                "ADD COLUMN requires a concrete type (NullType carries no "
+                "type evidence)"
+            )
+        snap = self.snapshot()
+        schema = schema_from_json(snap["schema"])
+        phys_names = {f.name for f in schema.fields}
+        ren = snap.get("renames") or {}
+        logical_names = {ren.get(n, n) for n in phys_names}
+        if name in phys_names or name in logical_names:
+            raise ValueError(f"column {name!r} already exists")
+        if name in set(snap.get("dropped_cols") or ()):
+            raise ValueError(
+                f"{name!r} is a dropped-column tombstone; old files still "
+                "carry its pre-drop values under that name — a new column "
+                "must take a new name"
+            )
+        return self.commit(
+            op="evolve",
+            epoch=None,
+            bucket_updates={},
+            new_schema=T.StructType([T.StructField(name, dtype, True)]),
+            expected_parent=snap["snapshot_id"],
+        )
+
+    def widen_column(self, name: str, dtype: T.DataType) -> int:
+        """ALTER COLUMN TYPE evolution, declared EXPLICITLY: widen a
+        numeric column within its family (int->long, float->double) ahead
+        of the data that needs the range — the same in-place widening the
+        ingest path applies implicitly when a wider batch arrives
+        (``schemas.union_schema``). Metadata-only: parquet state files
+        written under the old narrow type stay valid (Spark's parquet
+        reader upcasts natively; the Arrow kernels normalize per file).
+
+        Refused for key/bucket columns — their type is part of the
+        bucket-hash contract (xxhash64 is type-sensitive), exactly the
+        ``frozen`` set the ingest path passes to ``union_schema``. Refused
+        for non-widening changes (downcasts silently wrap; cross-family
+        changes are a different column)."""
+        snap = self.snapshot()
+        schema = schema_from_json(snap["schema"])
+        phys = self._resolve_column(name, snap)
+        by_name = {f.name: f for f in schema.fields}
+        if phys not in by_name:
+            raise ValueError(
+                f"column {name!r} not in schema "
+                f"(have {sorted(by_name)})"
+            )
+        if phys in set(snap["key_cols"] or ()) or phys in set(
+            self._bucket_cols_of(snap) or ()
+        ):
+            raise ValueError(
+                f"cannot widen key/bucket column {name!r}: its type is "
+                "part of the bucket-hash contract shared with WAL "
+                "producers (xxhash64 is type-sensitive)"
+            )
+        cur = by_name[phys].dataType
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        fractional = (T.FloatType, T.DoubleType)
+        family = None
+        if isinstance(cur, integral) and isinstance(dtype, integral):
+            family = integral
+        elif isinstance(cur, fractional) and isinstance(dtype, fractional):
+            family = fractional
+        if family is None:
+            raise ValueError(
+                f"ALTER COLUMN TYPE supports only in-family numeric "
+                f"widening; {cur.simpleString()} -> "
+                f"{dtype.simpleString()} is not"
+            )
+        rank = {t: i for i, t in enumerate(family)}
+        if rank[type(dtype)] <= rank[type(cur)]:
+            raise ValueError(
+                f"{cur.simpleString()} -> {dtype.simpleString()} is not a "
+                "widening (downcasts silently wrap values past the narrow "
+                "range)"
+            )
+        return self.commit(
+            op="evolve",
+            epoch=None,
+            bucket_updates={},
+            new_schema=T.StructType([T.StructField(phys, dtype, True)]),
+            expected_parent=snap["snapshot_id"],
+        )
+
+    def set_props(self, props: dict) -> int:
+        """Set TABLE PROPERTIES (the ``ALTER TABLE SET TBLPROPERTIES``
+        surface): a props-only commit (op='set-props') merging ``props``
+        key-wise into the persistent property map — atomic, CAS-raced like
+        any commit, invisible to the change feed. Engine-reserved keys
+        (``sort_order*`` — typed/validated via :meth:`set_sort_order`) are
+        refused here."""
+        reserved = {k for k in props if str(k).startswith("sort_order")}
+        if reserved:
+            raise ValueError(
+                f"propert{'y' if len(reserved) == 1 else 'ies'} "
+                f"{sorted(reserved)} are engine-managed — use "
+                "set_sort_order()"
+            )
+        if not props:
+            raise ValueError("set_props requires at least one property")
+        return self.commit(
+            op="set-props", epoch=None, bucket_updates={}, props=dict(props)
+        )
+
     def set_sort_order(
         self, cols: Sequence[str] | None, kind: str = "lexical"
     ) -> int:

@@ -128,6 +128,10 @@ _EXTRA_NAMES = (
     # Debezium envelopes, land on a differently-bucketed mirror, read the
     # mirror; same final-state oracle
     "q_cdc_replay_outbound",
+    # round 5: the SQL DDL surface — CREATE TABLE + per-epoch MERGE INTO +
+    # mid-stream ALTER TABLE RENAME COLUMN + WRITE ORDERED BY + compact,
+    # all via SQL text; renamed final-state oracle
+    "q_cdc_replay_ddl",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

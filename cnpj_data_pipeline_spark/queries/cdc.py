@@ -598,6 +598,77 @@ def q_cdc_replay_renamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_cdc_replay_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay driven by a deployment speaking ONLY SQL, end to end
+    (lake/ddl.py + lake/dml.py): the table is declared with a CREATE TABLE
+    statement (PRIMARY KEY + CLUSTERED BY ... INTO n BUCKETS — the
+    reference's schema system IS DDL text, init-db/postgres.sql), each
+    epoch lands via MERGE INTO, a mid-stream ``ALTER TABLE RENAME COLUMN``
+    retargets ``tool`` -> ``tool_name`` (epoch 2's producer speaks the new
+    name, epoch 3's is a stale producer on the old one — both map), an
+    ``ALTER TABLE WRITE ORDERED BY (ts)`` declares the sort order, and the
+    closing compaction folds all generations under it. Every statement
+    compiles to the same metadata commit / gated apply the Python API
+    issues, so the final state equals the plain LWW fold with the column
+    aliased — layout and surface are invisible to semantics."""
+    from cnpj_data_pipeline_spark.lake.ddl import execute_ddl
+    from cnpj_data_pipeline_spark.lake.dml import merge_into
+
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2, compact_threshold=None)
+    root = os.path.join(_mk_scratch("cdc_replay_ddl_"), "lake")
+    tables: dict = {}
+    execute_ddl(
+        spark,
+        f"""
+        CREATE TABLE transcripts (
+            conv_id STRING,
+            turn_idx INT,
+            role STRING,
+            text STRING,
+            tool STRING,
+            ts TIMESTAMP,
+            PRIMARY KEY (conv_id, turn_idx)
+        )
+        USING lake
+        CLUSTERED BY (conv_id, turn_idx) INTO 16 BUCKETS
+        LOCATION '{root}'
+        """,
+        tables,
+    )
+    for e in range(N_EPOCHS):
+        if e == 2:
+            execute_ddl(
+                spark,
+                "ALTER TABLE transcripts RENAME COLUMN tool TO tool_name",
+                tables,
+            )
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        if e == 2:  # post-rename producer speaks the new logical name
+            batch = batch.withColumnRenamed("tool", "tool_name")
+        batch.createOrReplaceTempView("__ddl_epoch_batch")
+        merge_into(
+            spark,
+            """
+            MERGE INTO transcripts AS t
+            USING __ddl_epoch_batch AS s
+            ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+            tables,
+            epoch=e,
+            cfg=cfg,
+        )
+    execute_ddl(
+        spark, "ALTER TABLE transcripts WRITE ORDERED BY (ts)", tables
+    )
+    table = tables["transcripts"]
+    table.compact(spark)  # folds all generations under the declared order
+    return table.read(spark)
+
+
 def q_turn_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRANSCRIPT STRUCTURE VALIDATION — the data-quality gate a training
     pipeline runs on conversation data before rendering: per conversation
@@ -1139,6 +1210,7 @@ QUERIES = {
     "q_cdc_replay_widened": q_cdc_replay_widened,
     "q_cdc_replay_dropped": q_cdc_replay_dropped,
     "q_cdc_replay_renamed": q_cdc_replay_renamed,
+    "q_cdc_replay_ddl": q_cdc_replay_ddl,
     "q_cdc_replay_sql": q_cdc_replay_sql,
     "q_cdc_replay_copart": q_cdc_replay_copart,
     "q_cdc_replay_debezium": q_cdc_replay_debezium,
@@ -1274,6 +1346,11 @@ ORACLES = {
         FROM winners WHERE op <> 'D'
     """,
     "q_cdc_replay_renamed": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+        SELECT conv_id, turn_idx, role, text, tool AS tool_name, ts
+        FROM winners WHERE op <> 'D'
+    """,
+    "q_cdc_replay_ddl": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
         SELECT conv_id, turn_idx, role, text, tool AS tool_name, ts
         FROM winners WHERE op <> 'D'

@@ -1,0 +1,287 @@
+"""SQL DDL surface: CREATE TABLE / ALTER TABLE statements compiling to
+the engine's table-format operations (lake/ddl.py). The reference is
+DDL-driven end to end — its schema system IS the CREATE TABLE text in
+init-db/postgres.sql; these tests prove a pure-SQL deployment can declare
+and evolve lake tables with the same guarantees as the Python API, and
+that the explicit ADD COLUMN / ALTER COLUMN TYPE forms compose with the
+ingest path's implicit evolution."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.types as T
+import pytest
+
+from cnpj_data_pipeline_spark import (
+    EngineConfig,
+    LakeTable,
+    apply_changes,
+    execute_ddl,
+    merge_into,
+)
+from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+CFG = EngineConfig(n_buckets=4, salt_factor=1, compact_threshold=None)
+TS = dt.datetime(2026, 1, 1)
+
+CREATE = """
+CREATE TABLE transcripts (
+    conv_id STRING,
+    turn_idx INT,
+    role STRING,
+    text STRING,
+    tool STRING,
+    ts TIMESTAMP,
+    PRIMARY KEY (conv_id, turn_idx)
+)
+USING lake
+CLUSTERED BY (conv_id) INTO 8 BUCKETS
+LOCATION '{loc}'
+TBLPROPERTIES ('owner'='ddl-test')
+"""
+
+
+def _batch_df(spark, rows, schema=TRANSCRIPT_SCHEMA):
+    sch = T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, sch)
+
+
+ROWS0 = [
+    ("a", 0, "user", "hi", None, TS, "I", 1),
+    ("b", 0, "user", "yo", None, TS, "I", 2),
+    ("a", 1, "assistant", "hello", "search", TS, "I", 3),
+]
+
+
+def test_create_table(spark, tmp_path):
+    tables: dict = {}
+    t = execute_ddl(spark, CREATE.format(loc=tmp_path / "t"), tables)
+    assert isinstance(t, LakeTable)
+    assert tables["transcripts"] is t
+    assert t.key_cols() == ["conv_id", "turn_idx"]
+    assert t.bucket_cols() == ["conv_id"]
+    assert t.n_buckets() == 8
+    assert t.props()["owner"] == "ddl-test"
+    assert [f.name for f in t.schema().fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    # the created table ingests normally
+    apply_changes(spark, t, _batch_df(spark, ROWS0), epoch=0, cfg=CFG)
+    assert t.read(spark).count() == 3
+
+
+def test_create_keyless_and_engines(spark, tmp_path):
+    tables: dict = {}
+    t = execute_ddl(
+        spark,
+        f"CREATE TABLE log (k STRING, n INT) LOCATION '{tmp_path}/log'",
+        tables,
+    )
+    assert t.key_cols() is None  # no PRIMARY KEY -> append-only
+    agg = execute_ddl(
+        spark,
+        "CREATE TABLE counters (k STRING, n BIGINT, PRIMARY KEY (k)) "
+        f"LOCATION '{tmp_path}/agg' "
+        "TBLPROPERTIES ('merge_engine'='aggregate', 'agg.n'='sum')",
+        tables,
+    )
+    snap = agg.snapshot()
+    assert snap["merge_engine"] == "aggregate"
+    assert snap["agg_spec"] == {"n": "sum"}
+    assert set(tables) == {"log", "counters"}
+
+
+def test_create_validation(spark, tmp_path):
+    tables: dict = {}
+    with pytest.raises(ValueError, match="LOCATION"):
+        execute_ddl(spark, "CREATE TABLE t (a INT)", tables)
+    with pytest.raises(ValueError, match="PRIMARY KEY column"):
+        execute_ddl(
+            spark,
+            "CREATE TABLE t (a INT, PRIMARY KEY (b)) "
+            f"LOCATION '{tmp_path}/x'",
+            tables,
+        )
+    execute_ddl(
+        spark, f"CREATE TABLE t (a INT) LOCATION '{tmp_path}/t'", tables
+    )
+    with pytest.raises(ValueError, match="already registered"):
+        execute_ddl(
+            spark, f"CREATE TABLE t (a INT) LOCATION '{tmp_path}/t2'", tables
+        )
+
+
+def _mk(spark, tmp_path, tables):
+    t = execute_ddl(spark, CREATE.format(loc=tmp_path / "t"), tables)
+    apply_changes(spark, t, _batch_df(spark, ROWS0), epoch=0, cfg=CFG)
+    return t
+
+
+def test_alter_rename_drop(spark, tmp_path):
+    tables: dict = {}
+    t = _mk(spark, tmp_path, tables)
+    execute_ddl(spark, "ALTER TABLE transcripts RENAME COLUMN tool TO fn", tables)
+    assert "fn" in [f.name for f in t.logical_schema().fields]
+    execute_ddl(spark, "ALTER TABLE transcripts DROP COLUMN fn", tables)
+    names = [f.name for f in t.schema().fields]
+    assert "tool" not in names and "fn" not in names
+    # the data read reflects both evolutions
+    assert "fn" not in t.read(spark).columns
+
+
+def test_alter_add_and_widen(spark, tmp_path):
+    tables: dict = {}
+    t = _mk(spark, tmp_path, tables)
+    execute_ddl(spark, "ALTER TABLE transcripts ADD COLUMN score FLOAT", tables)
+    execute_ddl(
+        spark,
+        "ALTER TABLE transcripts ADD COLUMNS (meta MAP<STRING,STRING>, "
+        "n_tokens INT)",
+        tables,
+    )
+    by_name = {f.name: f.dataType for f in t.schema().fields}
+    assert isinstance(by_name["score"], T.FloatType)
+    assert isinstance(by_name["meta"], T.MapType)
+    # pre-evolution files read back NULL for the new columns
+    row = t.read(spark).filter("conv_id = 'a' AND turn_idx = 0").first()
+    assert row["score"] is None and row["n_tokens"] is None
+    # explicit widening, declared ahead of the data that needs the range
+    execute_ddl(
+        spark, "ALTER TABLE transcripts ALTER COLUMN score TYPE DOUBLE", tables
+    )
+    execute_ddl(
+        spark, "ALTER TABLE transcripts ALTER COLUMN n_tokens TYPE BIGINT", tables
+    )
+    by_name = {f.name: f.dataType for f in t.schema().fields}
+    assert isinstance(by_name["score"], T.DoubleType)
+    assert isinstance(by_name["n_tokens"], T.LongType)
+    # and a post-widen ingest carrying wide values lands intact
+    sch = T.StructType(
+        list(t.schema().fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    big = 2**40
+    batch = spark.createDataFrame(
+        [("z", 0, "user", "wide", None, TS, 0.5, None, big, "I", 10)], sch
+    )
+    apply_changes(spark, t, batch, epoch=1, cfg=CFG)
+    got = t.read(spark).filter("conv_id = 'z'").first()
+    assert got["n_tokens"] == big
+
+
+def test_alter_validation(spark, tmp_path):
+    tables: dict = {}
+    t = _mk(spark, tmp_path, tables)
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, "ALTER TABLE transcripts ADD COLUMN role INT", tables)
+    with pytest.raises(ValueError, match="key/bucket"):
+        execute_ddl(
+            spark,
+            "ALTER TABLE transcripts ALTER COLUMN turn_idx TYPE BIGINT",
+            tables,
+        )
+    with pytest.raises(ValueError, match="not a widening"):
+        # first widen up, then try to narrow back
+        execute_ddl(
+            spark, "ALTER TABLE transcripts ADD COLUMN n BIGINT", tables
+        )
+        execute_ddl(
+            spark, "ALTER TABLE transcripts ALTER COLUMN n TYPE INT", tables
+        )
+    with pytest.raises(ValueError, match="in-family"):
+        execute_ddl(
+            spark, "ALTER TABLE transcripts ALTER COLUMN n TYPE DOUBLE", tables
+        )
+    execute_ddl(spark, "ALTER TABLE transcripts DROP COLUMN tool", tables)
+    with pytest.raises(ValueError, match="tombstone"):
+        execute_ddl(spark, "ALTER TABLE transcripts ADD COLUMN tool INT", tables)
+    with pytest.raises(ValueError, match="unknown DDL target"):
+        execute_ddl(spark, "ALTER TABLE nope ADD COLUMN x INT", tables)
+    with pytest.raises(ValueError, match="unsupported clause"):
+        execute_ddl(spark, "ALTER TABLE transcripts FROBNICATE", tables)
+    with pytest.raises(ValueError, match="engine-managed"):
+        execute_ddl(
+            spark,
+            "ALTER TABLE transcripts SET TBLPROPERTIES ('sort_order'='ts')",
+            tables,
+        )
+
+
+def test_alter_props_and_sort_order(spark, tmp_path):
+    tables: dict = {}
+    t = _mk(spark, tmp_path, tables)
+    execute_ddl(
+        spark,
+        "ALTER TABLE transcripts SET TBLPROPERTIES ('retention'='30d', "
+        "'team'='ml-infra')",
+        tables,
+    )
+    assert t.props()["retention"] == "30d"
+    execute_ddl(spark, "ALTER TABLE transcripts WRITE ORDERED BY (ts)", tables)
+    assert t.sort_order() == ["ts"]
+    execute_ddl(
+        spark,
+        "ALTER TABLE transcripts WRITE ORDERED BY ZORDER (ts, turn_idx)",
+        tables,
+    )
+    assert t.sort_order() == ["ts", "turn_idx"]
+    assert t.props()["sort_order_kind"] == "zorder"
+    execute_ddl(spark, "ALTER TABLE transcripts WRITE UNORDERED", tables)
+    assert t.sort_order() is None
+
+
+def test_ddl_then_dml_roundtrip(spark, tmp_path):
+    """A deployment speaking ONLY SQL: CREATE, MERGE, ALTER, MERGE — the
+    declared evolution composes with the ingest path's implicit one."""
+    tables: dict = {}
+    t = execute_ddl(spark, CREATE.format(loc=tmp_path / "t"), tables)
+    _batch_df(spark, ROWS0).createOrReplaceTempView("b0")
+    merge_into(
+        spark,
+        "MERGE INTO transcripts AS t USING b0 AS s "
+        "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables,
+        epoch=0,
+        cfg=CFG,
+    )
+    execute_ddl(spark, "ALTER TABLE transcripts ADD COLUMN lang STRING", tables)
+    sch = T.StructType(
+        list(t.schema().fields)
+        + [
+            T.StructField("op", T.StringType(), False),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    spark.createDataFrame(
+        [("a", 0, "user", "hi!", None, TS, "en", "U", 9)], sch
+    ).createOrReplaceTempView("b1")
+    merge_into(
+        spark,
+        "MERGE INTO transcripts AS t USING b1 AS s "
+        "ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+        tables,
+        epoch=1,
+        cfg=CFG,
+    )
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r
+        for r in t.read(spark).collect()
+    }
+    assert rows[("a", 0)]["text"] == "hi!" and rows[("a", 0)]["lang"] == "en"
+    assert rows[("b", 0)]["lang"] is None
+    assert len(rows) == 3
