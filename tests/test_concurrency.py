@@ -398,3 +398,65 @@ def test_sort_order_race_with_drop_is_rejected_at_rebase(tmp_path):
             props={"sort_order": ["text"], "sort_order_kind": "lexical"},
             expected_parent=head["snapshot_id"],
         )
+
+
+def test_add_column_rebases_over_concurrent_append(tmp_path):
+    """Explicit DDL ADD COLUMN (lake/ddl.py front-end -> add_column) built
+    against a head that a concurrent ingest append then advances: the CAS
+    loser rebases and BOTH commits survive — the appended files and the
+    new column."""
+    t = _mk_table(str(tmp_path / "t"))
+    a, b = LakeTable.load(t.root), LakeTable.load(t.root)
+    head = a.snapshot()
+
+    # writer A lands an epoch append first
+    a.commit(
+        op="append", epoch=0, mode="append",
+        bucket_updates={0: _append_update("race", 1)},
+    )
+    # writer B's ADD COLUMN was validated against the PRE-append head;
+    # its commit loop must rebase, not clobber the append
+    sid = b.commit(
+        op="evolve", epoch=None, bucket_updates={},
+        new_schema=T.StructType([T.StructField("lang", T.StringType(), True)]),
+        expected_parent=head["snapshot_id"],
+    )
+    assert sid == 2
+    final = LakeTable.load(t.root)
+    assert "lang" in [f.name for f in final.schema().fields]
+    assert final.applied_epochs() == {0}
+    assert final.snapshot()["buckets"]["0"]["files"] == [
+        "data/fake-race/part-1.parquet"
+    ]
+
+
+def test_widen_rebases_and_concurrent_identical_adds_converge(tmp_path):
+    """Two racing explicit evolutions: a widen (text stays, turn-payload
+    int->long via a second payload column) and an identical-typed ADD from
+    two writers. The loser's rebase unions with the WINNER's head, so the
+    final schema has each column exactly once at the widest type."""
+    t = _mk_table(str(tmp_path / "t"))
+    t.add_column("n", T.IntegerType())
+    a, b = LakeTable.load(t.root), LakeTable.load(t.root)
+    head = a.snapshot()
+
+    assert a.widen_column("n", T.LongType()) == 2
+    # writer B adds the SAME column name at the OLD narrow type, built
+    # against the pre-widen head: the rebase unions against the widened
+    # head — int vs long converges to long, no duplicate, no downcast
+    sid = b.commit(
+        op="evolve", epoch=None, bucket_updates={},
+        new_schema=T.StructType([T.StructField("n", T.IntegerType(), True)]),
+        expected_parent=head["snapshot_id"],
+    )
+    assert sid == 3
+    final = LakeTable.load(t.root)
+    by_name = {f.name: f.dataType for f in final.schema().fields}
+    assert isinstance(by_name["n"], T.LongType)
+    assert [f.name for f in final.schema().fields].count("n") == 1
+
+    # DDL-level sanity on the new validations under the final head
+    with pytest.raises(ValueError, match="not a widening"):
+        final.widen_column("n", T.IntegerType())
+    with pytest.raises(ValueError, match="key/bucket"):
+        final.widen_column("turn_idx", T.LongType())
