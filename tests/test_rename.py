@@ -284,3 +284,66 @@ def test_rename_streaming_cdf_source_emits_logical_names(spark, tmp_table):
     q.awaitTermination(120)
     got = spark.sql("select * from rename_cdf").toPandas()
     assert set(got["tool_name"]) == {"hammer", "wrench"}
+
+
+def test_rename_on_partial_update_engine(spark, tmp_table):
+    """RENAME on a merge_engine='partial' table: the per-column fold's
+    ``__col_lsns`` meta is keyed by PHYSICAL names, and a rename is
+    metadata-only — so patches sent under the OLD name (stale producer)
+    and the NEW name (post-rename producer) must fold into the same
+    column, preserving per-column origin LSNs, through both the incremental
+    apply and the map-only compaction."""
+    def _patch(rows, cols):
+        sch = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("turn_idx", T.IntegerType(), False),
+            ]
+            + [T.StructField(c, T.StringType(), True) for c in cols]
+            + [
+                T.StructField("op", T.StringType(), False),
+                T.StructField("lsn", T.LongType(), False),
+            ]
+        )
+        return spark.createDataFrame(rows, sch)
+
+    t = LakeTable.create(
+        tmp_table, SCHEMA, KEY, CFG.n_buckets, merge_engine="partial"
+    )
+    # epoch 0: disjoint-column patches under the original names
+    apply_changes(
+        spark, t,
+        _patch([("a", 0, "t1", None, "U", 1),
+                ("a", 0, None, "hammer", "U", 2)], ["text", "tool"]),
+        epoch=0, cfg=CFG,
+    )
+    assert t.rename_column("tool", "tool_name") > 0
+
+    # epoch 1: post-rename producer patches the NEW name; text untouched
+    apply_changes(
+        spark, t,
+        _patch([("a", 0, "wrench", "U", 5)], ["tool_name"]),
+        epoch=1, cfg=CFG,
+    )
+    # epoch 2: STALE producer still sends the old physical name — lower
+    # LSN than epoch 1's patch, so it must LOSE the per-column fold
+    apply_changes(
+        spark, t,
+        _patch([("a", 0, None, "chisel", "U", 4),
+                ("b", 0, "t2", "saw", "I", 6)], ["text", "tool"]),
+        epoch=2, cfg=CFG,
+    )
+
+    def state():
+        rows = t.read(spark).orderBy(*KEY).collect()
+        return [(r["conv_id"], r["turn_idx"], r["text"], r["tool_name"])
+                for r in rows]
+
+    expect = [("a", 0, "t1", "wrench"), ("b", 0, "t2", "saw")]
+    assert state() == expect
+    assert "tool" not in t.read(spark).columns
+
+    # the map-only partial compaction folds mixed-name generations and
+    # the state is layout-invariant
+    t.compact(spark)
+    assert state() == expect
