@@ -32,6 +32,13 @@ Supported grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE <name> WRITE ORDERED BY [ZORDER] (<c1> [, ...])
     ALTER TABLE <name> WRITE UNORDERED
 
+    SHOW CREATE TABLE <name>          -> the CREATE statement (round-trips)
+    DESCRIBE [EXTENDED] <name>        -> DataFrame of columns + metadata
+
+For a KEYLESS table the bucket count alone is declared with
+``CLUSTERED INTO <n> BUCKETS`` (no BY — there is no key to cluster by;
+the layout hashes the whole row).
+
 Semantics, each inherited from the operation the statement compiles to:
 
 * ``PRIMARY KEY`` declares the merge identity (``key_cols``); omitting it
@@ -67,6 +74,7 @@ and every compiled action is a metadata-only commit of O(schema) bytes.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import SparkSession
@@ -197,6 +205,15 @@ def _create_stmt(
         bucket_cols = [c.strip() for c in m.group("cols").split(",")]
         n_buckets = int(m.group("n"))
         rest = rest[m.end():].strip()
+    else:
+        m = re.match(
+            r"^CLUSTERED\s+INTO\s+(?P<n>\d+)\s+BUCKETS\b",
+            rest,
+            re.IGNORECASE,
+        )
+        if m:  # keyless form: bucket count only, no BY
+            n_buckets = int(m.group("n"))
+            rest = rest[m.end():].strip()
 
     location: str | None = None
     m = re.match(r"^LOCATION\s+'(?P<loc>[^']+)'", rest, re.IGNORECASE)
@@ -324,23 +341,150 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
     )
 
 
+def show_create_table(table: LakeTable, name: str = "t") -> str:
+    """The CREATE TABLE statement (module-doc grammar) that declares an
+    equivalent table — the replication twin of the outbound change feed
+    (``plans/export.py``): SHOW CREATE on the source + the Debezium epoch
+    stream is everything a downstream deployment needs to stand up a live
+    replica. Round-trip property: ``execute_ddl(show_create_table(t))``
+    creates a table with the same logical schema, key, layout, engine,
+    agg spec, and user properties (gated in ``tests/test_ddl.py``).
+
+    Emits LOGICAL column names (a fresh replica has no rename history to
+    carry) and omits what a new table cannot or should not inherit:
+    dropped-name tombstones, the declared sort order (a later ``WRITE
+    ORDERED BY``), and snapshot history. The LOCATION placeholder must be
+    filled by the caller."""
+    snap = table.snapshot()
+    schema = table.logical_schema()
+    lines = [f"    {f.name} {f.dataType.simpleString().upper()}"
+             for f in schema.fields]
+    key_cols = table.key_cols()
+    if key_cols is not None:
+        lines.append(f"    PRIMARY KEY ({', '.join(key_cols)})")
+    stmt = f"CREATE TABLE {name} (\n" + ",\n".join(lines) + "\n)\nUSING lake"
+    if key_cols is not None:
+        bcols = table.bucket_cols() or key_cols
+        stmt += (
+            f"\nCLUSTERED BY ({', '.join(bcols)}) "
+            f"INTO {table.n_buckets()} BUCKETS"
+        )
+    else:
+        stmt += f"\nCLUSTERED INTO {table.n_buckets()} BUCKETS"
+    stmt += "\nLOCATION '<path>'"
+    props = {
+        k: v
+        for k, v in (table.props() or {}).items()
+        if not str(k).startswith("sort_order") and isinstance(v, str)
+    }
+    engine = snap.get("merge_engine", "lww")
+    tbl_props = {}
+    if engine != "lww":
+        tbl_props["merge_engine"] = engine
+    for c, fn in (snap.get("agg_spec") or {}).items():
+        tbl_props[f"agg.{c}"] = fn
+    tbl_props.update(props)
+    if tbl_props:
+        inner = ", ".join(f"'{k}'='{v}'" for k, v in sorted(tbl_props.items()))
+        stmt += f"\nTBLPROPERTIES ({inner})"
+    return stmt
+
+
+def _describe(spark: SparkSession, table: LakeTable, extended: bool):
+    """DESCRIBE [EXTENDED]: one row per column (logical name, type,
+    membership in the key/bucket/sort contracts), then — extended — the
+    table-level metadata rows Spark's own DESCRIBE EXTENDED appends."""
+    snap = table.snapshot()
+    key = set(table.key_cols() or ())
+    bcols = set(table.bucket_cols() or table.key_cols() or ())
+    sort = table.sort_order() or []
+    rows = [
+        (
+            f.name,
+            f.dataType.simpleString(),
+            ", ".join(
+                x
+                for x in (
+                    "key" if f.name in key else "",
+                    "bucket" if f.name in bcols else "",
+                    f"sort#{sort.index(f.name)}" if f.name in sort else "",
+                )
+                if x
+            ),
+        )
+        for f in table.logical_schema().fields
+    ]
+    if extended:
+        rows += [
+            ("", "", ""),
+            ("# Detailed Table Information", "", ""),
+            ("Location", table.root, ""),
+            ("Merge Engine", snap.get("merge_engine", "lww"), ""),
+            ("Num Buckets", str(table.n_buckets()), ""),
+            ("Snapshot Id", str(snap["snapshot_id"]), ""),
+            ("Rows", str(snap.get("rows_total", "")), ""),
+            (
+                "Sort Order",
+                ", ".join(sort) if sort else "(key clustering)",
+                snap.get("props", {}).get("sort_order_kind") or "",
+            ),
+            (
+                "Dropped Columns",
+                ", ".join(snap.get("dropped_cols") or []) or "(none)",
+                "",
+            ),
+            ("Properties", json.dumps(table.props() or {}), ""),
+        ]
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, info string"
+    )
+
+
 def execute_ddl(
     spark: SparkSession,
     statement: str,
     tables: dict[str, "LakeTable | str"],
-) -> "LakeTable | int":
+) -> "LakeTable | int | str":
     """Execute one DDL statement (module-doc grammar) against ``tables``
     (SQL name -> LakeTable or root path). ``CREATE TABLE`` returns the new
     :class:`LakeTable` (and registers it into ``tables``); every ``ALTER``
     returns the committed snapshot id — the same metadata-only commit the
-    Python API issues."""
+    Python API issues; ``SHOW CREATE TABLE`` returns the statement text;
+    ``DESCRIBE`` returns a DataFrame."""
     stmt = statement.strip()
     if _CREATE_HEAD.match(stmt):
         return _create_stmt(spark, stmt, tables)
     am = _ALTER_HEAD.match(stmt.rstrip().rstrip(";"))
     if am:
         return _alter_stmt(spark, am, tables)
+
+    def _lookup(name: str) -> LakeTable:
+        if name not in tables:
+            raise ValueError(
+                f"unknown DDL target {name!r} (registered: {sorted(tables)})"
+            )
+        t = tables[name]
+        return t if isinstance(t, LakeTable) else LakeTable.load(t)
+
+    sm = re.match(
+        r"^SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.-]+)\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if sm:
+        return show_create_table(_lookup(sm.group("name")), sm.group("name"))
+    dm = re.match(
+        r"^DESCRIBE\s+(?:(?P<ext>EXTENDED)\s+)?(?:TABLE\s+)?"
+        r"(?P<name>[\w.-]+)\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if dm:
+        return _describe(
+            spark, _lookup(dm.group("name")), dm.group("ext") is not None
+        )
     raise ValueError(
-        "expected 'CREATE TABLE <t> (...)' or 'ALTER TABLE <t> ...', got: "
+        "expected 'CREATE TABLE <t> (...)', 'ALTER TABLE <t> ...', "
+        "'SHOW CREATE TABLE <t>' or 'DESCRIBE [EXTENDED] <t>', got: "
         f"{stmt[:80]!r}"
     )

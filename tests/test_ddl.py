@@ -285,3 +285,79 @@ def test_ddl_then_dml_roundtrip(spark, tmp_path):
     assert rows[("a", 0)]["text"] == "hi!" and rows[("a", 0)]["lang"] == "en"
     assert rows[("b", 0)]["lang"] is None
     assert len(rows) == 3
+
+
+def test_show_create_roundtrip(spark, tmp_path):
+    """SHOW CREATE TABLE round-trips through execute_ddl: the recreated
+    table carries the same logical schema, key, layout, merge engine, agg
+    spec, and user properties — the replication twin of the outbound
+    change feed (SHOW CREATE + the Debezium epoch stream stands up a live
+    replica elsewhere)."""
+    tables: dict = {}
+    execute_ddl(
+        spark,
+        "CREATE TABLE counters (k STRING, n BIGINT, note STRING, "
+        "PRIMARY KEY (k, n)) "
+        "CLUSTERED BY (k) INTO 8 BUCKETS "
+        f"LOCATION '{tmp_path}/a' "
+        "TBLPROPERTIES ('merge_engine'='aggregate', 'agg.note'='last', "
+        "'owner'='ml')",
+        tables,
+    )
+    stmt = execute_ddl(spark, "SHOW CREATE TABLE counters", tables)
+    assert isinstance(stmt, str) and "'agg.note'='last'" in stmt
+    twin_tables: dict = {}
+    twin = execute_ddl(
+        spark, stmt.replace("<path>", f"{tmp_path}/b"), twin_tables
+    )
+    src = tables["counters"]
+    assert twin.schema() == src.schema()
+    assert twin.key_cols() == src.key_cols()
+    assert twin.bucket_cols() == src.bucket_cols()
+    assert twin.n_buckets() == src.n_buckets()
+    assert twin.snapshot()["merge_engine"] == "aggregate"
+    assert twin.snapshot()["agg_spec"] == src.snapshot()["agg_spec"]
+    assert twin.props()["owner"] == "ml"
+
+
+def test_show_create_roundtrip_keyless_and_renamed(spark, tmp_path):
+    tables: dict = {}
+    execute_ddl(
+        spark,
+        f"CREATE TABLE log (k STRING, v INT) CLUSTERED INTO 4 BUCKETS "
+        f"LOCATION '{tmp_path}/log'",
+        tables,
+    )
+    stmt = execute_ddl(spark, "SHOW CREATE TABLE log", tables)
+    assert "CLUSTERED INTO 4 BUCKETS" in stmt and "PRIMARY KEY" not in stmt
+    twin = execute_ddl(
+        spark, stmt.replace("<path>", f"{tmp_path}/log2"), {}
+    )
+    assert twin.key_cols() is None and twin.n_buckets() == 4
+    # renamed source -> the replica declares the LOGICAL name natively
+    t = _mk(spark, tmp_path, tables)
+    execute_ddl(spark, "ALTER TABLE transcripts RENAME COLUMN tool TO fn", tables)
+    stmt = execute_ddl(spark, "SHOW CREATE TABLE transcripts", tables)
+    assert " fn " in stmt.replace("\n", " ") and "tool" not in stmt
+    twin = execute_ddl(
+        spark, stmt.replace("<path>", f"{tmp_path}/t2"), {}
+    )
+    assert [f.name for f in twin.schema().fields] == [
+        f.name for f in t.logical_schema().fields
+    ]
+
+
+def test_describe(spark, tmp_path):
+    tables: dict = {}
+    t = _mk(spark, tmp_path, tables)
+    execute_ddl(spark, "ALTER TABLE transcripts WRITE ORDERED BY (ts)", tables)
+    rows = execute_ddl(spark, "DESCRIBE transcripts", tables).collect()
+    by_col = {r["col_name"]: r for r in rows}
+    assert by_col["conv_id"]["info"] == "key, bucket"
+    assert by_col["turn_idx"]["info"] == "key"  # bucketed on conv_id only
+    assert by_col["ts"]["info"] == "sort#0"
+    ext = execute_ddl(spark, "DESCRIBE EXTENDED transcripts", tables).collect()
+    meta = {r["col_name"]: r["data_type"] for r in ext}
+    assert meta["Location"] == t.root
+    assert meta["Num Buckets"] == "8"
+    assert meta["Sort Order"] == "ts"
