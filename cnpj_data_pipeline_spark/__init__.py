@@ -41,7 +41,11 @@ from cnpj_data_pipeline_spark.lake.sql import (  # noqa: F401
     register_view,
 )
 from cnpj_data_pipeline_spark.lake.dml import merge_into  # noqa: F401
-from cnpj_data_pipeline_spark.lake.ddl import execute_ddl  # noqa: F401
+from cnpj_data_pipeline_spark.lake.ddl import (  # noqa: F401
+    execute_ddl,
+    run_sql_script,
+    show_create_table,
+)
 from cnpj_data_pipeline_spark.plans.sync import (  # noqa: F401
     FeedSyncJob,
     text_stats_transform,

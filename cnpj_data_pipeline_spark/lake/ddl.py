@@ -83,7 +83,8 @@ from pyspark.sql import types as T
 from cnpj_data_pipeline_spark.lake.format import LakeTable
 
 _CREATE_HEAD = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<name>[\w.-]+)\s*\(",
+    r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<name>[\w.-]+)\s*\(",
     re.IGNORECASE,
 )
 _ALTER_HEAD = re.compile(
@@ -159,7 +160,11 @@ def _create_stmt(
 ) -> LakeTable:
     mh = _CREATE_HEAD.match(stmt)
     name = mh.group("name")
+    if_not_exists = mh.group("ine") is not None
     if name in tables:
+        if if_not_exists:
+            t = tables[name]
+            return t if isinstance(t, LakeTable) else LakeTable.load(t)
         raise ValueError(f"table {name!r} is already registered")
     cols_txt, rest = _scan_balanced(stmt[mh.end() - 1:])
 
@@ -235,6 +240,14 @@ def _create_stmt(
             "path-addressed (no warehouse catalog allocates paths)"
         )
 
+    if if_not_exists and LakeTable.exists(location):
+        # the idempotent bootstrap form: the table is already on disk —
+        # register and return it, never re-create (its declared schema is
+        # authoritative; a drifted statement is NOT reconciled here)
+        table = LakeTable.load(location)
+        tables[name] = table
+        return table
+
     merge_engine = props.pop("merge_engine", "lww")
     agg_spec = {
         k[len("agg."):]: props.pop(k)
@@ -271,16 +284,38 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
     if rm:
         return table.rename_column(rm.group(1), rm.group(2))
 
-    dm = re.match(r"^DROP\s+COLUMN\s+(\w+)$", rest, re.IGNORECASE)
+    dm = re.match(
+        r"^DROP\s+COLUMN\s+(?:(?P<ife>IF\s+EXISTS)\s+)?(?P<col>\w+)$",
+        rest,
+        re.IGNORECASE,
+    )
     if dm:
-        return table.drop_column(dm.group(1))
+        if dm.group("ife"):
+            snap = table.snapshot()
+            phys = table._resolve_column(dm.group("col"), snap)
+            names = {f.name for f in table.schema().fields}
+            if phys not in names:  # idempotent re-run: already dropped
+                return table.current_snapshot_id()
+        return table.drop_column(dm.group("col"))
 
     am = re.match(
-        r"^ADD\s+COLUMN\s+(\w+)\s+(.+)$", rest, re.IGNORECASE | re.DOTALL
+        r"^ADD\s+COLUMN\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+        r"(?P<col>\w+)\s+(?P<typ>.+)$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
     )
     if am:
+        if am.group("ine"):
+            snap = table.snapshot()
+            ren = snap.get("renames") or {}
+            names = {f.name for f in table.schema().fields}
+            logical = {ren.get(n, n) for n in names}
+            if am.group("col") in names | logical:
+                # idempotent re-run: present under either name space; the
+                # existing declared type is authoritative (not reconciled)
+                return table.current_snapshot_id()
         return table.add_column(
-            am.group(1), _parse_type(spark, am.group(2).strip())
+            am.group("col"), _parse_type(spark, am.group("typ").strip())
         )
 
     asm = re.match(r"^ADD\s+COLUMNS\s*\(", rest, re.IGNORECASE)
@@ -339,6 +374,97 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
         f"ALTER TABLE: unsupported clause {rest[:80]!r} "
         "(module doc lists the accepted forms)"
     )
+
+
+def _split_statements(script: str) -> list[str]:
+    """A SQL script -> its statements: ``--`` comments stripped (outside
+    string literals), then split on top-level ``;`` (outside literals and
+    parentheses), empties dropped."""
+    out, depth, quote, start = [], 0, False, 0
+    cleaned_chars: list[str] = []
+    i, n = 0, len(script)
+    while i < n:  # strip -- comments first, quote-aware
+        ch = script[i]
+        if quote:
+            cleaned_chars.append(ch)
+            quote = ch != "'"
+            i += 1
+        elif ch == "'":
+            cleaned_chars.append(ch)
+            quote = True
+            i += 1
+        elif ch == "-" and script[i:i + 2] == "--":
+            while i < n and script[i] != "\n":
+                i += 1
+        else:
+            cleaned_chars.append(ch)
+            i += 1
+    cleaned = "".join(cleaned_chars)
+    quote = False
+    for i, ch in enumerate(cleaned):
+        if quote:
+            quote = ch != "'"
+        elif ch == "'":
+            quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == ";" and depth == 0:
+            out.append(cleaned[start:i])
+            start = i + 1
+    out.append(cleaned[start:])
+    return [s.strip() for s in out if s.strip()]
+
+
+_DML_HEAD = re.compile(
+    r"^\s*(MERGE|INSERT|DELETE|UPDATE)\b", re.IGNORECASE
+)
+
+
+def run_sql_script(
+    spark: SparkSession,
+    script: str,
+    tables: dict[str, "LakeTable | str"] | None = None,
+    epoch_base: int = 0,
+    cfg=None,
+) -> list[dict]:
+    """Run a multi-statement SQL script — mixed DDL and DML, ``;``
+    separated, ``--`` comments allowed — against one shared ``tables``
+    registry: the engine's analogue of the reference's whole bootstrap
+    being one SQL file (``init-db/postgres.sql``).
+
+    RESUMABLE by construction: the k-th DML statement in the script
+    carries ledger epoch ``epoch_base + k``, so re-running the same script
+    skips already-applied writes exactly-once (``skipped: True`` in that
+    statement's metrics); write the DDL in its standard idempotent forms
+    (``CREATE TABLE IF NOT EXISTS`` — re-registers from disk, never
+    re-creates; ``ADD COLUMN IF NOT EXISTS`` / ``DROP COLUMN IF EXISTS``)
+    and the whole script is safely re-runnable after a crash at any
+    statement. Non-idempotent DDL errors propagate — drift is surfaced,
+    never reconciled silently.
+
+    Returns one dict per statement: ``{"statement": <head>, "kind":
+    "ddl"|"dml", "result": ...}`` where DML results are the apply metrics
+    and DDL results are the snapshot id / table / text / DataFrame the
+    statement produces."""
+    from cnpj_data_pipeline_spark.lake.dml import merge_into
+
+    tables = {} if tables is None else tables
+    results: list[dict] = []
+    dml_idx = 0
+    for stmt in _split_statements(script):
+        head = " ".join(stmt.split())[:60]
+        if _DML_HEAD.match(stmt):
+            r = merge_into(
+                spark, stmt, tables, epoch=epoch_base + dml_idx, cfg=cfg
+            )
+            dml_idx += 1
+            results.append({"statement": head, "kind": "dml", "result": r})
+        else:
+            r = execute_ddl(spark, stmt, tables)
+            results.append({"statement": head, "kind": "ddl", "result": r})
+    return results
 
 
 def show_create_table(table: LakeTable, name: str = "t") -> str:

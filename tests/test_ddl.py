@@ -361,3 +361,93 @@ def test_describe(spark, tmp_path):
     assert meta["Location"] == t.root
     assert meta["Num Buckets"] == "8"
     assert meta["Sort Order"] == "ts"
+
+
+def test_if_exists_forms(spark, tmp_path):
+    tables: dict = {}
+    t = _mk(spark, tmp_path, tables)
+    # CREATE IF NOT EXISTS: registered -> returns it; on-disk -> loads it
+    same = execute_ddl(
+        spark,
+        "CREATE TABLE IF NOT EXISTS transcripts (x INT) "
+        f"LOCATION '{tmp_path}/other'",
+        tables,
+    )
+    assert same is t  # never re-created, statement schema NOT reconciled
+    fresh: dict = {}
+    loaded = execute_ddl(
+        spark,
+        "CREATE TABLE IF NOT EXISTS transcripts (x INT) "
+        f"LOCATION '{t.root}'",
+        fresh,
+    )
+    assert loaded.root == t.root and "x" not in [
+        f.name for f in loaded.schema().fields
+    ]
+    # ADD COLUMN IF NOT EXISTS / DROP COLUMN IF EXISTS are idempotent
+    sid1 = execute_ddl(
+        spark, "ALTER TABLE transcripts ADD COLUMN IF NOT EXISTS lang STRING",
+        tables,
+    )
+    sid2 = execute_ddl(
+        spark, "ALTER TABLE transcripts ADD COLUMN IF NOT EXISTS lang STRING",
+        tables,
+    )
+    assert sid2 == sid1  # second run is a metadata no-op
+    execute_ddl(
+        spark, "ALTER TABLE transcripts DROP COLUMN IF EXISTS lang", tables
+    )
+    sid3 = execute_ddl(
+        spark, "ALTER TABLE transcripts DROP COLUMN IF EXISTS lang", tables
+    )
+    assert sid3 == t.current_snapshot_id()
+    # without IF NOT EXISTS the duplicate add still raises
+    with pytest.raises(ValueError, match="already registered"):
+        execute_ddl(
+            spark,
+            f"CREATE TABLE transcripts (x INT) LOCATION '{tmp_path}/z'",
+            tables,
+        )
+
+
+BOOTSTRAP = """
+-- bootstrap: declare, seed, evolve, repair — one resumable script
+CREATE TABLE IF NOT EXISTS transcripts (
+    conv_id STRING,
+    turn_idx INT,
+    role STRING,
+    text STRING,
+    tool STRING,
+    ts TIMESTAMP,
+    PRIMARY KEY (conv_id, turn_idx)
+) CLUSTERED BY (conv_id, turn_idx) INTO 4 BUCKETS
+  LOCATION '{loc}';
+
+MERGE INTO transcripts AS t USING seed AS s
+ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+WHEN MATCHED AND s.op = 'D' THEN DELETE
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *;
+
+ALTER TABLE transcripts ADD COLUMN IF NOT EXISTS lang STRING;
+
+UPDATE transcripts SET lang = 'en' WHERE role = 'user';  -- backfill
+"""
+
+
+def test_run_sql_script_resumable(spark, tmp_path):
+    from cnpj_data_pipeline_spark.lake.ddl import run_sql_script
+
+    _batch_df(spark, ROWS0).createOrReplaceTempView("seed")
+    script = BOOTSTRAP.format(loc=tmp_path / "t")
+    tables: dict = {}
+    res = run_sql_script(spark, script, tables, epoch_base=100)
+    assert [r["kind"] for r in res] == ["ddl", "dml", "ddl", "dml"]
+    t = tables["transcripts"]
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in t.read(spark).collect()}
+    assert rows[("a", 0)]["lang"] == "en" and rows[("a", 1)]["lang"] is None
+
+    # re-run: every statement is a skip/no-op, state unchanged
+    res2 = run_sql_script(spark, script, {}, epoch_base=100)
+    assert res2[1]["result"]["skipped"] and res2[3]["result"]["skipped"]
+    assert t.current_snapshot_id() == res[3]["result"]["snapshot_id"]
