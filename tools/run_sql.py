@@ -1,0 +1,93 @@
+"""spark-submit entrypoint for the SQL surface: run one statement or a
+whole ``;``-separated DDL/DML script against registered lake tables.
+
+Cluster usage::
+
+    spark-submit --py-files engine.zip tools/run_sql.py \\
+        --table transcripts=s3://bucket/lake/transcripts \\
+        --execute "ALTER TABLE transcripts ADD COLUMN IF NOT EXISTS lang STRING"
+
+    spark-submit ... tools/run_sql.py \\
+        --table transcripts=s3://bucket/lake/transcripts \\
+        --script bootstrap.sql --epoch-base 100
+
+``--script`` runs resumably (see ``lake/ddl.py:run_sql_script`` — DML
+statement k carries ledger epoch ``epoch_base + k``; IF [NOT] EXISTS DDL
+forms no-op on re-run), so re-submitting after a crash is safe. ``--view``
+registers a parquet path or table as a temp view for MERGE sources.
+Prints one JSON line per statement; DESCRIBE/SHOW results print as text.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _fmt(result):
+    from pyspark.sql import DataFrame
+
+    if isinstance(result, DataFrame):
+        return [r.asDict() for r in result.collect()]
+    if isinstance(result, (dict, int, str)):
+        return result
+    return getattr(result, "root", str(result))  # a created LakeTable
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="SQL DDL/DML over lake tables")
+    ap.add_argument(
+        "--table", action="append", default=[],
+        metavar="NAME=ROOT", help="register a lake table (repeatable)",
+    )
+    ap.add_argument(
+        "--view", action="append", default=[],
+        metavar="NAME=PARQUET_PATH",
+        help="register a parquet path as a temp view (MERGE source)",
+    )
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--execute", help="one SQL statement")
+    g.add_argument("--script", help="path to a ;-separated SQL script file")
+    ap.add_argument("--epoch-base", type=int, default=0)
+    ap.add_argument("--salt-factor", type=int, default=4)
+    ap.add_argument("--master", default=None,
+                    help="only for local runs; omit under spark-submit")
+    args = ap.parse_args()
+
+    from cnpj_data_pipeline_spark import EngineConfig
+    from cnpj_data_pipeline_spark.lake.ddl import run_sql_script
+    from cnpj_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(master=args.master) if args.master else get_spark()
+    tables: dict = {}
+    for spec in args.table:
+        name, root = spec.split("=", 1)
+        tables[name] = root
+    for spec in args.view:
+        name, path = spec.split("=", 1)
+        spark.read.parquet(path).createOrReplaceTempView(name)
+
+    if args.script:
+        with open(args.script, encoding="utf-8") as f:
+            script = f.read()
+    else:
+        script = args.execute
+    results = run_sql_script(
+        spark, script, tables,
+        epoch_base=args.epoch_base,
+        cfg=EngineConfig(salt_factor=args.salt_factor),
+    )
+    for r in results:
+        print(json.dumps(
+            {"statement": r["statement"], "kind": r["kind"],
+             "result": _fmt(r["result"])},
+            default=str,
+        ))
+
+
+if __name__ == "__main__":
+    main()
