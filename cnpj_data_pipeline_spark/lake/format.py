@@ -2321,8 +2321,11 @@ class LakeTable:
                 fstats = _pad_fstats(info.get("fstats"), len(files))
                 if max_lsn is None:
                     max_lsn = prev.get("max_lsn")
-                gens = 1 if files else 0
-                is_merged = merged
+                # a path-only rewrite (localize: same bytes, new location)
+                # carries the bucket's flags through verbatim; data rewrites
+                # (compact/vacuum/CoW) omit them and take the defaults
+                gens = info.get("gens", 1 if files else 0)
+                is_merged = info.get("merged", merged)
             buckets[str(b)] = {
                 "files": files,
                 "rows": rows,
@@ -3308,6 +3311,13 @@ class LakeTable:
         bytes_removed = 0
         touched_dirs: set[str] = set()
         for rel in candidates - referenced:
+            if os.path.isabs(rel):
+                # FOREIGN file (absolute entry written by clone()): owned by
+                # the SOURCE table's GC, never this one's. A clone deletes
+                # only what lives under its own root (relative entries) —
+                # expiring clone history must not eat source bytes out from
+                # under the source table or its other clones.
+                continue
             fp = os.path.join(self.root, rel)
             try:
                 bytes_removed += os.path.getsize(fp)
@@ -3494,6 +3504,16 @@ class LakeTable:
             "schema": target["schema"],
             "key_cols": target["key_cols"],
             "bucket_cols": target.get("bucket_cols"),
+            # engine + name-mapping state reverts WITH the schema: omitting
+            # these keys would make every reader fall back to their defaults
+            # — a partial/aggregate table silently becoming LWW after a
+            # rollback, a rename map vanishing (physical names resurfacing),
+            # and a dropped-column tombstone disappearing (re-adding that
+            # name would resurrect the old files' pre-drop values)
+            "merge_engine": target.get("merge_engine", "lww"),
+            "agg_spec": target.get("agg_spec"),
+            "renames": target.get("renames") or {},
+            "dropped_cols": target.get("dropped_cols") or [],
             # props revert WITH the data, like applied_epochs: a consumer
             # frontier stored on this table must rewind to the target state
             # so the consumer re-applies the rolled-back windows
@@ -3522,6 +3542,208 @@ class LakeTable:
             )
         self._swap_pointer(snap["snapshot_id"])
         return snap["snapshot_id"]
+
+    # ---------------- zero-copy clone (table fork) ----------------
+    #
+    # Delta Lake's SHALLOW CLONE / an Iceberg snapshot-ref fork: a new,
+    # independently-committable table whose first snapshot REFERENCES the
+    # source's data files instead of copying them — O(metadata) regardless
+    # of table size, the only sane way to fork a 100 TB table for an
+    # experiment, a backfill rehearsal, or a training-data freeze. The fork
+    # is expressed purely in the manifest: file entries are stored ABSOLUTE
+    # (every read site resolves entries via os.path.join(root, entry),
+    # which passes absolute paths through untouched), while files the clone
+    # writes itself stay relative — so ownership is syntactic: relative =
+    # mine, absolute = foreign. GC honors exactly that rule
+    # (expire_snapshots skips absolute entries; clean_orphans only ever
+    # walks its own data dir), which makes the fork safe under maintenance
+    # on BOTH sides. The remaining hazard — the source expiring the
+    # snapshot the clone still reads from — is closed with the existing tag
+    # machinery: clone() pins the source snapshot under an auto tag
+    # (``clone-<id>``), exactly how Iceberg branches protect their base,
+    # and localize() releases it once the clone owns its bytes.
+    # Reference analogue: none (a Postgres state table cannot be forked
+    # without a full dump/restore).
+
+    def clone(
+        self,
+        dest_root: str,
+        snapshot_id: int | str | None = None,
+        at: "_dt.datetime | str | None" = None,
+    ) -> "LakeTable":
+        """Fork this table at a snapshot (default: current head; or a tag
+        name, or ``at`` = TIMESTAMP AS OF) into a new table at
+        ``dest_root`` without copying any data bytes.
+
+        The clone starts at snapshot 0 with the source state's schema,
+        engine, renames, tombstones, props, watermarks and applied-epoch
+        ledger — so exactly-once ingest CONTINUES correctly on the fork
+        (an epoch applied before the fork point stays applied), and a
+        consumer frontier stored in props resumes from the fork point.
+        Writes to either side never touch the other: new files always land
+        under the writer's own root, and replace-mode rewrites (compact /
+        vacuum / rebucket) naturally migrate the clone's buckets onto its
+        own storage bucket-by-bucket.
+
+        Cross-table protection: the source snapshot is pinned under an auto
+        tag so the source's ``expire_snapshots`` keeps every byte the clone
+        references; pins inherited from an ancestor chain (clone-of-clone)
+        are re-pinned for this clone, so releasing the parent's pin never
+        strands the child. Call :meth:`localize` to copy the foreign bytes
+        in and release all pins."""
+        if at is not None and snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR at, not both")
+        if at is not None:
+            sid = self.snapshot_as_of(at)
+        elif isinstance(snapshot_id, str):
+            sid = self.resolve_tag(snapshot_id)
+        elif snapshot_id is None:
+            sid = self.current_snapshot_id()
+        else:
+            sid = int(snapshot_id)
+        snap = self.snapshot(sid)
+        dest = LakeTable(dest_root)
+        if os.path.exists(dest._pointer_path()):
+            raise FileExistsError(f"table already exists at {dest_root}")
+        src_root = os.path.abspath(self.root)
+
+        # pin BEFORE the clone becomes visible: the fork must never exist
+        # unprotected. One ref name across every pinned ancestor.
+        ref = f"clone-{_uuid.uuid4().hex[:8]}"
+        pins: list[dict] = []
+        try:
+            self.create_tag(ref, sid)
+            pins.append({"root": src_root, "snapshot": sid, "ref": ref})
+            for p in (snap.get("props") or {}).get("clone_pins") or []:
+                LakeTable.load(p["root"]).create_tag(ref, p["snapshot"])
+                pins.append(
+                    {"root": p["root"], "snapshot": p["snapshot"], "ref": ref}
+                )
+        except BaseException:
+            for p in pins:
+                try:
+                    LakeTable.load(p["root"]).drop_tag(p["ref"])
+                except OSError:
+                    pass
+            raise
+
+        new = json.loads(json.dumps(snap))  # deep copy
+        for info in new["buckets"].values():
+            info["files"] = [
+                f if os.path.isabs(f) else os.path.join(src_root, f)
+                for f in info["files"]
+            ]
+        new.update(
+            {
+                "snapshot_id": 0,
+                "parent_id": None,
+                "epoch": None,
+                "epochs": [],
+                "op": "clone",
+                "lineage": [
+                    {
+                        "partition_id": -1,
+                        "epoch": None,
+                        "max_lsn": None,
+                        "rows_applied": 0,
+                        "cloned_from": {"root": src_root, "snapshot_id": sid},
+                    }
+                ],
+                "committed_at": _utcnow_iso(),
+            }
+        )
+        new["props"] = {
+            **(new.get("props") or {}),
+            "clone_src": src_root,
+            "clone_src_snapshot": sid,
+            "clone_pins": pins,
+        }
+        os.makedirs(dest.meta_dir, exist_ok=True)
+        os.makedirs(dest.data_dir, exist_ok=True)
+        dest._write_snapshot(new)
+        dest._swap_pointer(0)
+        return dest
+
+    def foreign_files(self) -> list[str]:
+        """Absolute (source-owned) file entries the current snapshot still
+        references — empty once the clone is fully localized (or was never
+        a clone)."""
+        out: list[str] = []
+        for info in self.snapshot()["buckets"].values():
+            out.extend(f for f in info["files"] if os.path.isabs(f))
+        return out
+
+    def localize(self) -> dict:
+        """Materialize a shallow clone: byte-copy every foreign (absolute)
+        file entry into this table's own data dir, commit the path-only
+        rewrite (same bytes, same stats, per-bucket ``merged``/``gens``
+        flags carried through verbatim — the merge-on-read state of a
+        multi-generation bucket is preserved exactly), then release the
+        clone pins so the source's retention can move on. Idempotent: a
+        repeat call finds no foreign entries and only re-attempts pin
+        release. Crash-safe: a copy that never commits is orphan debris
+        under this root (clean_orphans' grace window applies); the pins
+        outlive any crash because they are dropped only AFTER the commit.
+
+        Driver-side byte copy — O(foreign bytes) sequential. At cluster
+        scale prefer per-bucket ``compact(buckets=...)`` to migrate hot
+        buckets through executors first, then localize the remainder."""
+        import shutil
+
+        from cnpj_data_pipeline_spark.lake.bloom import sidecar_path
+
+        def _once() -> dict:
+            snap = self.snapshot()
+            updates: dict[int, dict] = {}
+            files_copied = 0
+            bytes_copied = 0
+            for b, info in snap["buckets"].items():
+                if not any(os.path.isabs(f) for f in info["files"]):
+                    continue
+                bdir = os.path.join(self.data_dir, f"{BUCKET_COL}={b}")
+                os.makedirs(bdir, exist_ok=True)
+                new_files = []
+                for f in info["files"]:
+                    if not os.path.isabs(f):
+                        new_files.append(f)
+                        continue
+                    dst = os.path.join(
+                        bdir,
+                        f"loc-{_uuid.uuid4().hex[:8]}-{os.path.basename(f)}",
+                    )
+                    shutil.copy2(f, dst)
+                    sc_src = sidecar_path(f)
+                    if os.path.exists(sc_src):
+                        shutil.copy2(sc_src, sidecar_path(dst))
+                    files_copied += 1
+                    bytes_copied += os.path.getsize(dst)
+                    new_files.append(os.path.relpath(dst, self.root))
+                ni = dict(info)
+                ni["files"] = new_files
+                updates[int(b)] = ni
+            if updates:
+                self.commit(
+                    op="localize",
+                    epoch=None,
+                    bucket_updates=updates,
+                    mode="replace",
+                    expected_parent=snap["snapshot_id"],
+                )
+            return {
+                "files_copied": files_copied,
+                "bytes_copied": bytes_copied,
+            }
+
+        stats = _retry_conflicts(_once)
+        released = 0
+        for p in self.props().get("clone_pins") or []:
+            try:
+                if LakeTable.load(p["root"]).drop_tag(p["ref"]):
+                    released += 1
+            except (OSError, FileNotFoundError):
+                pass  # source root gone/unreachable: nothing left to unpin
+        stats["pins_released"] = released
+        return stats
 
     def vacuum_tombstones(
         self,

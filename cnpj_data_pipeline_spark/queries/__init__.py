@@ -132,6 +132,9 @@ _EXTRA_NAMES = (
     # mid-stream ALTER TABLE RENAME COLUMN + WRITE ORDERED BY + compact,
     # all via SQL text; renamed final-state oracle
     "q_cdc_replay_ddl",
+    # round 5: zero-copy shallow clone (table fork) — replay continues on
+    # the fork across localize; same final-state oracle
+    "q_cdc_replay_cloned",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

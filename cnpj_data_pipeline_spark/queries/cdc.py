@@ -1032,6 +1032,44 @@ def q_cdc_replay_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_cdc_replay_cloned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay across a ZERO-COPY TABLE FORK (``LakeTable.clone`` — Delta's
+    shallow clone / an Iceberg snapshot-ref fork, a capability the
+    reference's Postgres state table cannot express without dump/restore):
+    epochs 0-1 ingest into a source table, the table is forked O(metadata)
+    — the clone's first snapshot references the source's files as foreign
+    absolute entries, zero bytes copied, applied-epoch ledger carried so
+    exactly-once continues — then epoch 2 ingests into the CLONE (reads mix
+    foreign + clone-local generations through the same LWW fold),
+    ``localize()`` brings the foreign bytes home mid-stream (path-only
+    rewrite: per-bucket merged/gens flags preserved verbatim, source pin
+    released), and epoch 3 lands on the fully-owned fork. Final state must
+    equal the same SQL fold as every replay variant — a fork is physical
+    lineage, never semantics.
+
+    At 100 TB this is the experiment/backfill-rehearsal path: forking the
+    production table costs one manifest write, not a 100 TB copy."""
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    src = LakeTable.create(
+        os.path.join(_mk_scratch("cdc_replay_cl_src_"), "lake"),
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets,
+    )
+    for e in range(2):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, src, batch, epoch=e, cfg=cfg)
+    table = src.clone(os.path.join(_mk_scratch("cdc_replay_cl_"), "lake"))
+    assert table.foreign_files()  # genuinely zero-copy at the fork point
+    batch = spark.read.parquet(os.path.join(wal, "epoch=2"))
+    apply_changes(spark, table, batch, epoch=2, cfg=cfg)
+    table.localize()
+    assert table.foreign_files() == []
+    for e in range(3, N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    return table.read(spark)
+
+
 def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SNAPSHOT TIME TRAVEL: read the replayed lake table AS OF the commit
     that applied epoch 1 — the historical state mid-replay, long since
@@ -1230,6 +1268,7 @@ QUERIES = {
     "q_derived_table_sync": q_derived_table_sync,
     "q_conv_render": q_conv_render,
     "q_cdc_replay_rebucket": q_cdc_replay_rebucket,
+    "q_cdc_replay_cloned": q_cdc_replay_cloned,
     "q_time_travel": q_time_travel,
     "q_cdc_replay_partial": q_cdc_replay_partial,
     "q_agg_table_counters": q_agg_table_counters,
@@ -1340,6 +1379,7 @@ ORACLES = {
     "q_cdc_replay": _FINAL_STATE_SQL,
     "q_cdc_replay_compacted": _FINAL_STATE_SQL,
     "q_cdc_replay_sorted": _FINAL_STATE_SQL,
+    "q_cdc_replay_cloned": _FINAL_STATE_SQL,
     "q_cdc_replay_dropped": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
         SELECT conv_id, turn_idx, role, text, ts

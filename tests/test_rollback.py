@@ -113,3 +113,61 @@ def test_change_feed_window_spanning_rollback_fails_loudly(spark, tmp_table):
     job.run_batches(spark, batches[2:])
     changes = table.read_changes(spark, rb_sid)
     assert changes.count() > 0
+
+
+def test_rollback_preserves_merge_engine_and_schema_state(spark, tmp_path):
+    """Regression: rollback used to rebuild its snapshot WITHOUT the
+    merge_engine / agg_spec / renames / dropped_cols keys — a rollback on a
+    partial-engine table silently flipped it to LWW, and a dropped-column
+    tombstone vanished (re-adding the name would resurrect pre-drop file
+    values)."""
+    from cnpj_data_pipeline_spark.gen import gen_partial_changes
+
+    root = str(tmp_path / "plake")
+    cfg = EngineConfig(n_buckets=4, merge_engine="partial")
+    ch = gen_partial_changes(spark, n_events=1_500, n_convs=60, n_epochs=2)
+    job = IngestJob(root, cfg)
+    batches = list(epoch_batches(ch, 2))
+    job.run_batches(spark, batches[:1])
+    table = LakeTable.load(root)
+    good_sid = table.current_snapshot_id()
+    good = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+        .reset_index(drop=True)
+    )
+
+    job.run_batches(spark, batches[1:])
+    table.rollback(good_sid)
+    snap = table.snapshot()
+    assert snap["merge_engine"] == "partial"
+    after = (
+        table.read(spark).orderBy("conv_id", "turn_idx").toPandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(after, good, check_dtype=False)
+
+
+def test_rollback_preserves_renames_and_drop_tombstones(spark, tmp_table):
+    _, _, job, batches = _ingest(spark, tmp_table, n_epochs=2)
+    job.run_batches(spark, batches)
+    table = LakeTable.load(tmp_table)
+    pre_evolve = table.current_snapshot_id()
+    table.rename_column("tool", "tool_name")
+    table.drop_column("text")
+    evolved = table.current_snapshot_id()
+    cols_evolved = set(table.read(spark).columns)
+    assert "tool_name" in cols_evolved and "text" not in cols_evolved
+
+    # a data commit, then rollback to the evolved state: the rename map and
+    # the drop tombstone must survive the round trip
+    table.rollback(pre_evolve)
+    table.rollback(evolved)
+    snap = table.snapshot()
+    assert snap["renames"] == {"tool": "tool_name"}
+    assert "text" in snap["dropped_cols"]
+    assert set(table.read(spark).columns) == cols_evolved
+    # tombstone still guards re-add under the dropped name
+    from pyspark.sql import types as T
+
+    with pytest.raises(ValueError, match="tombstone"):
+        table.add_column("text", T.StringType())
