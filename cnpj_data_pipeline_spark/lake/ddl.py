@@ -23,6 +23,10 @@ Supported grammar (case-insensitive keywords; one statement per call):
     [LOCATION '<path>']
     [TBLPROPERTIES ('<k>'='<v>' [, ...])]
 
+    CREATE TABLE <name> [SHALLOW] CLONE <src>
+        [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>' | TAG '<tag>']
+        LOCATION '<path>'
+
     ALTER TABLE <name> RENAME COLUMN <old> TO <new>
     ALTER TABLE <name> DROP COLUMN <c>
     ALTER TABLE <name> ADD COLUMN <c> <type>
@@ -85,6 +89,15 @@ from cnpj_data_pipeline_spark.lake.format import LakeTable
 _CREATE_HEAD = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
     r"(?P<name>[\w.-]+)\s*\(",
+    re.IGNORECASE,
+)
+_CLONE_HEAD = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<name>[\w.-]+)\s+(?:SHALLOW\s+)?CLONE\s+(?P<src>[\w.-]+)"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+    r"|\s+TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
+    r"|\s+TAG\s+'(?P<tag>[^']+)')?"
+    r"\s+LOCATION\s+'(?P<loc>[^']+)'\s*;?\s*$",
     re.IGNORECASE,
 )
 _ALTER_HEAD = re.compile(
@@ -267,6 +280,40 @@ def _create_stmt(
         table.set_props(props)
     tables[name] = table
     return table
+
+
+def _clone_stmt(m: re.Match, tables: dict) -> LakeTable:
+    """``CREATE TABLE t [SHALLOW] CLONE s [VERSION AS OF n | TIMESTAMP AS
+    OF 'ts' | TAG 'name'] LOCATION 'path'`` — Delta's shallow-clone DDL,
+    compiling to :meth:`LakeTable.clone` (O(metadata) zero-copy fork; the
+    source snapshot is auto-tag-pinned until the clone localizes)."""
+    name = m.group("name")
+    if name in tables:
+        if m.group("ine") is not None:
+            t = tables[name]
+            return t if isinstance(t, LakeTable) else LakeTable.load(t)
+        raise ValueError(f"table {name!r} is already registered")
+    src_name = m.group("src")
+    if src_name not in tables:
+        raise ValueError(
+            f"CLONE source {src_name!r} is not registered "
+            f"(registered: {sorted(tables)})"
+        )
+    s = tables[src_name]
+    src = s if isinstance(s, LakeTable) else LakeTable.load(s)
+    if m.group("ine") is not None and LakeTable.exists(m.group("loc")):
+        # resumable bootstrap: the fork already landed on a prior run
+        t = LakeTable.load(m.group("loc"))
+        tables[name] = t
+        return t
+    sid: int | str | None = None
+    if m.group("ver") is not None:
+        sid = int(m.group("ver"))
+    elif m.group("tag") is not None:
+        sid = m.group("tag")
+    clone = src.clone(m.group("loc"), snapshot_id=sid, at=m.group("ts"))
+    tables[name] = clone
+    return clone
 
 
 def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
@@ -578,6 +625,9 @@ def execute_ddl(
     Python API issues; ``SHOW CREATE TABLE`` returns the statement text;
     ``DESCRIBE`` returns a DataFrame."""
     stmt = statement.strip()
+    cm = _CLONE_HEAD.match(stmt)
+    if cm:
+        return _clone_stmt(cm, tables)
     if _CREATE_HEAD.match(stmt):
         return _create_stmt(spark, stmt, tables)
     am = _ALTER_HEAD.match(stmt.rstrip().rstrip(";"))

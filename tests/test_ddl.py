@@ -451,3 +451,66 @@ def test_run_sql_script_resumable(spark, tmp_path):
     res2 = run_sql_script(spark, script, {}, epoch_base=100)
     assert res2[1]["result"]["skipped"] and res2[3]["result"]["skipped"]
     assert t.current_snapshot_id() == res[3]["result"]["snapshot_id"]
+
+
+def test_create_table_clone(spark, tmp_path):
+    tables: dict = {}
+    t = execute_ddl(spark, CREATE.format(loc=tmp_path / "t"), tables)
+    apply_changes(spark, t, _batch_df(spark, ROWS0), epoch=0, cfg=CFG)
+    sid1 = t.current_snapshot_id()
+    t.create_tag("fork-here", sid1)
+    apply_changes(
+        spark,
+        t,
+        _batch_df(spark, [("c", 0, "user", "new", None, TS, "I", 9)]),
+        epoch=1,
+        cfg=CFG,
+    )
+
+    head = execute_ddl(
+        spark,
+        f"CREATE TABLE fork SHALLOW CLONE transcripts LOCATION '{tmp_path}/f1'",
+        tables,
+    )
+    assert isinstance(head, LakeTable) and tables["fork"] is head
+    assert head.read(spark).count() == 4
+    assert head.foreign_files()  # zero-copy
+
+    by_ver = execute_ddl(
+        spark,
+        "CREATE TABLE fork_v CLONE transcripts "
+        f"VERSION AS OF {sid1} LOCATION '{tmp_path}/f2'",
+        tables,
+    )
+    by_tag = execute_ddl(
+        spark,
+        "CREATE TABLE fork_t CLONE transcripts TAG 'fork-here' "
+        f"LOCATION '{tmp_path}/f3'",
+        tables,
+    )
+    assert by_ver.read(spark).count() == 3
+    assert by_tag.read(spark).count() == 3
+
+    # IF NOT EXISTS resumability: re-running the bootstrap with a fresh
+    # registry loads the landed fork instead of failing
+    fresh = {"transcripts": t}
+    again = execute_ddl(
+        spark,
+        "CREATE TABLE IF NOT EXISTS fork SHALLOW CLONE transcripts "
+        f"LOCATION '{tmp_path}/f1'",
+        fresh,
+    )
+    assert again.root == head.root
+
+    with pytest.raises(ValueError, match="already registered"):
+        execute_ddl(
+            spark,
+            f"CREATE TABLE fork CLONE transcripts LOCATION '{tmp_path}/f4'",
+            tables,
+        )
+    with pytest.raises(ValueError, match="not registered"):
+        execute_ddl(
+            spark,
+            f"CREATE TABLE x CLONE nope LOCATION '{tmp_path}/f5'",
+            tables,
+        )

@@ -123,6 +123,20 @@ def main() -> None:
     p.add_argument("--to", dest="new", required=True,
                    help="new logical name")
 
+    p = sub.add_parser("clone", help="zero-copy shallow clone: fork the "
+                                     "table at a snapshot in O(metadata); "
+                                     "the source snapshot is auto-tag-"
+                                     "pinned until the fork localizes")
+    p.add_argument("--dest", required=True, help="new table root")
+    p.add_argument("--snapshot", default=None,
+                   help="snapshot id or tag name (default: current head)")
+    p.add_argument("--at", default=None,
+                   help="TIMESTAMP AS OF (ISO UTC) instead of --snapshot")
+
+    sub.add_parser("localize", help="copy a clone's foreign (source-owned) "
+                                    "files into its own storage and release "
+                                    "the source pins")
+
     p = sub.add_parser("check", help="CHECK TABLE: verify physical files "
                                      "against the manifest")
     p.add_argument("--placement", action="store_true",
@@ -179,6 +193,23 @@ def main() -> None:
         print(json.dumps({"op": "rename-column", "snapshot_id": sid,
                           "from": args.old, "to": args.new,
                           "renames": table.renames()}))
+        return
+    if args.op == "clone":
+        snap = args.snapshot
+        if snap is not None and snap.isdigit():
+            snap = int(snap)
+        c = table.clone(args.dest, snapshot_id=snap, at=args.at)
+        print(json.dumps({
+            "op": "clone", "dest": args.dest,
+            "source_snapshot": c.props()["clone_src_snapshot"],
+            "foreign_files": len(c.foreign_files()),
+            "pins": c.props()["clone_pins"],
+        }))
+        return
+    if args.op == "localize":
+        stats = table.localize()
+        print(json.dumps({"op": "localize", **stats,
+                          "foreign_left": len(table.foreign_files())}))
         return
     if args.op == "set-sort-order":
         cols = (
