@@ -46,6 +46,10 @@ from cnpj_data_pipeline_spark.lake.ddl import (  # noqa: F401
     run_sql_script,
     show_create_table,
 )
+from cnpj_data_pipeline_spark.lake.txn_catalog import (  # noqa: F401
+    Catalog,
+    MultiTableTransaction,
+)
 from cnpj_data_pipeline_spark.plans.sync import (  # noqa: F401
     FeedSyncJob,
     text_stats_transform,
