@@ -452,7 +452,12 @@ class MultiTableTransaction:
         )
         return m
 
-    def commit(self) -> int:
+    def prepare(self) -> dict:
+        """Phase-one finish for an EXTERNAL coordinator: make the prepared
+        record durable (the 2PC commit point) without publishing anything.
+        From here the transaction WILL complete exactly-once — immediately
+        via :meth:`commit`, or after any crash via :meth:`Catalog.recover`
+        (the path a restarted driver takes). Returns the prepared record."""
         if self._done:
             raise RuntimeError("transaction already finished")
         if not self._staged:
@@ -474,7 +479,10 @@ class MultiTableTransaction:
             os.replace(tmp, path)
 
         _retry_io(_write)  # the 2PC commit point: prepared record durable
-        return self.catalog._complete(txn)
+        return txn
+
+    def commit(self) -> int:
+        return self.catalog._complete(self.prepare())
 
     def abort(self) -> None:
         """Release every staged batch (files become orphan debris behind

@@ -135,6 +135,10 @@ _EXTRA_NAMES = (
     # round 5: zero-copy shallow clone (table fork) — replay continues on
     # the fork across localize; same final-state oracle
     "q_cdc_replay_cloned",
+    # round 5: transactional multi-table catalog — per-epoch 2-table
+    # transactions (stage-all, one catalog CAS), last epoch completed via
+    # the 2PC recovery path; read through catalog pins
+    "q_multi_table_txn",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

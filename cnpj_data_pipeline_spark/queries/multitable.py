@@ -276,6 +276,73 @@ def q_append_only_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC MULTI-TABLE TRANSACTIONS (``lake/txn_catalog.py``): each
+    epoch's convs + turns batches stage through ONE
+    :class:`MultiTableTransaction` (full merge pipeline, nothing visible)
+    and land in a single catalog CAS — readers resolving tables through the
+    catalog never see a torn epoch. The last epoch deliberately stops at the
+    2PC commit point (``prepare()`` — the prepared record is durable, the
+    catalog vector untouched) and is completed by ``Catalog.recover()``, the
+    restarted-coordinator path; final state is read THROUGH the catalog
+    pins. Oracle: the same pure-SQL LWW folds as ``q_multi_table_replay``.
+    The reference's loader commits per file with NO spanning transaction
+    (src/database/postgres.py:183-196) — this closes that torn-read window.
+    """
+    from cnpj_data_pipeline_spark.lake.txn_catalog import Catalog
+
+    root = _mk_scratch("cdc_txn_")
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    convs_t = LakeTable.create(
+        os.path.join(root, "convs"), CONV_SCHEMA, ["conv_id"], cfg.n_buckets
+    )
+    turns_t = LakeTable.create(
+        os.path.join(root, "turns"),
+        TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"],
+        cfg.n_buckets,
+    )
+    cat = Catalog.create(
+        os.path.join(root, "cat"), {"convs": convs_t, "turns": turns_t}
+    )
+    conv_ch = conv_changes_from_events(spark, sf_dir).persist()
+    turn_ch = changes_from_events(spark, sf_dir).persist()
+    for e in range(N_EPOCHS):
+        txn = cat.begin(cfg=cfg)
+        txn.apply(
+            spark, "convs", conv_ch.filter(F.col("epoch") == e).drop("epoch"),
+            epoch=e,
+        )
+        txn.apply(
+            spark, "turns", turn_ch.filter(F.col("epoch") == e).drop("epoch"),
+            epoch=e,
+        )
+        if e < N_EPOCHS - 1:
+            txn.commit()
+        else:
+            txn.prepare()  # durable 2PC record; "crash" before completion
+            assert cat.current_version() == e, "torn visibility pre-recovery"
+            recovered = Catalog.load(cat.root).recover()
+            assert recovered == [e + 1], recovered
+    conv_ch.unpersist()
+    turn_ch.unpersist()
+    n_turns = (
+        cat.read(spark, "turns")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    return (
+        cat.read(spark, "convs")
+        .select("conv_id", "title")
+        .join(n_turns, "conv_id", "left")
+        .select(
+            "conv_id",
+            "title",
+            F.coalesce(F.col("n_turns"), F.lit(0)).cast("long").alias("n_turns"),
+        )
+    )
+
+
 CONV_CHANGES_CTE = """
 conv_changes AS (
   SELECT 'c' || lpad(CAST(user_id % 200 AS VARCHAR), 8, '0') AS conv_id,
@@ -308,6 +375,7 @@ labels AS (
 
 QUERIES = {
     "q_multi_table_replay": q_multi_table_replay,
+    "q_multi_table_txn": q_multi_table_txn,
     "q_append_only_log": q_append_only_log,
     "q_asof_titles": q_asof_titles,
     "q_join_view": q_join_view,
@@ -331,6 +399,17 @@ ORACLES = {
         FROM conv_winners c
         LEFT JOIN alive_turns t ON c.conv_id = t.conv_id
         LEFT JOIN label_counts l ON c.conv_id = l.conv_id
+    """,
+    "q_multi_table_txn": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
+        {CONV_CHANGES_CTE.strip()},
+        alive_turns AS (
+          SELECT conv_id, count(*) AS n FROM winners WHERE op <> 'D' GROUP BY conv_id
+        )
+        SELECT c.conv_id, c.title,
+               CAST(coalesce(t.n, 0) AS BIGINT) AS n_turns
+        FROM conv_winners c
+        LEFT JOIN alive_turns t ON c.conv_id = t.conv_id
     """,
     "q_append_only_log": f"""
         WITH {LABELS_CTE.strip()}

@@ -294,6 +294,25 @@ def test_recover_tolerates_concurrent_direct_apply(spark, tmp_path, monkeypatch)
     assert convs.applied_epochs() == {0, 1}
 
 
+def test_explicit_prepare_then_recover(spark, tmp_path):
+    """The public 2PC split: prepare() makes the record durable without
+    publishing; recover() is the completion path. No monkeypatching."""
+    cat, convs, turns = _seeded_catalog(spark, tmp_path)
+    txn = cat.begin(cfg=CFG)
+    txn.apply(spark, "convs", _conv_batch(spark, 1), epoch=1)
+    txn.apply(spark, "turns", _turn_batch(spark, 1), epoch=1)
+    rec = txn.prepare()
+    assert rec["token"] == txn.token and len(rec["updates"]) == 2
+    assert cat.current_version() == 0
+    assert 1 not in convs.applied_epochs()
+    with pytest.raises(RuntimeError, match="finished"):
+        txn.commit()  # prepare consumed the transaction object
+    assert Catalog.load(cat.root).recover() == [1]
+    gc, gt = _golden(spark, tmp_path, epochs=2)
+    assert _cat_state(spark, cat, "convs") == gc
+    assert _cat_state(spark, cat, "turns") == gt
+
+
 # ---------------- retention + views ----------------
 
 
