@@ -467,6 +467,14 @@ def _split_statements(script: str) -> list[str]:
 _DML_HEAD = re.compile(
     r"^\s*(MERGE|INSERT|DELETE|UPDATE)\b", re.IGNORECASE
 )
+_BEGIN_HEAD = re.compile(
+    r"^\s*BEGIN(\s+TRANSACTION)?\s*$", re.IGNORECASE
+)
+_COMMIT_HEAD = re.compile(r"^\s*COMMIT(\s+TRANSACTION)?\s*$", re.IGNORECASE)
+_ROLLBACK_HEAD = re.compile(
+    r"^\s*ROLLBACK(\s+TRANSACTION)?\s*$", re.IGNORECASE
+)
+_TXN_READ_DDL = re.compile(r"^\s*(SHOW|DESCRIBE)\b", re.IGNORECASE)
 
 
 def run_sql_script(
@@ -475,6 +483,7 @@ def run_sql_script(
     tables: dict[str, "LakeTable | str"] | None = None,
     epoch_base: int = 0,
     cfg=None,
+    catalog=None,
 ) -> list[dict]:
     """Run a multi-statement SQL script — mixed DDL and DML, ``;``
     separated, ``--`` comments allowed — against one shared ``tables``
@@ -491,26 +500,101 @@ def run_sql_script(
     statement. Non-idempotent DDL errors propagate — drift is surfaced,
     never reconciled silently.
 
+    TRANSACTIONS (requires ``catalog``, a :class:`Catalog`): DML between
+    ``BEGIN [TRANSACTION];`` and ``COMMIT;`` stages through ONE
+    :class:`MultiTableTransaction` and lands in a single catalog CAS —
+    readers resolving the tables through the catalog see the whole block
+    or none of it, however many tables it touched. ``ROLLBACK;`` discards
+    the staged block. A DML target inside a block resolves through the
+    catalog's pins first, then ``tables`` — a table the script just
+    CREATEd joins the catalog atomically at the block's commit. DDL inside
+    a block is refused (table-format DDL commits its own metadata CAS and
+    cannot stage) except the read-only SHOW/DESCRIBE forms. Pending
+    prepared transactions from a crashed earlier run are completed before
+    the first statement (2PC recovery), so the script's idempotent re-run
+    contract extends across transaction blocks: a re-run block stages
+    nothing (ledger skips), commits as a catalog no-op, and the version
+    vector is untouched.
+
     Returns one dict per statement: ``{"statement": <head>, "kind":
-    "ddl"|"dml", "result": ...}`` where DML results are the apply metrics
-    and DDL results are the snapshot id / table / text / DataFrame the
-    statement produces."""
+    "ddl"|"dml"|"txn", "result": ...}`` where DML results are the apply
+    metrics, DDL results are the snapshot id / table / text / DataFrame
+    the statement produces, and COMMIT's result is the catalog version."""
     from cnpj_data_pipeline_spark.lake.dml import merge_into
 
     tables = {} if tables is None else tables
+    if catalog is not None:
+        catalog.recover()
     results: list[dict] = []
     dml_idx = 0
-    for stmt in _split_statements(script):
-        head = " ".join(stmt.split())[:60]
-        if _DML_HEAD.match(stmt):
-            r = merge_into(
-                spark, stmt, tables, epoch=epoch_base + dml_idx, cfg=cfg
+    txn = None
+    try:
+        for stmt in _split_statements(script):
+            head = " ".join(stmt.split())[:60]
+            if _BEGIN_HEAD.match(stmt):
+                if catalog is None:
+                    raise ValueError(
+                        "BEGIN TRANSACTION requires a catalog — atomic "
+                        "multi-statement visibility is a catalog CAS "
+                        "(pass catalog=Catalog.load(...))"
+                    )
+                if txn is not None:
+                    raise ValueError("nested BEGIN: transaction already open")
+                txn = catalog.begin(cfg=cfg)
+                results.append(
+                    {"statement": head, "kind": "txn", "result": txn.token}
+                )
+            elif _COMMIT_HEAD.match(stmt):
+                if txn is None:
+                    raise ValueError("COMMIT without an open transaction")
+                version = txn.commit()
+                txn = None
+                results.append(
+                    {"statement": head, "kind": "txn", "result": version}
+                )
+            elif _ROLLBACK_HEAD.match(stmt):
+                if txn is None:
+                    raise ValueError("ROLLBACK without an open transaction")
+                txn.abort()
+                txn = None
+                results.append(
+                    {"statement": head, "kind": "txn", "result": None}
+                )
+            elif _DML_HEAD.match(stmt):
+                if txn is not None:
+                    r = txn.sql(
+                        spark, stmt, epoch=epoch_base + dml_idx,
+                        tables=tables, cfg=cfg,
+                    )
+                else:
+                    r = merge_into(
+                        spark, stmt, tables, epoch=epoch_base + dml_idx,
+                        cfg=cfg,
+                    )
+                dml_idx += 1
+                results.append(
+                    {"statement": head, "kind": "dml", "result": r}
+                )
+            else:
+                if txn is not None and not _TXN_READ_DDL.match(stmt):
+                    raise ValueError(
+                        f"DDL inside a transaction: {head!r} — table-format "
+                        "DDL commits its own metadata CAS and cannot stage; "
+                        "run it before BEGIN"
+                    )
+                r = execute_ddl(spark, stmt, tables)
+                results.append(
+                    {"statement": head, "kind": "ddl", "result": r}
+                )
+        if txn is not None:
+            raise ValueError(
+                "script ended with an open transaction — add COMMIT or "
+                "ROLLBACK (the staged block has been discarded)"
             )
-            dml_idx += 1
-            results.append({"statement": head, "kind": "dml", "result": r})
-        else:
-            r = execute_ddl(spark, stmt, tables)
-            results.append({"statement": head, "kind": "ddl", "result": r})
+    except BaseException:
+        if txn is not None:
+            txn.abort()
+        raise
     return results
 
 

@@ -184,9 +184,22 @@ def _next_lsn(table: LakeTable) -> int:
     ) + 1
 
 
+def statement_target(statement: str) -> str:
+    """The table name a DML statement writes to — driver-side string work
+    only, used by the transaction surface to resolve the target through
+    the catalog before compiling the statement."""
+    stmt = statement.strip().rstrip(";")
+    for head in (_DELETE_HEAD, _UPDATE_HEAD, _MERGE_HEAD, _INSERT_HEAD):
+        m = head.match(stmt)
+        if m and not (head is _INSERT_HEAD and _MERGE_HEAD.match(stmt)):
+            return m.group("target")
+    raise ValueError(f"not a DML statement: {stmt[:80]!r}")
+
+
 def _delete_stmt(
     spark: SparkSession, m: re.Match, tables: dict,
     epoch, cfg, props, expected_props,
+    stage_only: bool = False, lsn_offset: int = 0,
 ) -> dict:
     """``DELETE FROM t WHERE pred``: read the CURRENT state filtered by the
     predicate (key-column predicates push through the MoR fold to the scan;
@@ -207,17 +220,20 @@ def _delete_stmt(
     matched = target.read(spark).filter(F.expr(pred)).select(*key_cols)
     batch = (
         matched.withColumn("op", F.lit("D"))
-        .withColumn("lsn", F.lit(_next_lsn(target)).cast("long"))
+        .withColumn(
+            "lsn", F.lit(_next_lsn(target) + lsn_offset).cast("long")
+        )
     )
     return apply_changes(
         spark, target, batch, epoch=epoch, cfg=cfg,
-        props=props, expected_props=expected_props,
+        props=props, expected_props=expected_props, stage_only=stage_only,
     )
 
 
 def _update_stmt(
     spark: SparkSession, m: re.Match, tables: dict,
     epoch, cfg, props, expected_props,
+    stage_only: bool = False, lsn_offset: int = 0,
 ) -> dict:
     """``UPDATE t SET c = <expr> [, ...] WHERE pred``: read the CURRENT
     state filtered by the predicate, evaluate the SET expressions over the
@@ -271,11 +287,13 @@ def _update_stmt(
         )
     batch = (
         updated.withColumn("op", F.lit("U"))
-        .withColumn("lsn", F.lit(_next_lsn(target)).cast("long"))
+        .withColumn(
+            "lsn", F.lit(_next_lsn(target) + lsn_offset).cast("long")
+        )
     )
     return apply_changes(
         spark, target, batch, epoch=epoch, cfg=cfg,
-        props=props, expected_props=expected_props,
+        props=props, expected_props=expected_props, stage_only=stage_only,
     )
 
 
@@ -287,22 +305,33 @@ def merge_into(
     cfg: EngineConfig | None = None,
     props: dict | None = None,
     expected_props: dict | None = None,
+    stage_only: bool = False,
+    lsn_offset: int = 0,
 ) -> dict:
     """Execute one DML statement — MERGE INTO / INSERT INTO / DELETE FROM /
     UPDATE (module-doc grammar) — against ``tables`` (SQL name -> LakeTable
     or root path), compiling to :func:`apply_changes`. Returns the apply's
     metrics dict (exactly-once ledger, snapshot id, phase timings —
-    identical to the Python API)."""
+    identical to the Python API).
+
+    ``stage_only=True`` is the transaction entry (write-audit-publish): the
+    compiled apply stages instead of committing, exactly as in
+    ``apply_changes``. ``lsn_offset`` shifts the fresh LSN the DRIVER
+    statements (UPDATE/DELETE) mint — a multi-statement transaction issues
+    its k-th statement against the same table with ``lsn_offset=k`` so its
+    statements stay LWW-ordered even though none has published yet."""
     stmt = statement.strip().rstrip(";")
     md = _DELETE_HEAD.match(stmt)
     if md:
         return _delete_stmt(
-            spark, md, tables, epoch, cfg, props, expected_props
+            spark, md, tables, epoch, cfg, props, expected_props,
+            stage_only, lsn_offset,
         )
     mu = _UPDATE_HEAD.match(stmt)
     if mu:
         return _update_stmt(
-            spark, mu, tables, epoch, cfg, props, expected_props
+            spark, mu, tables, epoch, cfg, props, expected_props,
+            stage_only, lsn_offset,
         )
     mi = _INSERT_HEAD.match(stmt)
     if mi and not _MERGE_HEAD.match(stmt):
@@ -312,6 +341,7 @@ def merge_into(
         return apply_changes(
             spark, target, batch, epoch=epoch, cfg=cfg,
             props=props, expected_props=expected_props,
+            stage_only=stage_only,
         )
 
     mh = _MERGE_HEAD.match(stmt)
@@ -435,7 +465,7 @@ def merge_into(
         batch = batch.join(existing, on=key_cols, how="left_semi")
     return apply_changes(
         spark, target, batch, epoch=epoch, cfg=cfg,
-        props=props, expected_props=expected_props,
+        props=props, expected_props=expected_props, stage_only=stage_only,
     )
 
 

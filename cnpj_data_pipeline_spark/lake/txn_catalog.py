@@ -303,6 +303,12 @@ class Catalog:
                         "root": new_roots[name],
                         "snapshot_id": int(sid),
                     }
+            if tables == head["tables"]:
+                # no-op publish: every pin is already at (or past) the
+                # requested sid — e.g. an idempotently re-run transaction
+                # whose statements all skipped under the epoch ledger. The
+                # consistent vector is unchanged; don't burn a version.
+                return head_n
             ver = {
                 "version": head_n + 1,
                 "catalog_id": head["catalog_id"],
@@ -351,11 +357,20 @@ class Catalog:
         return versions
 
     def _complete(self, txn: dict) -> int:
+        pins = self.pins()
         sids: dict[str, int] = {}
+        new_roots: dict[str, str] = {}
         for entry in txn["updates"]:
-            table = self.table(entry["name"])
+            if entry["name"] in pins:
+                table = LakeTable.load(pins[entry["name"]]["root"])
+            else:
+                # a table created OUTSIDE the catalog joins it atomically
+                # with this transaction's commit (table + first data in one
+                # visibility event)
+                table = LakeTable.load(entry["root"])
+                new_roots[entry["name"]] = entry["root"]
             staged = {d["token"] for d in table.list_staged()}
-            if entry["token"] in staged:
+            if entry["token"] is not None and entry["token"] in staged:
                 try:
                     sids[entry["name"]] = table.publish_staged(entry["token"])
                     continue
@@ -366,7 +381,7 @@ class Catalog:
                     # contains them
                     pass
             sids[entry["name"]] = table.current_snapshot_id()
-        n = self.publish(sids)
+        n = self.publish(sids, _new_roots=new_roots)
         try:
             os.remove(self._txn_path(txn["token"]))
         except OSError:
@@ -438,19 +453,78 @@ class MultiTableTransaction:
             raise RuntimeError("transaction already finished")
         from cnpj_data_pipeline_spark.operators.merge import apply_changes
 
-        table = self.catalog.table(name)
+        table = self._resolve(name)
         m = apply_changes(
             spark, table, changes, epoch=epoch, cfg=cfg or self.cfg,
             stage_only=True,
         )
+        self._record(name, table, m, epoch)
+        return m
+
+    def sql(
+        self,
+        spark: SparkSession,
+        statement: str,
+        epoch: "int | Iterable[int]",
+        tables: "dict[str, LakeTable | str] | None" = None,
+        cfg=None,
+    ) -> dict:
+        """Run one DML statement (``lake/dml.py`` grammar) INSIDE the
+        transaction: the statement compiles to the same gated apply but
+        STAGES instead of committing — nothing is visible until
+        :meth:`commit`'s catalog CAS. The target resolves through the
+        catalog's current pins first, then through ``tables`` (a table
+        created outside the catalog joins it atomically at commit).
+
+        Isolation is snapshot-level: statements read the PRE-transaction
+        state — a later statement does not see an earlier statement's
+        staged rows (read-your-writes would require reading staged files;
+        the MoR engine deliberately never does on ingest). Driver
+        statements (UPDATE/DELETE) against the same table stay LWW-ordered
+        via a per-table statement counter shifting their minted LSNs."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        from cnpj_data_pipeline_spark.lake.dml import (
+            merge_into,
+            statement_target,
+        )
+
+        name = statement_target(statement)
+        table = self._resolve(name, tables)
+        offset = sum(1 for e in self._staged if e["name"] == name)
+        m = merge_into(
+            spark, statement, {name: table}, epoch=epoch,
+            cfg=cfg or self.cfg, stage_only=True, lsn_offset=offset,
+        )
+        self._record(name, table, m, epoch)
+        return m
+
+    def _resolve(
+        self, name: str, tables: "dict[str, LakeTable | str] | None" = None
+    ) -> LakeTable:
+        pins = self.catalog.pins()
+        if name in pins:
+            return LakeTable.load(pins[name]["root"])
+        if tables and name in tables:
+            t = tables[name]
+            return t if isinstance(t, LakeTable) else LakeTable.load(t)
+        raise KeyError(
+            f"no table {name!r} in catalog (have {sorted(pins)}) or in the "
+            "supplied registry"
+        )
+
+    def _record(self, name: str, table: LakeTable, m: dict, epoch) -> None:
+        """Remember the staged token (or the ledger skip: ``token=None``
+        pins that table at its head on commit — the idempotent-replay
+        no-op)."""
         self._staged.append(
             {
                 "name": name,
-                "token": m["token"],
+                "token": m.get("token") if not m.get("skipped") else None,
                 "epochs": [epoch] if isinstance(epoch, int) else sorted(epoch),
+                "root": os.path.abspath(table.root),
             }
         )
-        return m
 
     def prepare(self) -> dict:
         """Phase-one finish for an EXTERNAL coordinator: make the prepared
@@ -491,9 +565,9 @@ class MultiTableTransaction:
             return
         self._done = True
         for entry in self._staged:
+            if entry["token"] is None:
+                continue
             try:
-                self.catalog.table(entry["name"]).abandon_staged(
-                    entry["token"]
-                )
+                LakeTable.load(entry["root"]).abandon_staged(entry["token"])
             except (OSError, FileNotFoundError, KeyError):
                 pass

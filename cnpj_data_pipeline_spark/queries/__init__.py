@@ -139,6 +139,10 @@ _EXTRA_NAMES = (
     # transactions (stage-all, one catalog CAS), last epoch completed via
     # the 2PC recovery path; read through catalog pins
     "q_multi_table_txn",
+    # round 5: the SQL transaction surface — the same 2-table replay via
+    # BEGIN TRANSACTION / MERGE / COMMIT blocks in run_sql_script, last
+    # epoch recovered from the 2PC commit point by the next run
+    "q_multi_table_txn_sql",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

@@ -343,6 +343,98 @@ def q_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_table_txn_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same atomic 2-table replay driven PURELY through the SQL script
+    surface (``lake/ddl.py:run_sql_script``): each epoch is one
+    ``BEGIN TRANSACTION; MERGE INTO convs …; MERGE INTO turns …; COMMIT;``
+    block compiling to a :class:`MultiTableTransaction` — staged through
+    write-audit-publish, visible in ONE catalog CAS. The last epoch
+    "crashes" at the 2PC commit point (``prepare()``) and is completed by
+    the NEXT script run's built-in recovery, whose own statements then
+    skip under the epoch ledger (the resumable-script contract extended
+    across transaction blocks). Oracle: same pure-SQL folds as
+    ``q_multi_table_txn``. Postgres gives the reference BEGIN/COMMIT for
+    free (its loader doesn't even use it, src/database/postgres.py:183-196);
+    this is the lake engine's equivalent, exactly-once throughout."""
+    from cnpj_data_pipeline_spark.lake.ddl import run_sql_script
+    from cnpj_data_pipeline_spark.lake.txn_catalog import Catalog
+
+    root = _mk_scratch("cdc_txn_sql_")
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    convs_t = LakeTable.create(
+        os.path.join(root, "convs"), CONV_SCHEMA, ["conv_id"], cfg.n_buckets
+    )
+    turns_t = LakeTable.create(
+        os.path.join(root, "turns"),
+        TRANSCRIPT_SCHEMA,
+        ["conv_id", "turn_idx"],
+        cfg.n_buckets,
+    )
+    cat = Catalog.create(
+        os.path.join(root, "cat"), {"convs": convs_t, "turns": turns_t}
+    )
+    conv_ch = conv_changes_from_events(spark, sf_dir).persist()
+    turn_ch = changes_from_events(spark, sf_dir).persist()
+    script = """
+    BEGIN TRANSACTION;
+    MERGE INTO convs AS t USING __txn_sql_convs AS s
+      ON t.conv_id = s.conv_id
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *;
+    MERGE INTO turns AS t USING __txn_sql_turns AS s
+      ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *;
+    COMMIT;
+    """
+    stmts = [s.strip() for s in script.strip().split(";") if s.strip()][1:3]
+    for e in range(N_EPOCHS):
+        conv_ch.filter(F.col("epoch") == e).drop("epoch").createOrReplaceTempView(
+            "__txn_sql_convs"
+        )
+        turn_ch.filter(F.col("epoch") == e).drop("epoch").createOrReplaceTempView(
+            "__txn_sql_turns"
+        )
+        if e < N_EPOCHS - 1:
+            run_sql_script(
+                spark, script, epoch_base=2 * e, cfg=cfg, catalog=cat
+            )
+        else:
+            # coordinator "crash" at the 2PC commit point ...
+            txn = cat.begin(cfg=cfg)
+            txn.sql(spark, stmts[0], epoch=2 * e)
+            txn.sql(spark, stmts[1], epoch=2 * e + 1)
+            txn.prepare()
+            assert cat.current_version() == e, "torn visibility pre-recovery"
+            # ... the restarted run recovers it, then skips its own block
+            res = run_sql_script(
+                spark, script, epoch_base=2 * e, cfg=cfg, catalog=cat
+            )
+            assert all(
+                r["result"]["skipped"] for r in res if r["kind"] == "dml"
+            )
+            assert cat.current_version() == e + 1
+    conv_ch.unpersist()
+    turn_ch.unpersist()
+    n_turns = (
+        cat.read(spark, "turns")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    return (
+        cat.read(spark, "convs")
+        .select("conv_id", "title")
+        .join(n_turns, "conv_id", "left")
+        .select(
+            "conv_id",
+            "title",
+            F.coalesce(F.col("n_turns"), F.lit(0)).cast("long").alias("n_turns"),
+        )
+    )
+
+
 CONV_CHANGES_CTE = """
 conv_changes AS (
   SELECT 'c' || lpad(CAST(user_id % 200 AS VARCHAR), 8, '0') AS conv_id,
@@ -376,6 +468,7 @@ labels AS (
 QUERIES = {
     "q_multi_table_replay": q_multi_table_replay,
     "q_multi_table_txn": q_multi_table_txn,
+    "q_multi_table_txn_sql": q_multi_table_txn_sql,
     "q_append_only_log": q_append_only_log,
     "q_asof_titles": q_asof_titles,
     "q_join_view": q_join_view,
@@ -401,6 +494,17 @@ ORACLES = {
         LEFT JOIN label_counts l ON c.conv_id = l.conv_id
     """,
     "q_multi_table_txn": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
+        {CONV_CHANGES_CTE.strip()},
+        alive_turns AS (
+          SELECT conv_id, count(*) AS n FROM winners WHERE op <> 'D' GROUP BY conv_id
+        )
+        SELECT c.conv_id, c.title,
+               CAST(coalesce(t.n, 0) AS BIGINT) AS n_turns
+        FROM conv_winners c
+        LEFT JOIN alive_turns t ON c.conv_id = t.conv_id
+    """,
+    "q_multi_table_txn_sql": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
         {CONV_CHANGES_CTE.strip()},
         alive_turns AS (

@@ -15,6 +15,10 @@ Cluster usage::
 statement k carries ledger epoch ``epoch_base + k``; IF [NOT] EXISTS DDL
 forms no-op on re-run), so re-submitting after a crash is safe. ``--view``
 registers a parquet path or table as a temp view for MERGE sources.
+With ``--catalog ROOT``, ``BEGIN TRANSACTION; …DML…; COMMIT;`` blocks
+stage through one MultiTableTransaction and land in a single catalog CAS
+(atomic multi-table visibility); a prepared transaction left by a crashed
+run is recovered before the first statement.
 Prints one JSON line per statement; DESCRIBE/SHOW results print as text.
 """
 
@@ -54,6 +58,12 @@ def main() -> None:
     g.add_argument("--script", help="path to a ;-separated SQL script file")
     ap.add_argument("--epoch-base", type=int, default=0)
     ap.add_argument("--salt-factor", type=int, default=4)
+    ap.add_argument(
+        "--catalog", default=None, metavar="ROOT",
+        help="transactional catalog root — enables BEGIN TRANSACTION / "
+        "COMMIT blocks (atomic multi-table visibility) and recovers any "
+        "prepared transaction a crashed earlier run left behind",
+    )
     ap.add_argument("--master", default=None,
                     help="only for local runs; omit under spark-submit")
     args = ap.parse_args()
@@ -76,10 +86,16 @@ def main() -> None:
             script = f.read()
     else:
         script = args.execute
+    catalog = None
+    if args.catalog:
+        from cnpj_data_pipeline_spark.lake.txn_catalog import Catalog
+
+        catalog = Catalog.load(args.catalog)
     results = run_sql_script(
         spark, script, tables,
         epoch_base=args.epoch_base,
         cfg=EngineConfig(salt_factor=args.salt_factor),
+        catalog=catalog,
     )
     for r in results:
         print(json.dumps(
