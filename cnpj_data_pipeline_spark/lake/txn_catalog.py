@@ -513,6 +513,23 @@ class MultiTableTransaction:
             "supplied registry"
         )
 
+    def record_staged(
+        self, name: str, table: LakeTable, m: dict, epoch
+    ) -> None:
+        """Adopt a batch the CALLER staged itself — e.g. through the
+        co-partitioned map-only kernel (``apply_changes_copart(...,
+        stage_only=True)``), which :meth:`apply` cannot reach — into this
+        transaction. ``m`` is that apply's metrics dict (staged or
+        ledger-skipped)."""
+        if self._done:
+            raise RuntimeError("transaction already finished")
+        if not (m.get("staged") or m.get("skipped")):
+            raise ValueError(
+                "record_staged expects stage_only metrics (staged or "
+                "skipped) — a committed apply cannot join a transaction"
+            )
+        self._record(name, table, m, epoch)
+
     def _record(self, name: str, table: LakeTable, m: dict, epoch) -> None:
         """Remember the staged token (or the ledger skip: ``token=None``
         pins that table at its head on commit — the idempotent-replay

@@ -109,9 +109,31 @@ class MultiTableIngestJob:
     root: str
     catalog: TableCatalog
     cfg: EngineConfig = field(default_factory=EngineConfig)
+    # a transactional-catalog root (lake/txn_catalog.py) upgrades the FK
+    # barrier to ATOMIC per-epoch visibility: every table's batch stages
+    # (full merge pipeline, nothing visible) and the epoch lands in one
+    # catalog CAS — a reader resolving tables through the catalog can never
+    # see table k+1's epoch-e rows next to table k's epoch-(e-1) state, the
+    # torn window the plain per-table ledger leaves between commits (and
+    # the reference lives with, main.py:180-189). Requires write_mode="mor"
+    # for keyed tables (staging is append-only). Created on first run;
+    # prepared transactions from a crashed run recover before new work.
+    txn_catalog: str | None = None
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
+
+    def _txn_cat(self, tables: dict[str, LakeTable]):
+        from cnpj_data_pipeline_spark.lake.txn_catalog import Catalog
+
+        if Catalog.exists(self.txn_catalog):
+            cat = Catalog.load(self.txn_catalog)
+            for name in sorted(set(tables) - set(cat.pins())):
+                cat.register(name, tables[name])
+        else:
+            cat = Catalog.create(self.txn_catalog, tables)
+        cat.recover()  # complete anything a crashed run prepared
+        return cat
 
     def ensure_tables(self) -> dict[str, LakeTable]:
         out = {}
@@ -147,9 +169,12 @@ class MultiTableIngestJob:
         bounded runs with exactly-once resume between them.
 
         ``fail_after``: test hook — raise after N successful (table, epoch)
-        applies to simulate a crash between a parent's commit and a child's.
+        applies to simulate a crash between a parent's commit and a child's
+        (in transactional mode: between stagings — the epoch's transaction
+        is simply never prepared, so nothing of it ever becomes visible).
         """
         tables = self.ensure_tables()
+        cat = self._txn_cat(tables) if self.txn_catalog is not None else None
         # one directory listing per table for the whole run (each listing is
         # a remote LIST on an object store; the per-(epoch, table) loop below
         # tests membership against these cached sets)
@@ -165,6 +190,7 @@ class MultiTableIngestJob:
             if max_epochs is not None and epochs_run >= max_epochs:
                 break
             epoch_did_work = False
+            txn = cat.begin(cfg=self.cfg) if cat is not None else None
             for spec in self.catalog.topo_order():
                 wal = os.path.join(stream_root, spec.name)
                 if epoch not in table_epochs[spec.name]:
@@ -188,7 +214,8 @@ class MultiTableIngestJob:
                     )
 
                     m = apply_changes_copart(
-                        spark, tables[spec.name], layout, epoch, self.cfg
+                        spark, tables[spec.name], layout, epoch, self.cfg,
+                        stage_only=txn is not None,
                     )
                 else:
                     m = apply_changes(
@@ -198,7 +225,10 @@ class MultiTableIngestJob:
                         epoch=epoch,
                         cfg=self.cfg,
                         batch_rows_hint=epoch_row_count(wal, epoch),
+                        stage_only=txn is not None,
                     )
+                if txn is not None:
+                    txn.record_staged(spec.name, tables[spec.name], m, epoch)
                 m["table"] = spec.name
                 metrics.append(m)
                 if not m["skipped"]:
@@ -208,9 +238,26 @@ class MultiTableIngestJob:
                         raise RuntimeError(
                             f"injected failure after {done} table-epoch applies"
                         )
+            if txn is not None and txn._staged:
+                v = txn.commit()
+                metrics.append(
+                    {
+                        "table": "__catalog__",
+                        "epoch": epoch,
+                        "skipped": not epoch_did_work,
+                        "catalog_version": v,
+                    }
+                )
             if epoch_did_work:
                 epochs_run += 1
         return metrics
 
     def read(self, spark: SparkSession, name: str):
+        """Read a member table — through the transactional catalog's pins
+        when one is configured (atomic-visibility read point), else at the
+        table head."""
+        if self.txn_catalog is not None:
+            from cnpj_data_pipeline_spark.lake.txn_catalog import Catalog
+
+            return Catalog.load(self.txn_catalog).read(spark, name)
         return LakeTable.load(self.table_path(name)).read(spark)

@@ -147,3 +147,89 @@ def test_keyless_append_crash_resume_no_dup_no_loss(spark, tmp_path):
     # keyless tables reject LWW maintenance explicitly
     with pytest.raises(ValueError, match="keyless"):
         t.compact(spark, buckets=[0])
+
+
+def test_txn_mode_atomic_epoch_visibility_and_resume(spark, tmp_path):
+    """txn_catalog upgrades the FK barrier to atomic per-epoch visibility:
+    a crash mid-epoch leaves NOTHING visible (plain mode would have the
+    parent's epoch committed), resume lands each epoch as one catalog
+    version, final state matches the plain job, and a re-run burns no
+    catalog version."""
+    from cnpj_data_pipeline_spark import Catalog
+
+    wal = str(tmp_path / "wal")
+    _write_wals(spark, wal)
+    cfg = EngineConfig(n_buckets=4, salt_factor=2)
+
+    clean = MultiTableIngestJob(str(tmp_path / "clean"), _catalog(), cfg)
+    clean.run_stream(spark, wal)
+    golden = _final_states(spark, clean)
+
+    job = MultiTableIngestJob(
+        str(tmp_path / "txn"), _catalog(), cfg,
+        txn_catalog=str(tmp_path / "txn" / "_catalog"),
+    )
+    # crash after 2 of epoch 0's 3 stagings: the epoch's transaction was
+    # never prepared — no table committed, no catalog version, no ledger
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run_stream(spark, wal, fail_after=2)
+    cat = Catalog.load(job.txn_catalog)
+    assert cat.current_version() == 0
+    assert LakeTable.load(job.table_path("convs")).applied_epochs() == set()
+    assert cat.read(spark, "convs").count() == 0
+
+    # resume: the whole epoch re-stages; one catalog version per epoch
+    metrics = job.run_stream(spark, wal)
+    commits = [m for m in metrics if m["table"] == "__catalog__"]
+    assert [c["catalog_version"] for c in commits] == [1, 2]
+    assert all(not c["skipped"] for c in commits)
+    got = _final_states(spark, job)
+    for name in ("convs", "turns", "labels"):
+        assert got[name].equals(golden[name]), name
+        # catalog pins agree with the table heads after a full run
+        assert cat.pins()[name]["snapshot_id"] == LakeTable.load(
+            job.table_path(name)
+        ).current_snapshot_id()
+    # job.read routes through the pins
+    assert job.read(spark, "turns").count() == len(golden["turns"])
+
+    # idempotent re-run: every apply skips, the version vector is untouched
+    metrics = job.run_stream(spark, wal)
+    assert all(m["skipped"] for m in metrics)
+    assert cat.current_version() == 2
+    assert cat.pending_transactions() == []
+    # the crashed (never-prepared) run's stagings remain as PROTECTED debris
+    # (clean_orphans never eats under a descriptor; a blanket auto-abandon
+    # could kill a concurrent writer's in-flight transaction) — released
+    # explicitly via the documented maintenance surface
+    for name in ("convs", "turns", "labels"):
+        t = LakeTable.load(job.table_path(name))
+        for d in t.list_staged():
+            st = t.abandon_staged(d["token"])
+            assert not st.get("already_published")
+        assert t.list_staged() == []
+    assert got["turns"].equals(_final_states(spark, job)["turns"])
+
+
+def test_txn_mode_bounded_admission_reads_consistent_epoch(spark, tmp_path):
+    """max_epochs=1 under txn mode: after the bounded run, every table read
+    through the catalog shows exactly epoch 0 — no table ahead of another."""
+    from cnpj_data_pipeline_spark import Catalog
+
+    wal = str(tmp_path / "wal")
+    _write_wals(spark, wal)
+    cfg = EngineConfig(n_buckets=4, salt_factor=2)
+    job = MultiTableIngestJob(
+        str(tmp_path / "txn"), _catalog(), cfg,
+        txn_catalog=str(tmp_path / "txn" / "_catalog"),
+    )
+    job.run_stream(spark, wal, max_epochs=1)
+    cat = Catalog.load(job.txn_catalog)
+    assert cat.current_version() == 1
+    convs = {r["conv_id"]: r["title"] for r in cat.read(spark, "convs").collect()}
+    assert all(t.startswith("t0:") for t in convs.values())  # no epoch-1 rows
+    assert cat.read(spark, "turns").count() == 24  # epoch 0 only, no delete yet
+    assert cat.read(spark, "labels").count() == 5
+    job.run_stream(spark, wal)
+    assert cat.current_version() == 2
+    assert cat.read(spark, "turns").count() == 23
