@@ -29,7 +29,9 @@ machinery, so no new data path exists:
   the catalog publish merges monotonically), exactly-once throughout.
 
 Retention interplay: every catalog version TAGS its pinned snapshots on
-the member tables (``cat-<cid>-v<N>``), so a table's own
+the member tables (``cat-<cid>-v<N>-<nonce>``; the nonce makes each
+publish attempt's tags self-owned, so a lost CAS can never roll back a
+concurrent winner's pins), so a table's own
 ``expire_snapshots`` can never strand a catalog version that readers may
 still resolve; :meth:`Catalog.expire_versions` drops old versions and
 exactly their tags. That also makes the catalog a cross-table time-travel
@@ -95,11 +97,13 @@ class Catalog:
                 "root": os.path.abspath(lt.root),
                 "snapshot_id": lt.current_snapshot_id(),
             }
+        cid = _uuid.uuid4().hex[:8]
         ver = {
             "version": 0,
-            "catalog_id": _uuid.uuid4().hex[:8],
+            "catalog_id": cid,
             "tables": pins,
             "committed_at": _utcnow_iso(),
+            "tag": f"cat-{cid}-v0-{_uuid.uuid4().hex[:8]}",
         }
         cat._tag_pins(ver)
         cat._write_version(ver)
@@ -227,7 +231,14 @@ class Catalog:
     # ---------------- writes ----------------
 
     def _tag_name(self, ver: dict) -> str:
-        return f"cat-{ver['catalog_id']}-v{ver['version']}"
+        # Each publish ATTEMPT owns a nonce-unique tag name, recorded in the
+        # version manifest. Without the nonce, two publishers racing for the
+        # same version number would share one tag name: the CAS loser's
+        # rollback (_drop_version_tags) would then delete the WINNER's
+        # committed pins, and a pin mismatch would escape _tag_pins as a raw
+        # FileExistsError instead of the documented rebase. The fallback
+        # covers version manifests written before the nonce existed.
+        return ver.get("tag") or f"cat-{ver['catalog_id']}-v{ver['version']}"
 
     def _tag_pins(self, ver: dict) -> None:
         """Pin every member snapshot BEFORE the version becomes visible —
@@ -314,6 +325,10 @@ class Catalog:
                 "catalog_id": head["catalog_id"],
                 "tables": tables,
                 "committed_at": _utcnow_iso(),
+                "tag": (
+                    f"cat-{head['catalog_id']}-v{head_n + 1}"
+                    f"-{_uuid.uuid4().hex[:8]}"
+                ),
             }
             self._tag_pins(ver)
             try:

@@ -368,3 +368,81 @@ def test_register_views_pins_sql_surface(spark, tmp_path):
         "SELECT title FROM convs WHERE conv_id = 'c00'"
     ).collect()[0]["title"]
     assert upd == "t1:0"
+
+
+# ---------------- concurrent publish races ----------------
+
+
+def test_losing_publish_race_preserves_winner_tags(spark, tmp_path, monkeypatch):
+    """A publisher that computed its version from a stale head loses the
+    CAS and rebases — WITHOUT destroying the winner's committed pin tags.
+    Tag names are nonce-unique per publish attempt, so the loser's rollback
+    can only ever drop its own tags."""
+    cat, convs, turns = _seeded_catalog(spark, tmp_path)
+    apply_changes(spark, convs, _conv_batch(spark, 1), epoch=1, cfg=CFG)
+    assert cat.publish({"convs": convs.current_snapshot_id()}) == 1  # winner
+    tag_v1 = cat.version(1)["tag"]
+    assert tag_v1 in convs.tags() and tag_v1 in turns.tags()
+
+    # the loser computed its publish from version 0: force two stale head
+    # reads (pins() pre-check + first loop attempt), so it attempts v1,
+    # loses the CAS, rolls back ITS tags, and rebases onto v1 -> commits v2
+    apply_changes(spark, turns, _turn_batch(spark, 1), epoch=1, cfg=CFG)
+    real = Catalog.current_version
+    calls = {"n": 0}
+
+    def stale_twice(self):
+        calls["n"] += 1
+        return 0 if calls["n"] <= 2 else real(self)
+
+    monkeypatch.setattr(Catalog, "current_version", stale_twice)
+    assert cat.publish({"turns": turns.current_snapshot_id()}) == 2
+    monkeypatch.undo()
+
+    # the winner's v1 tags survived the loser's rollback
+    assert tag_v1 in convs.tags() and tag_v1 in turns.tags()
+    tag_v2 = cat.version(2)["tag"]
+    assert tag_v2 in convs.tags() and tag_v2 in turns.tags()
+    # and the losing attempt left no stray tags behind
+    cat_tags = {
+        t
+        for t in list(convs.tags()) + list(turns.tags())
+        if t.startswith("cat-")
+    }
+    assert cat_tags == {cat.version(0)["tag"], tag_v1, tag_v2}
+    # v1 remains resolvable even after member-level retention
+    v1_convs = _cat_state(spark, cat, "convs", version=1)
+    convs.expire_snapshots(keep_last=1)
+    assert _cat_state(spark, cat, "convs", version=1) == v1_convs
+
+
+def test_idempotent_republish_race_is_noop_and_harmless(
+    spark, tmp_path, monkeypatch
+):
+    """Two publishers race with IDENTICAL pins (idempotent re-publish, e.g.
+    a recovered transaction replayed twice): the loser must not crash with
+    FileExistsError, must not burn a version, and must not drop the
+    winner's tags."""
+    cat, convs, turns = _seeded_catalog(spark, tmp_path)
+    apply_changes(spark, convs, _conv_batch(spark, 1), epoch=1, cfg=CFG)
+    sid = convs.current_snapshot_id()
+    assert cat.publish({"convs": sid}) == 1
+    tag_v1 = cat.version(1)["tag"]
+
+    real = Catalog.current_version
+    calls = {"n": 0}
+
+    def stale_twice(self):
+        calls["n"] += 1
+        return 0 if calls["n"] <= 2 else real(self)
+
+    monkeypatch.setattr(Catalog, "current_version", stale_twice)
+    assert cat.publish({"convs": sid}) == 1  # rebase -> no-op at head
+    monkeypatch.undo()
+
+    assert cat.current_version() == 1
+    assert tag_v1 in convs.tags() and tag_v1 in turns.tags()
+    # member retention still honors the surviving pin
+    v1 = _cat_state(spark, cat, "convs", version=1)
+    convs.expire_snapshots(keep_last=1)
+    assert _cat_state(spark, cat, "convs", version=1) == v1
