@@ -1763,6 +1763,13 @@ class LakeTable:
                 T.StructType(list(end_schema.fields) + PHYSICAL_META_FIELDS),
             )
         else:
+            # read pre-images under PHYSICAL names, then alias them with the
+            # window-END rename map: a rename inside the window would
+            # otherwise leave the pre-image under its old logical name, get
+            # padded to NULL under the new one, and silently corrupt every
+            # update_preimage/delete row (and the changed-detection) for
+            # that column. Physical names are stable across renames, and
+            # key columns (the lookup join) can never be renamed.
             pre = self.read_keys(
                 spark,
                 touched,
@@ -1770,7 +1777,9 @@ class LakeTable:
                 include_tombstones=True,
                 snapshot_id=from_snapshot,
                 broadcast_keys=False,
+                logical=False,
             )
+            pre = self._logical_alias(pre, self.snapshot(to_sid))
         # pad pre to the window-end schema (additive evolution inside the
         # window: pre-images gain NULL columns, like the batch reader)
         for f in end_schema.fields:

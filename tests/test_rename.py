@@ -347,3 +347,31 @@ def test_rename_on_partial_update_engine(spark, tmp_table):
     # the state is layout-invariant
     t.compact(spark)
     assert state() == expect
+
+
+def test_rename_inside_window_preserves_preimages(spark, tmp_table):
+    """An in-window rename must NOT null the renamed column's pre-images:
+    update_preimage/delete rows carry the real pre-rename values under the
+    new logical name (the pre-image lookup reads physical names and
+    aliases under the window-END rename map)."""
+    t = _mk(spark, tmp_table)
+    sid0 = t.current_snapshot_id()
+    t.rename_column("tool", "tool_name")
+    apply_changes(
+        spark, t,
+        _batch(
+            spark,
+            [("a", 0, "t1b", "drill", "U", 5),   # update pre-rename row
+             ("b", 0, "x", "x", "D", 6)],        # delete pre-rename row
+            cols=("conv_id", "turn_idx", "text", "tool_name"),
+        ),
+        epoch=1, cfg=CFG,
+    )
+    typed = t.read_changes_typed(spark, sid0).toPandas()
+    assert "tool_name" in typed.columns and "tool" not in typed.columns
+    pre = typed[typed["change_type"] == "update_preimage"].iloc[0]
+    assert pre["tool_name"] == "hammer" and pre["text"] == "t1"
+    post = typed[typed["change_type"] == "update_postimage"].iloc[0]
+    assert post["tool_name"] == "drill" and post["text"] == "t1b"
+    del_ = typed[typed["change_type"] == "delete"].iloc[0]
+    assert del_["tool_name"] == "wrench" and del_["text"] == "t2"
