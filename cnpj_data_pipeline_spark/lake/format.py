@@ -3745,12 +3745,21 @@ class LakeTable:
 
         stats = _retry_conflicts(_once)
         released = 0
+        had_pins = bool(self.props().get("clone_pins"))
         for p in self.props().get("clone_pins") or []:
             try:
                 if LakeTable.load(p["root"]).drop_tag(p["ref"]):
                     released += 1
             except (OSError, FileNotFoundError):
                 pass  # source root gone/unreachable: nothing left to unpin
+        if had_pins:
+            # clear the pin record once released: this table now owns every
+            # byte, so a later clone() of it must not re-pin ancestor
+            # snapshots — the source is free to expire them, and re-pinning
+            # would either fail (snapshot gone) or block source retention
+            # forever. clone_src stays as provenance; only the live-pin
+            # list is cleared.
+            self.set_props({"clone_pins": []})
         stats["pins_released"] = released
         return stats
 

@@ -203,3 +203,30 @@ def test_clone_preserves_engine_and_schema_state(spark, tmp_path):
     snap = clone.snapshot()
     assert snap["merge_engine"] == "partial"
     pd.testing.assert_frame_equal(_state(spark, clone), state)
+
+
+def test_clone_of_localized_table_is_fully_self_owned(spark, tmp_path):
+    """localize() clears the clone-pin record: a later clone() of the
+    localized table must not re-pin (possibly expired) ancestor snapshots
+    on the original source — it pins only the localized table itself."""
+    src_root = str(tmp_path / "src")
+    _cfg, _ch, _job, _batches = _ingest(spark, src_root, upto=2)
+    src = LakeTable.load(src_root)
+    c1 = src.clone(str(tmp_path / "c1"))
+    c1.localize()
+    assert c1.props().get("clone_pins") == []
+    c1_state = _state(spark, c1)
+
+    # the source legally drops the fork snapshot (pin was released) ...
+    src.compact(spark)
+    src.expire_snapshots(keep_last=1)
+
+    # ... and cloning the localized table still works: no ancestor re-pin
+    c2 = c1.clone(str(tmp_path / "c2"))
+    pd.testing.assert_frame_equal(_state(spark, c2), c1_state)
+    # c2 pins exactly its own fork point on c1, nothing on src
+    pins = c2.props()["clone_pins"]
+    assert [os.path.abspath(p["root"]) for p in pins] == [
+        os.path.abspath(c1.root)
+    ]
+    assert not any(t.startswith("clone-") for t in src.tags())
