@@ -102,12 +102,17 @@ _UPDATE_HEAD = re.compile(
 
 def _scan_source(rest: str) -> tuple[str, bool, str]:
     """Consume the USING source: a balanced ``(subquery)`` or a bare view
-    name. Returns (source_text, is_subquery, remainder)."""
+    name. Returns (source_text, is_subquery, remainder). Parens inside
+    single-quoted string literals don't count toward the balance."""
     rest = rest.lstrip()
     if rest.startswith("("):
-        depth = 0
+        depth, quote = 0, False
         for i, ch in enumerate(rest):
-            if ch == "(":
+            if quote:
+                quote = ch != "'"
+            elif ch == "'":
+                quote = True
+            elif ch == "(":
                 depth += 1
             elif ch == ")":
                 depth -= 1
@@ -120,13 +125,32 @@ def _scan_source(rest: str) -> tuple[str, bool, str]:
     return m.group(1), False, rest[m.end():]
 
 
+_SQL_STRING = re.compile(r"'(?:[^']|'')*'")
+
+
 def _strip_alias(cond: str, *aliases: str | None) -> str:
     """Drop ``alias.`` qualifiers so the condition evaluates over the bare
-    source DataFrame."""
-    for a in aliases:
-        if a:
-            cond = re.sub(rf"\b{re.escape(a)}\s*\.\s*", "", cond)
-    return cond
+    source DataFrame. Single-quoted SQL string literals are never
+    rewritten (``WHERE text = 'u.s.a.'`` with alias ``s`` must keep the
+    literal intact)."""
+    pats = [
+        re.compile(rf"\b{re.escape(a)}\s*\.\s*") for a in aliases if a
+    ]
+    if not pats:
+        return cond
+
+    def _strip(seg: str) -> str:
+        for p in pats:
+            seg = p.sub("", seg)
+        return seg
+
+    out, pos = [], 0
+    for m in _SQL_STRING.finditer(cond):
+        out.append(_strip(cond[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(_strip(cond[pos:]))
+    return "".join(out)
 
 
 def _parse_on(on: str, talias: str | None, salias: str | None) -> list[str]:
@@ -251,7 +275,10 @@ def _update_stmt(
             "use INSERT INTO"
         )
     talias = m.group("talias")
-    schema_names = [f.name for f in target.schema().fields]
+    # validate against the LOGICAL schema: every other surface (read, the
+    # matched rows below, MERGE, DDL) speaks logical names, so a renamed
+    # column must be assignable under its current name
+    schema_names = [f.name for f in target.logical_schema().fields]
     assigns: list[tuple[str, str]] = []
     for a in _split_top_level(m.group("set"), ","):
         am = re.match(

@@ -311,3 +311,57 @@ def test_update_delete_validation(spark, tmp_path):
     # say WHERE true explicitly)
     with pytest.raises(ValueError, match="expected"):
         merge_into(spark, "DELETE FROM transcripts", tables, epoch=9, cfg=CFG)
+
+
+def test_update_renamed_column_uses_logical_name(spark, tmp_path):
+    """A renamed column is assignable (and only assignable) under its
+    current LOGICAL name — the name every other surface speaks."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("tool", "tool_name")
+    merge_into(
+        spark,
+        "UPDATE transcripts SET tool_name = 'calc' WHERE conv_id = 'a'",
+        {"transcripts": t}, epoch=1, cfg=CFG,
+    )
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    assert list(got.columns)[:5] == [
+        "conv_id", "turn_idx", "role", "text", "tool_name",
+    ]
+    assert list(got[got["conv_id"] == "a"]["tool_name"]) == ["calc", "calc"]
+    # the stale physical name is refused loudly, not half-applied
+    with pytest.raises(ValueError, match="unknown column"):
+        merge_into(
+            spark,
+            "UPDATE transcripts SET tool = 'x' WHERE conv_id = 'a'",
+            {"transcripts": t}, epoch=2, cfg=CFG,
+        )
+
+
+def test_alias_stripping_is_quote_aware(spark, tmp_path):
+    """Alias qualifiers are stripped OUTSIDE string literals only: a
+    predicate literal containing '<alias>.' must survive verbatim."""
+    t = _mk(spark, tmp_path / "t")
+    apply_changes(
+        spark, t,
+        _batch_df(spark, [("d", 0, "user", "u.s.a.", None, TS, "I", 7)]),
+        epoch=1, cfg=CFG,
+    )
+    # alias 's' appears inside the literal: pre-fix this deleted nothing
+    # (literal corrupted to 'u.a.'); post-fix it deletes exactly row d/0
+    merge_into(
+        spark,
+        "DELETE FROM transcripts AS s WHERE s.text = 'u.s.a.'",
+        {"transcripts": t}, epoch=2, cfg=CFG,
+    )
+    got = t.read(spark).toPandas()
+    assert "d" not in set(got["conv_id"]) and len(got) == 3
+
+    # UPDATE SET rhs literal with alias-dot inside survives too
+    merge_into(
+        spark,
+        "UPDATE transcripts AS s SET text = 's. holmes' "
+        "WHERE s.conv_id = 'b'",
+        {"transcripts": t}, epoch=3, cfg=CFG,
+    )
+    got = t.read(spark).toPandas()
+    assert list(got[got["conv_id"] == "b"]["text"]) == ["s. holmes"]
