@@ -170,8 +170,11 @@ class MultiTableIngestJob:
 
         ``fail_after``: test hook — raise after N successful (table, epoch)
         applies to simulate a crash between a parent's commit and a child's
-        (in transactional mode: between stagings — the epoch's transaction
-        is simply never prepared, so nothing of it ever becomes visible).
+        (in transactional mode: between stagings — the epoch's never-
+        prepared transaction is ABORTED on the way out, releasing its own
+        staged batches; nothing of it ever becomes visible. Only a hard
+        process kill leaves staged debris, which stays protected until the
+        explicit abandon-staged maintenance).
         """
         tables = self.ensure_tables()
         cat = self._txn_cat(tables) if self.txn_catalog is not None else None
@@ -189,55 +192,24 @@ class MultiTableIngestJob:
         for epoch in sorted(epochs):
             if max_epochs is not None and epochs_run >= max_epochs:
                 break
-            epoch_did_work = False
             txn = cat.begin(cfg=self.cfg) if cat is not None else None
-            for spec in self.catalog.topo_order():
-                wal = os.path.join(stream_root, spec.name)
-                if epoch not in table_epochs[spec.name]:
-                    continue
-                # bucket-aligned epochs take the shuffle-free map-only
-                # apply, exactly like the single-table loop — per (table,
-                # epoch) detection, same ledger, silent fallback
-                layout = None
-                if self.cfg.copart != "off" and (
-                    tables[spec.name].key_cols() is None
-                    or self.cfg.write_mode == "mor"
-                ):
-                    from cnpj_data_pipeline_spark.sources.change_stream import (
-                        bucketed_layout,
-                    )
-
-                    layout = bucketed_layout(wal, epoch, tables[spec.name])
-                if layout is not None:
-                    from cnpj_data_pipeline_spark.operators.copart import (
-                        apply_changes_copart,
-                    )
-
-                    m = apply_changes_copart(
-                        spark, tables[spec.name], layout, epoch, self.cfg,
-                        stage_only=txn is not None,
-                    )
-                else:
-                    m = apply_changes(
-                        spark,
-                        tables[spec.name],
-                        read_epoch(spark, wal, epoch),
-                        epoch=epoch,
-                        cfg=self.cfg,
-                        batch_rows_hint=epoch_row_count(wal, epoch),
-                        stage_only=txn is not None,
-                    )
+            try:
+                metrics_added, done, epoch_did_work = self._run_epoch(
+                    spark, stream_root, epoch, tables, table_epochs,
+                    txn, fail_after, done,
+                )
+            except BaseException:
+                # a failure before the epoch's transaction is prepared must
+                # release its staged batches: the staged descriptors would
+                # otherwise shield the files from clean_orphans forever, and
+                # the retry re-stages the same epoch under fresh tokens —
+                # every crash stranding another epoch of parquet. (A crash
+                # that skips even this abort leaves a pending descriptor the
+                # explicit abandon-staged maintenance reclaims.)
                 if txn is not None:
-                    txn.record_staged(spec.name, tables[spec.name], m, epoch)
-                m["table"] = spec.name
-                metrics.append(m)
-                if not m["skipped"]:
-                    done += 1
-                    epoch_did_work = True
-                    if fail_after is not None and done >= fail_after:
-                        raise RuntimeError(
-                            f"injected failure after {done} table-epoch applies"
-                        )
+                    txn.abort()
+                raise
+            metrics.extend(metrics_added)
             if txn is not None and txn._staged:
                 v = txn.commit()
                 metrics.append(
@@ -251,6 +223,71 @@ class MultiTableIngestJob:
             if epoch_did_work:
                 epochs_run += 1
         return metrics
+
+    def _run_epoch(
+        self,
+        spark: SparkSession,
+        stream_root: str,
+        epoch: int,
+        tables: dict[str, LakeTable],
+        table_epochs: dict[str, set[int]],
+        txn,
+        fail_after: int | None,
+        done: int,
+    ) -> tuple[list[dict], int, bool]:
+        """One epoch over the topo-ordered tables: apply (or stage, in
+        transactional mode) each table's batch. Returns (metrics, done
+        counter, whether any table did work)."""
+        metrics: list[dict] = []
+        epoch_did_work = False
+        for spec in self.catalog.topo_order():
+            wal = os.path.join(stream_root, spec.name)
+            if epoch not in table_epochs[spec.name]:
+                continue
+            # bucket-aligned epochs take the shuffle-free map-only
+            # apply, exactly like the single-table loop — per (table,
+            # epoch) detection, same ledger, silent fallback
+            layout = None
+            if self.cfg.copart != "off" and (
+                tables[spec.name].key_cols() is None
+                or self.cfg.write_mode == "mor"
+            ):
+                from cnpj_data_pipeline_spark.sources.change_stream import (
+                    bucketed_layout,
+                )
+
+                layout = bucketed_layout(wal, epoch, tables[spec.name])
+            if layout is not None:
+                from cnpj_data_pipeline_spark.operators.copart import (
+                    apply_changes_copart,
+                )
+
+                m = apply_changes_copart(
+                    spark, tables[spec.name], layout, epoch, self.cfg,
+                    stage_only=txn is not None,
+                )
+            else:
+                m = apply_changes(
+                    spark,
+                    tables[spec.name],
+                    read_epoch(spark, wal, epoch),
+                    epoch=epoch,
+                    cfg=self.cfg,
+                    batch_rows_hint=epoch_row_count(wal, epoch),
+                    stage_only=txn is not None,
+                )
+            if txn is not None:
+                txn.record_staged(spec.name, tables[spec.name], m, epoch)
+            m["table"] = spec.name
+            metrics.append(m)
+            if not m["skipped"]:
+                done += 1
+                epoch_did_work = True
+                if fail_after is not None and done >= fail_after:
+                    raise RuntimeError(
+                        f"injected failure after {done} table-epoch applies"
+                    )
+        return metrics, done, epoch_did_work
 
     def read(self, spark: SparkSession, name: str):
         """Read a member table — through the transactional catalog's pins

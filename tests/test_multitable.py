@@ -170,13 +170,17 @@ def test_txn_mode_atomic_epoch_visibility_and_resume(spark, tmp_path):
         txn_catalog=str(tmp_path / "txn" / "_catalog"),
     )
     # crash after 2 of epoch 0's 3 stagings: the epoch's transaction was
-    # never prepared — no table committed, no catalog version, no ledger
+    # never prepared — no table committed, no catalog version, no ledger —
+    # and the in-process failure ABORTS it, releasing its own staged
+    # batches (no storage leak on the crash/retry loop)
     with pytest.raises(RuntimeError, match="injected failure"):
         job.run_stream(spark, wal, fail_after=2)
     cat = Catalog.load(job.txn_catalog)
     assert cat.current_version() == 0
     assert LakeTable.load(job.table_path("convs")).applied_epochs() == set()
     assert cat.read(spark, "convs").count() == 0
+    for name in ("convs", "turns", "labels"):
+        assert LakeTable.load(job.table_path(name)).list_staged() == []
 
     # resume: the whole epoch re-stages; one catalog version per epoch
     metrics = job.run_stream(spark, wal)
@@ -198,17 +202,54 @@ def test_txn_mode_atomic_epoch_visibility_and_resume(spark, tmp_path):
     assert all(m["skipped"] for m in metrics)
     assert cat.current_version() == 2
     assert cat.pending_transactions() == []
-    # the crashed (never-prepared) run's stagings remain as PROTECTED debris
-    # (clean_orphans never eats under a descriptor; a blanket auto-abandon
-    # could kill a concurrent writer's in-flight transaction) — released
-    # explicitly via the documented maintenance surface
-    for name in ("convs", "turns", "labels"):
+    assert got["turns"].equals(_final_states(spark, job)["turns"])
+
+
+def test_txn_mode_hard_crash_debris_protected_until_abandon(
+    spark, tmp_path, monkeypatch
+):
+    """A HARD crash (process killed — the abort never runs) leaves the
+    un-prepared transaction's stagings as PROTECTED debris: clean_orphans
+    never eats under a descriptor (a blanket auto-abandon could kill a
+    concurrent writer's in-flight transaction), resume re-stages under
+    fresh tokens, and the debris is released explicitly via the documented
+    abandon-staged maintenance."""
+    from cnpj_data_pipeline_spark import Catalog
+    from cnpj_data_pipeline_spark.lake.txn_catalog import (
+        MultiTableTransaction,
+    )
+
+    wal = str(tmp_path / "wal")
+    _write_wals(spark, wal)
+    cfg = EngineConfig(n_buckets=4, salt_factor=2)
+    job = MultiTableIngestJob(
+        str(tmp_path / "txn"), _catalog(), cfg,
+        txn_catalog=str(tmp_path / "txn" / "_catalog"),
+    )
+    monkeypatch.setattr(MultiTableTransaction, "abort", lambda self: None)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        job.run_stream(spark, wal, fail_after=2)
+    monkeypatch.undo()
+    staged_before = {
+        name: LakeTable.load(job.table_path(name)).list_staged()
+        for name in ("convs", "turns", "labels")
+    }
+    assert sum(len(v) for v in staged_before.values()) == 2
+    cat = Catalog.load(job.txn_catalog)
+    assert cat.current_version() == 0
+
+    # resume completes every epoch; the dead run's descriptors survive
+    metrics = job.run_stream(spark, wal)
+    assert [m["catalog_version"] for m in metrics
+            if m["table"] == "__catalog__"] == [1, 2]
+    for name, before in staged_before.items():
         t = LakeTable.load(job.table_path(name))
-        for d in t.list_staged():
+        leftover = t.list_staged()
+        assert {d["token"] for d in before} <= {d["token"] for d in leftover}
+        for d in leftover:
             st = t.abandon_staged(d["token"])
             assert not st.get("already_published")
         assert t.list_staged() == []
-    assert got["turns"].equals(_final_states(spark, job)["turns"])
 
 
 def test_txn_mode_bounded_admission_reads_consistent_epoch(spark, tmp_path):
