@@ -56,7 +56,15 @@ def main() -> None:
     g = ap.add_mutually_exclusive_group(required=True)
     g.add_argument("--execute", help="one SQL statement")
     g.add_argument("--script", help="path to a ;-separated SQL script file")
-    ap.add_argument("--epoch-base", type=int, default=0)
+    ap.add_argument(
+        "--epoch-base", type=int, default=None,
+        help="ledger epoch of the first DML statement (statement k gets "
+        "epoch-base + k); pass the SAME base to make a re-submitted script "
+        "skip already-applied writes exactly-once. Omitted: a fresh base "
+        "one past every registered table's applied epochs is derived, so "
+        "distinct ad-hoc statements never collide on the ledger — but a "
+        "re-submit will then re-apply",
+    )
     ap.add_argument("--salt-factor", type=int, default=4)
     ap.add_argument(
         "--catalog", default=None, metavar="ROOT",
@@ -91,9 +99,38 @@ def main() -> None:
         from cnpj_data_pipeline_spark.lake.txn_catalog import Catalog
 
         catalog = Catalog.load(args.catalog)
+    epoch_base = args.epoch_base
+    if epoch_base is None:
+        # no explicit idempotency key: derive a base past every registered
+        # table's ledger so two different ad-hoc statements never collide
+        # (with a shared fixed default, the second statement would silently
+        # no-op under the exactly-once ledger). Resumable re-runs still
+        # require an explicit --epoch-base.
+        from cnpj_data_pipeline_spark import LakeTable
+
+        roots = {str(getattr(t, "root", t)) for t in tables.values()}
+        if catalog is not None:
+            roots |= {p["root"] for p in catalog.pins().values()}
+        hi = -1
+        for root in roots:
+            try:
+                eps = LakeTable.load(root).applied_epochs()
+            except (OSError, FileNotFoundError):
+                continue
+            hi = max(hi, max(eps, default=-1))
+        epoch_base = hi + 1
+        print(
+            json.dumps({
+                "derived_epoch_base": epoch_base,
+                "note": "no --epoch-base given; fresh epochs derived — "
+                "re-submitting this script will RE-APPLY its DML. Pass "
+                "--epoch-base for crash-resumable scripts.",
+            }),
+            file=sys.stderr,
+        )
     results = run_sql_script(
         spark, script, tables,
-        epoch_base=args.epoch_base,
+        epoch_base=epoch_base,
         cfg=EngineConfig(salt_factor=args.salt_factor),
         catalog=catalog,
     )
