@@ -654,7 +654,11 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
     snap = table.snapshot()
     key = set(table.key_cols() or ())
     bcols = set(table.bucket_cols() or table.key_cols() or ())
-    sort = table.sort_order() or []
+    # sort_order() stores PHYSICAL names; surface them under the logical
+    # names the rest of the description speaks (key/bucket columns are
+    # never renameable, so only the sort list needs mapping)
+    ren = table.renames()
+    sort = [ren.get(c, c) for c in (table.sort_order() or [])]
     rows = [
         (
             f.name,

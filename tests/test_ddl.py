@@ -362,6 +362,15 @@ def test_describe(spark, tmp_path):
     assert meta["Num Buckets"] == "8"
     assert meta["Sort Order"] == "ts"
 
+    # a renamed sorted column keeps its sort annotation under the NEW name
+    execute_ddl(spark, "ALTER TABLE transcripts RENAME COLUMN ts TO at", tables)
+    rows = execute_ddl(spark, "DESCRIBE transcripts", tables).collect()
+    by_col = {r["col_name"]: r for r in rows}
+    assert "ts" not in by_col and by_col["at"]["info"] == "sort#0"
+    ext = execute_ddl(spark, "DESCRIBE EXTENDED transcripts", tables).collect()
+    meta = {r["col_name"]: r["data_type"] for r in ext}
+    assert meta["Sort Order"] == "at"
+
 
 def test_if_exists_forms(spark, tmp_path):
     tables: dict = {}
