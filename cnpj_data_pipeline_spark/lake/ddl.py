@@ -22,6 +22,7 @@ Supported grammar (case-insensitive keywords; one statement per call):
     [CLUSTERED BY (<c1> [, ...]) INTO <n> BUCKETS]
     [LOCATION '<path>']
     [TBLPROPERTIES ('<k>'='<v>' [, ...])]
+    [WRITE ORDERED BY [ZORDER] (<c1> [, ...])]
 
     CREATE TABLE <name> [SHALLOW] CLONE <src>
         [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>' | TAG '<tag>']
@@ -245,6 +246,18 @@ def _create_stmt(
         inner, rest = _scan_balanced(rest[m.end() - 1:])
         props = _parse_props(inner)
         rest = rest.strip()
+
+    sort_cols: list[str] | None = None
+    sort_kind = "lexical"
+    m = re.match(
+        r"^WRITE\s+ORDERED\s+BY\s+(?P<z>ZORDER\s+)?\((?P<cols>[^)]+)\)",
+        rest,
+        re.IGNORECASE,
+    )
+    if m:  # declare the sort order with the table, ahead of any data
+        sort_cols = [c.strip() for c in m.group("cols").split(",")]
+        sort_kind = "zorder" if m.group("z") else "lexical"
+        rest = rest[m.end():].strip()
     if rest:
         raise ValueError(f"CREATE TABLE: unsupported trailing DDL: {rest[:60]!r}")
     if location is None:
@@ -278,6 +291,8 @@ def _create_stmt(
     )
     if props:
         table.set_props(props)
+    if sort_cols is not None:
+        table.set_sort_order(sort_cols, kind=sort_kind)
     tables[name] = table
     return table
 
@@ -608,10 +623,10 @@ def show_create_table(table: LakeTable, name: str = "t") -> str:
     agg spec, and user properties (gated in ``tests/test_ddl.py``).
 
     Emits LOGICAL column names (a fresh replica has no rename history to
-    carry) and omits what a new table cannot or should not inherit:
-    dropped-name tombstones, the declared sort order (a later ``WRITE
-    ORDERED BY``), and snapshot history. The LOCATION placeholder must be
-    filled by the caller."""
+    carry) and the declared sort order (``WRITE ORDERED BY``, logical
+    names); omits what a new table cannot or should not inherit:
+    dropped-name tombstones and snapshot history. The LOCATION placeholder
+    must be filled by the caller."""
     snap = table.snapshot()
     schema = table.logical_schema()
     lines = [f"    {f.name} {f.dataType.simpleString().upper()}"
@@ -644,6 +659,18 @@ def show_create_table(table: LakeTable, name: str = "t") -> str:
     if tbl_props:
         inner = ", ".join(f"'{k}'='{v}'" for k, v in sorted(tbl_props.items()))
         stmt += f"\nTBLPROPERTIES ({inner})"
+    sort = table.sort_order() or []
+    if sort:
+        ren = table.renames()
+        zkw = (
+            "ZORDER "
+            if (table.props() or {}).get("sort_order_kind") == "zorder"
+            else ""
+        )
+        stmt += (
+            f"\nWRITE ORDERED BY {zkw}"
+            f"({', '.join(ren.get(c, c) for c in sort)})"
+        )
     return stmt
 
 

@@ -362,6 +362,14 @@ def test_describe(spark, tmp_path):
     assert meta["Num Buckets"] == "8"
     assert meta["Sort Order"] == "ts"
 
+    # SHOW CREATE emits the declared sort order and round-trips it
+    stmt = execute_ddl(spark, "SHOW CREATE TABLE transcripts", tables)
+    assert "WRITE ORDERED BY (ts)" in stmt
+    twin = execute_ddl(
+        spark, stmt.replace("<path>", f"{tmp_path}/sorted2"), {}
+    )
+    assert twin.sort_order() == ["ts"]
+
     # a renamed sorted column keeps its sort annotation under the NEW name
     execute_ddl(spark, "ALTER TABLE transcripts RENAME COLUMN ts TO at", tables)
     rows = execute_ddl(spark, "DESCRIBE transcripts", tables).collect()
@@ -370,6 +378,14 @@ def test_describe(spark, tmp_path):
     ext = execute_ddl(spark, "DESCRIBE EXTENDED transcripts", tables).collect()
     meta = {r["col_name"]: r["data_type"] for r in ext}
     assert meta["Sort Order"] == "at"
+    # ... and SHOW CREATE emits the logical name too (ZORDER keyword kept)
+    execute_ddl(
+        spark,
+        "ALTER TABLE transcripts WRITE ORDERED BY ZORDER (at, turn_idx)",
+        tables,
+    )
+    stmt = execute_ddl(spark, "SHOW CREATE TABLE transcripts", tables)
+    assert "WRITE ORDERED BY ZORDER (at, turn_idx)" in stmt
 
 
 def test_if_exists_forms(spark, tmp_path):
