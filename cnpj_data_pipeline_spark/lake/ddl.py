@@ -39,6 +39,9 @@ Supported grammar (case-insensitive keywords; one statement per call):
 
     SHOW CREATE TABLE <name>          -> the CREATE statement (round-trips)
     DESCRIBE [EXTENDED] <name>        -> DataFrame of columns + metadata
+    SELECT / WITH ... (script runner) -> DataFrame over the registered
+                                         tables' state views (inside a
+                                         BEGIN block: the catalog's pins)
 
 For a KEYLESS table the bucket count alone is declared with
 ``CLUSTERED INTO <n> BUCKETS`` (no BY — there is no key to cluster by;
@@ -490,6 +493,7 @@ _ROLLBACK_HEAD = re.compile(
     r"^\s*ROLLBACK(\s+TRANSACTION)?\s*$", re.IGNORECASE
 )
 _TXN_READ_DDL = re.compile(r"^\s*(SHOW|DESCRIBE)\b", re.IGNORECASE)
+_SELECT_HEAD = re.compile(r"^\s*(SELECT|WITH)\b", re.IGNORECASE)
 
 
 def run_sql_script(
@@ -532,7 +536,7 @@ def run_sql_script(
     vector is untouched.
 
     Returns one dict per statement: ``{"statement": <head>, "kind":
-    "ddl"|"dml"|"txn", "result": ...}`` where DML results are the apply
+    "ddl"|"dml"|"txn"|"query", "result": ...}`` where DML results are the apply
     metrics, DDL results are the snapshot id / table / text / DataFrame
     the statement produces, and COMMIT's result is the catalog version."""
     from cnpj_data_pipeline_spark.lake.dml import merge_into
@@ -574,6 +578,32 @@ def run_sql_script(
                 txn = None
                 results.append(
                     {"statement": head, "kind": "txn", "result": None}
+                )
+            elif _SELECT_HEAD.match(stmt):
+                # a read: every registered table resolves as a temp view of
+                # its CURRENT state — inside a transaction, through the
+                # catalog's pins (snapshot isolation: the block's own staged
+                # writes are invisible, like every other statement's reads)
+                from cnpj_data_pipeline_spark.lake.sql import register_view
+
+                pinned = set()
+                if catalog is not None:
+                    pins = catalog.pins()
+                    for vname, pin in pins.items():
+                        register_view(
+                            spark, pin["root"], vname,
+                            snapshot_id=pin["snapshot_id"],
+                        )
+                        pinned.add(vname)
+                for vname, t in tables.items():
+                    if vname not in pinned:
+                        register_view(spark, t, vname)
+                results.append(
+                    {
+                        "statement": head,
+                        "kind": "query",
+                        "result": spark.sql(stmt),
+                    }
                 )
             elif _DML_HEAD.match(stmt):
                 if txn is not None:

@@ -300,3 +300,40 @@ def test_txn_script_guards(spark, tmp_path):
         catalog=cat,
     )
     assert res[1]["kind"] == "ddl"
+
+
+def test_select_statement_reads_state_and_pins(spark, tmp_path):
+    """SELECT inside a script is a first-class read: outside a block it
+    sees the table's current state; inside a BEGIN block it resolves
+    through the catalog's pins — the block's own staged writes are
+    invisible (snapshot isolation, like every other statement's reads)."""
+    cat, convs, turns = _seeded_catalog(spark, tmp_path)
+    res = run_sql_script(
+        spark,
+        "SELECT count(*) AS n FROM turns",
+        {"convs": convs, "turns": turns},
+        epoch_base=1, cfg=CFG, catalog=cat,
+    )
+    assert res[0]["kind"] == "query"
+    assert res[0]["result"].collect()[0]["n"] == 24
+
+    _register_epoch_views(spark, 1)
+    script = """
+    BEGIN TRANSACTION;
+    MERGE INTO turns AS t USING __txn_turns AS s
+      ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *;
+    SELECT count(*) AS n FROM turns;
+    COMMIT;
+    SELECT count(*) AS n FROM turns;
+    """
+    res = run_sql_script(
+        spark, script, {"convs": convs, "turns": turns},
+        epoch_base=1, cfg=CFG, catalog=cat,
+    )
+    mid = [r for r in res if r["kind"] == "query"]
+    # mid-block read: pre-transaction pin (24); post-commit read: 23
+    assert mid[0]["result"].collect()[0]["n"] == 24
+    assert mid[1]["result"].collect()[0]["n"] == 23

@@ -19,6 +19,8 @@ With ``--catalog ROOT``, ``BEGIN TRANSACTION; …DML…; COMMIT;`` blocks
 stage through one MultiTableTransaction and land in a single catalog CAS
 (atomic multi-table visibility); a prepared transaction left by a crashed
 run is recovered before the first statement.
+``SELECT`` statements read the registered tables' state views (inside a
+transaction block: the catalog's pre-block pins — snapshot isolation).
 Prints one JSON line per statement; DESCRIBE/SHOW results print as text.
 """
 
