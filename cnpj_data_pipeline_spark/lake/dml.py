@@ -20,6 +20,7 @@ Supported grammar (case-insensitive keywords; one statement per call):
     [WHEN MATCHED AND <condition-over-s> THEN DELETE]
     WHEN MATCHED THEN UPDATE SET * | SET <c> = <s>.<c> [, ...]
     [WHEN NOT MATCHED THEN INSERT *]
+    [WHEN NOT MATCHED BY SOURCE THEN DELETE]
 
     INSERT INTO <table-name> <select-statement>
 
@@ -59,6 +60,13 @@ parser laziness:
   CDC idiom ``WHEN MATCHED AND s.op = 'D' THEN DELETE``); conditions
   referencing the target would require a state read the MoR engine
   deliberately never does on ingest.
+* ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` is the full-snapshot-sync
+  idiom (the source is a COMPLETE current snapshot; keys it no longer
+  carries are tombstoned). It is the one MERGE form that reads target
+  state — a column-pruned key scan anti-joined against the source's key
+  set, O(table keys) by the semantic itself, same as Delta's clause. The
+  tombstones land past both the table's high-water mark and the batch's
+  own max LSN, so the sync wins the fold without colliding with it.
 * Exactly-once: the statement itself is pure text, so the epoch ledger
   rides on the call (``epoch=``), same contract as ``apply_changes``.
 
@@ -153,7 +161,16 @@ def _strip_alias(cond: str, *aliases: str | None) -> str:
     return "".join(out)
 
 
-def _parse_on(on: str, talias: str | None, salias: str | None) -> list[str]:
+def _implicit_aliases(*names: str | None) -> tuple[str, ...]:
+    """Explicit aliases plus bare-word relation names: standard SQL lets a
+    predicate qualify columns by the TABLE/VIEW name when no alias is
+    declared (``MERGE INTO t USING s ON t.k = s.k``), so those names join
+    the recognized-qualifier set. Path-ish registry names (dots/slashes)
+    can't appear as qualifiers and are skipped."""
+    return tuple(n for n in names if n and re.fullmatch(r"\w+", n))
+
+
+def _parse_on(on: str, aliases: tuple[str, ...]) -> list[str]:
     """The ON conjunction -> list of equated column names. Only
     ``t.k = s.k`` conjuncts are accepted (see module doc)."""
     cols = []
@@ -173,7 +190,7 @@ def _parse_on(on: str, talias: str | None, salias: str | None) -> list[str]:
                 f"(the merge identity), got {conj!r}"
             )
         for al in (a1, a2):
-            if al is not None and al not in (talias, salias):
+            if al is not None and al not in aliases:
                 raise ValueError(f"MERGE ON references unknown alias {al!r}")
         cols.append(c1)
     return cols
@@ -240,7 +257,10 @@ def _delete_stmt(
             "DELETE FROM a keyless (append-only) table is undefined — "
             "append-only logs have no row identity to tombstone"
         )
-    pred = _strip_alias(m.group("where"), m.group("talias"))
+    pred = _strip_alias(
+        m.group("where"),
+        *_implicit_aliases(m.group("talias"), m.group("target")),
+    )
     matched = target.read(spark).filter(F.expr(pred)).select(*key_cols)
     batch = (
         matched.withColumn("op", F.lit("D"))
@@ -275,6 +295,7 @@ def _update_stmt(
             "use INSERT INTO"
         )
     talias = m.group("talias")
+    aliases = _implicit_aliases(talias, m.group("target"))
     # validate against the LOGICAL schema: every other surface (read, the
     # matched rows below, MERGE, DDL) speaks logical names, so a renamed
     # column must be assignable under its current name
@@ -288,7 +309,7 @@ def _update_stmt(
         if not am:
             raise ValueError(f"UPDATE SET: cannot parse assignment {a!r}")
         al, col, rhs = am.group(1), am.group(2), am.group("rhs")
-        if al is not None and al != talias:
+        if al is not None and al not in aliases:
             raise ValueError(f"UPDATE SET references unknown alias {al!r}")
         if col in key_cols:
             raise ValueError(
@@ -297,10 +318,10 @@ def _update_stmt(
             )
         if col not in schema_names:
             raise ValueError(f"UPDATE SET: unknown column {col!r}")
-        assigns.append((col, _strip_alias(rhs, talias)))
+        assigns.append((col, _strip_alias(rhs, *aliases)))
     if not assigns:
         raise ValueError("UPDATE requires at least one SET assignment")
-    pred = _strip_alias(m.group("where"), talias)
+    pred = _strip_alias(m.group("where"), *aliases)
     matched = target.read(spark).filter(F.expr(pred))
     updated = matched
     for col, rhs in assigns:
@@ -392,7 +413,13 @@ def merge_into(
     )
     if not om:
         raise ValueError("MERGE: missing ON ... WHEN ...")
-    on_cols = _parse_on(om.group("on"), talias, salias)
+    aliases = _implicit_aliases(
+        talias,
+        mh.group("target"),
+        salias,
+        None if is_subquery else source_txt,
+    )
+    on_cols = _parse_on(om.group("on"), aliases)
     clauses = rest[om.end():]
 
     key_cols = target.key_cols()
@@ -420,8 +447,12 @@ def merge_into(
         r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*",
         clauses, re.IGNORECASE,
     )
+    bys_m = re.search(
+        r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE",
+        clauses, re.IGNORECASE,
+    )
     leftover = clauses
-    for m in (del_m, upd_m, ins_m):
+    for m in (del_m, upd_m, ins_m, bys_m):
         if m:
             leftover = leftover.replace(m.group(0), "", 1)
     if re.search(r"\bWHEN\b", leftover, re.IGNORECASE):
@@ -475,13 +506,37 @@ def merge_into(
         src = src.select(*keep, *extra)
 
     if del_m:
-        cond = _strip_alias(del_m.group("cond"), talias, salias)
+        cond = _strip_alias(del_m.group("cond"), *aliases)
         op = F.when(F.expr(cond), F.lit("D")).otherwise(F.lit("U"))
     else:
         op = F.lit("U")
     batch = src.withColumn("__dml_op", op).drop("op").withColumnRenamed(
         "__dml_op", "op"
     )
+    if bys_m:
+        # full-sync clause: tombstone every live target key the source no
+        # longer carries. Target read is a column-pruned KEY scan (the one
+        # state read any MERGE form performs — inherent to the semantic);
+        # the anti-join compares it against the source's full key set,
+        # BEFORE any matched-only restriction below. Tombstones land one
+        # past both the high-water mark and the batch's own max LSN: they
+        # beat current state, and their key set is disjoint from the
+        # batch's, so no fold tie is possible.
+        gone = (
+            target.read(spark)
+            .select(*key_cols)
+            .join(src.select(*key_cols), on=key_cols, how="left_anti")
+        )
+        max_src = batch.agg(F.max("lsn").alias("m")).collect()[0]["m"]
+        del_lsn = max(
+            int(max_src or 0) + 1, _next_lsn(target) + lsn_offset
+        )
+        batch = batch.unionByName(
+            gone.withColumn("op", F.lit("D")).withColumn(
+                "lsn", F.lit(del_lsn).cast("long")
+            ),
+            allowMissingColumns=True,
+        )
     if not ins_m:
         # matched-only merge: restrict to keys already present. The key
         # set read is bucket-pruned (read_keys), and the semi join keeps

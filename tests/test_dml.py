@@ -165,8 +165,11 @@ def test_merge_validation(spark, tmp_path):
             WHEN MATCHED THEN UPDATE SET *
         """, tables, epoch=9, cfg=CFG)
     with pytest.raises(ValueError, match="unsupported WHEN"):
-        merge_into(spark, MERGE + " WHEN NOT MATCHED BY SOURCE THEN DELETE",
-                   tables, epoch=9, cfg=CFG)
+        merge_into(
+            spark,
+            MERGE + " WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *",
+            tables, epoch=9, cfg=CFG,
+        )
 
 
 def test_merge_column_subset_patch_on_partial_engine(spark, tmp_path):
@@ -365,3 +368,97 @@ def test_alias_stripping_is_quote_aware(spark, tmp_path):
     )
     got = t.read(spark).toPandas()
     assert list(got[got["conv_id"] == "b"]["text"]) == ["s. holmes"]
+
+
+MERGE_SYNC = """
+    MERGE INTO transcripts AS t
+    USING batch AS s
+    ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+    WHEN MATCHED THEN UPDATE SET *
+    WHEN NOT MATCHED THEN INSERT *
+    WHEN NOT MATCHED BY SOURCE THEN DELETE
+"""
+
+
+def test_merge_not_matched_by_source_full_sync(spark, tmp_path):
+    """The full-snapshot-sync clause: after the MERGE, the table's key set
+    equals the source's — upserts applied, absent keys tombstoned."""
+    t = _mk(spark, tmp_path / "t")
+    # snapshot source: keeps a/0 (edited), keeps a/1, drops b/0, adds c/0
+    snap = [
+        ("a", 0, "user", "hi-sync", None, TS, "U", 10),
+        ("a", 1, "assistant", "hello", "search", TS, "U", 11),
+        ("c", 0, "user", "new", None, TS, "I", 12),
+    ]
+    _batch_df(spark, snap).createOrReplaceTempView("batch")
+    merge_into(spark, MERGE_SYNC, {"transcripts": t}, epoch=1, cfg=CFG)
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    assert [tuple(r) for r in got[["conv_id", "turn_idx"]].values] == [
+        ("a", 0), ("a", 1), ("c", 0),
+    ]
+    assert list(got["text"]) == ["hi-sync", "hello", "new"]
+    # idempotent re-apply of the same epoch is a ledger no-op
+    m = merge_into(spark, MERGE_SYNC, {"transcripts": t}, epoch=1, cfg=CFG)
+    assert m["skipped"]
+    # re-running as a NEW epoch is also a fixpoint (sync of a synced table)
+    merge_into(spark, MERGE_SYNC, {"transcripts": t}, epoch=2, cfg=CFG)
+    got2 = t.read(spark).orderBy(*KEY).toPandas()
+    assert list(got2["text"]) == ["hi-sync", "hello", "new"]
+
+
+def test_merge_by_source_respects_matched_only_form(spark, tmp_path):
+    """BY SOURCE composes with a matched-only merge (no INSERT clause):
+    unmatched source keys are dropped, absent target keys tombstoned."""
+    t = _mk(spark, tmp_path / "t")
+    snap = [
+        ("a", 0, "user", "hi-2", None, TS, "U", 10),
+        ("z", 9, "user", "ghost", None, TS, "U", 11),  # not in target
+    ]
+    _batch_df(spark, snap).createOrReplaceTempView("batch")
+    merge_into(
+        spark,
+        """MERGE INTO transcripts AS t USING batch AS s
+           ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED BY SOURCE THEN DELETE""",
+        {"transcripts": t}, epoch=1, cfg=CFG,
+    )
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    # a/0 updated; b/0 and a/1 tombstoned (absent from source); z/9 dropped
+    assert [tuple(r) for r in got[["conv_id", "turn_idx"]].values] == [
+        ("a", 0),
+    ]
+    assert list(got["text"]) == ["hi-2"]
+
+
+def test_bare_relation_names_as_qualifiers(spark, tmp_path):
+    """With no alias declared, standard SQL qualifies columns by the
+    relation name itself — accepted across MERGE ON, DELETE and UPDATE."""
+    t = _mk(spark, tmp_path / "t")
+    _batch_df(spark, ROWS1).createOrReplaceTempView("batch")
+    merge_into(
+        spark,
+        """MERGE INTO transcripts USING batch
+           ON transcripts.conv_id = batch.conv_id
+              AND transcripts.turn_idx = batch.turn_idx
+           WHEN MATCHED AND batch.op = 'D' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+        {"transcripts": t}, epoch=1, cfg=CFG,
+    )
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    assert list(got["text"]) == ["hi-edited", "hello", "new"]
+    merge_into(
+        spark,
+        "UPDATE transcripts SET text = concat(transcripts.text, '!') "
+        "WHERE transcripts.conv_id = 'c'",
+        {"transcripts": t}, epoch=2, cfg=CFG,
+    )
+    merge_into(
+        spark,
+        "DELETE FROM transcripts WHERE transcripts.conv_id = 'a' "
+        "AND transcripts.turn_idx = 1",
+        {"transcripts": t}, epoch=3, cfg=CFG,
+    )
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    assert list(got["text"]) == ["hi-edited", "new!"]
