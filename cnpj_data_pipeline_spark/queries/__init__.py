@@ -75,6 +75,7 @@ for _m in (cdc, csv_ingest, multimodal, multitable, relational, text, vector):
 # partial-update merge engine) took q_doc_sample's slot (O4 ordered LIMIT —
 # the operator also runs inside q_top_docs_per_lang's gated ordered top-k).
 _EXTRA_NAMES = (
+    "q_merge_full_sync",
     "q_doc_sample",
     "q_minhash_signatures",
     "q_simhash",

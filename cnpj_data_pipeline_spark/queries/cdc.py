@@ -572,6 +572,50 @@ def q_cdc_replay_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-snapshot synchronization via MERGE's ``WHEN NOT MATCHED BY
+    SOURCE THEN DELETE`` clause (lake/dml.py — Delta's full-sync idiom):
+    replay the WAL, then hand the table one COMPLETE deterministic
+    snapshot (the live winners with ``turn_idx % 3 = 0``, text prefixed,
+    at a fresh LSN) — matched keys upsert, new keys insert, and every key
+    the snapshot no longer carries is tombstoned, so the table's key set
+    converges to the snapshot's. The one MERGE form that reads target
+    state: a column-pruned KEY scan anti-joined against the source's key
+    set, O(table keys) by the semantic itself. Final state must equal the
+    snapshot's own fold; a re-run of the sync is a fixpoint."""
+    from cnpj_data_pipeline_spark.lake.dml import merge_into
+
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    table = LakeTable.create(
+        os.path.join(_mk_scratch("merge_sync_q_"), "lake"),
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    snap = (
+        table.read(spark)
+        .filter(F.col("turn_idx") % 3 == 0)
+        .withColumn("text", F.concat(F.lit("sync:"), F.col("text")))
+        .withColumn("lsn", F.lit(10 ** 12).cast("long"))
+    )
+    snap.createOrReplaceTempView("__sync_snapshot")
+    merge_into(
+        spark,
+        """
+        MERGE INTO transcripts AS t
+        USING __sync_snapshot AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """,
+        {"transcripts": table}, epoch=N_EPOCHS, cfg=cfg,
+    )
+    return table.read(spark)
+
+
 def q_cdc_replay_renamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay with a MID-STREAM RENAME COLUMN (upstream ALTER TABLE RENAME
     — the reference's schema system is rename-driven,
@@ -1250,6 +1294,7 @@ QUERIES = {
     "q_cdc_replay_renamed": q_cdc_replay_renamed,
     "q_cdc_replay_ddl": q_cdc_replay_ddl,
     "q_cdc_replay_sql": q_cdc_replay_sql,
+    "q_merge_full_sync": q_merge_full_sync,
     "q_cdc_replay_copart": q_cdc_replay_copart,
     "q_cdc_replay_debezium": q_cdc_replay_debezium,
     "q_cdc_replay_outbound": q_cdc_replay_outbound,
@@ -1430,6 +1475,12 @@ FROM winners
 WHERE op <> 'D' AND NOT (turn_idx % 7 = 3)
 """,
     "q_cdc_replay_debezium": _FINAL_STATE_SQL,
+    "q_merge_full_sync": f"""
+WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+SELECT conv_id, turn_idx, role, 'sync:' || text AS text, tool, ts
+FROM winners
+WHERE op <> 'D' AND turn_idx % 3 = 0
+""",
     "q_cdc_replay_outbound": _FINAL_STATE_SQL,
     "q_cdc_replay_rebucket": _FINAL_STATE_SQL,
     "q_time_travel": _TIME_TRAVEL_SQL,
