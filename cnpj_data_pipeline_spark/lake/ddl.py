@@ -36,8 +36,21 @@ Supported grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE <name> SET TBLPROPERTIES ('<k>'='<v>' [, ...])
     ALTER TABLE <name> WRITE ORDERED BY [ZORDER] (<c1> [, ...])
     ALTER TABLE <name> WRITE UNORDERED
+    ALTER TABLE <name> CREATE TAG '<tag>' [AS OF VERSION <n>]
+    ALTER TABLE <name> DROP TAG [IF EXISTS] '<tag>'
 
+    OPTIMIZE <name>                   -> compact multi-generation buckets
+                                         (map-only rewrite, no exchange)
+    VACUUM <name> [RETAIN <n> SNAPSHOTS] [OLDER THAN '<ts>']
+                                      -> expire snapshots + sweep orphans
+    VACUUM <name> TOMBSTONES BELOW LSN <n>
+                                      -> physically drop settled deletes
+    RESTORE TABLE <name> TO VERSION AS OF <n>
+                       | TO TIMESTAMP AS OF '<ts>' | TO TAG '<tag>'
+                                      -> rollback (history preserved)
     SHOW CREATE TABLE <name>          -> the CREATE statement (round-trips)
+    SHOW SNAPSHOTS <name>             -> DataFrame: commit history + tags
+    SHOW TAGS <name>                  -> DataFrame: tag -> snapshot id
     DESCRIBE [EXTENDED] <name>        -> DataFrame of columns + metadata
     SELECT / WITH ... (script runner) -> DataFrame over the registered
                                          tables' state views (inside a
@@ -67,6 +80,19 @@ Semantics, each inherited from the operation the statement compiles to:
   names never re-enter.
 * ``WRITE ORDERED BY`` is Iceberg's declared-sort-order DDL analogue,
   compiling to ``set_sort_order`` (ZORDER interleaves 2-4 columns).
+* The maintenance statements are front-ends over the operator CLI's ops
+  (``tools/run_maintenance.py``), so a pure-SQL deployment can run its
+  own upkeep: ``OPTIMIZE`` -> ``compact`` (bounds MoR read
+  amplification), ``VACUUM`` -> ``expire_snapshots(sweep_orphans=True)``
+  (bounds storage; tagged snapshots are protected) or, in the
+  ``TOMBSTONES BELOW LSN`` form, -> ``vacuum_tombstones`` (drops settled
+  deletes once no lower-LSN late event can arrive), ``RESTORE TABLE`` ->
+  ``rollback`` (bad-batch recovery: a NEW snapshot carrying the target
+  state — time travel to the bad commits survives until expiry),
+  ``CREATE/DROP TAG`` -> immutable named snapshot refs. OPTIMIZE and the
+  tombstone VACUUM run Spark jobs (bucket rewrites); everything else is
+  metadata-only. All are refused inside BEGIN blocks (they commit their
+  own CAS and cannot stage); the SHOW forms are allowed anywhere.
 * There is deliberately no ``DROP TABLE``: destroying state is an
   operator action (retention/expiry are the governed paths), not a
   statement a streaming consumer should ever hold.
@@ -434,6 +460,32 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
 
     if re.match(r"^WRITE\s+UNORDERED$", rest, re.IGNORECASE):
         return table.set_sort_order(None)
+
+    ctm = re.match(
+        r"^CREATE\s+TAG\s+'(?P<tag>[^']+)'"
+        r"(?:\s+AS\s+OF\s+VERSION\s+(?P<ver>\d+))?$",
+        rest,
+        re.IGNORECASE,
+    )
+    if ctm:
+        ver = ctm.group("ver")
+        return table.create_tag(
+            ctm.group("tag"), None if ver is None else int(ver)
+        )
+
+    dtm = re.match(
+        r"^DROP\s+TAG\s+(?:(?P<ife>IF\s+EXISTS)\s+)?'(?P<tag>[^']+)'$",
+        rest,
+        re.IGNORECASE,
+    )
+    if dtm:
+        existed = table.drop_tag(dtm.group("tag"))
+        if not existed and not dtm.group("ife"):
+            raise ValueError(
+                f"DROP TAG: no tag {dtm.group('tag')!r} on {name!r} "
+                "(add IF EXISTS for the idempotent form)"
+            )
+        return table.current_snapshot_id()
 
     raise ValueError(
         f"ALTER TABLE: unsupported clause {rest[:80]!r} "
@@ -804,8 +856,71 @@ def execute_ddl(
         return _describe(
             spark, _lookup(dm.group("name")), dm.group("ext") is not None
         )
+    om = re.match(
+        r"^OPTIMIZE\s+(?P<name>[\w.-]+)\s*;?\s*$", stmt, re.IGNORECASE
+    )
+    if om:
+        return _lookup(om.group("name")).compact(spark)
+    vtm = re.match(
+        r"^VACUUM\s+(?P<name>[\w.-]+)\s+TOMBSTONES\s+BELOW\s+LSN\s+"
+        r"(?P<lsn>\d+)\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if vtm:
+        return _lookup(vtm.group("name")).vacuum_tombstones(
+            spark, lsn_horizon=int(vtm.group("lsn"))
+        )
+    vm = re.match(
+        r"^VACUUM\s+(?P<name>[\w.-]+)"
+        r"(?:\s+RETAIN\s+(?P<keep>\d+)\s+SNAPSHOTS)?"
+        r"(?:\s+OLDER\s+THAN\s+'(?P<ts>[^']+)')?\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if vm:
+        keep = vm.group("keep")
+        return _lookup(vm.group("name")).expire_snapshots(
+            keep_last=10 if keep is None else int(keep),
+            older_than=vm.group("ts"),
+            sweep_orphans=True,
+        )
+    rm = re.match(
+        r"^RESTORE\s+TABLE\s+(?P<name>[\w.-]+)\s+TO\s+"
+        r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+        r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)'"
+        r"|TAG\s+'(?P<tag>[^']+)')\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if rm:
+        table = _lookup(rm.group("name"))
+        if rm.group("ver") is not None:
+            sid = int(rm.group("ver"))
+        elif rm.group("ts") is not None:
+            sid = table.snapshot_as_of(rm.group("ts"))
+        else:
+            sid = table.resolve_tag(rm.group("tag"))
+        return table.rollback(sid)
+    ssm = re.match(
+        r"^SHOW\s+SNAPSHOTS\s+(?P<name>[\w.-]+)\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if ssm:
+        return _lookup(ssm.group("name")).snapshots_df(spark)
+    stm = re.match(
+        r"^SHOW\s+TAGS\s+(?P<name>[\w.-]+)\s*;?\s*$", stmt, re.IGNORECASE
+    )
+    if stm:
+        tags = _lookup(stm.group("name")).tags()
+        return spark.createDataFrame(
+            sorted(tags.items()), "tag string, snapshot_id int"
+        )
     raise ValueError(
         "expected 'CREATE TABLE <t> (...)', 'ALTER TABLE <t> ...', "
-        "'SHOW CREATE TABLE <t>' or 'DESCRIBE [EXTENDED] <t>', got: "
+        "'SHOW CREATE TABLE <t>', 'SHOW SNAPSHOTS <t>', 'SHOW TAGS <t>', "
+        "'DESCRIBE [EXTENDED] <t>', 'OPTIMIZE <t>', 'VACUUM <t> ...' or "
+        "'RESTORE TABLE <t> TO ...', got: "
         f"{stmt[:80]!r}"
     )

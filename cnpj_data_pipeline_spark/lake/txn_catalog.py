@@ -588,6 +588,13 @@ class MultiTableTransaction:
         return txn
 
     def commit(self) -> int:
+        if not self._staged:
+            # ``BEGIN; COMMIT;`` with no writes (or a read-only block) is
+            # legal SQL — a no-op that publishes nothing and bumps nothing.
+            # prepare() stays strict: an external 2PC coordinator preparing
+            # an EMPTY transaction is a coordination bug worth surfacing.
+            self._done = True
+            return self.catalog.current_version()
         return self.catalog._complete(self.prepare())
 
     def abort(self) -> None:

@@ -539,3 +539,121 @@ def test_create_table_clone(spark, tmp_path):
             f"CREATE TABLE x CLONE nope LOCATION '{tmp_path}/f5'",
             tables,
         )
+
+
+def test_maintenance_statements(spark, tmp_path):
+    """A pure-SQL deployment running its own upkeep: OPTIMIZE / VACUUM /
+    RESTORE / tag DDL / SHOW SNAPSHOTS|TAGS, each compiling to the same
+    engine op the maintenance CLI (tools/run_maintenance.py) invokes."""
+    tables: dict = {}
+    t = execute_ddl(spark, CREATE.format(loc=tmp_path / "t"), tables)
+    apply_changes(spark, t, _batch_df(spark, ROWS0), epoch=0, cfg=CFG)
+    sid_good = t.current_snapshot_id()
+    execute_ddl(spark, "ALTER TABLE transcripts CREATE TAG 'good'", tables)
+
+    # epoch 1: an edit and a delete -> multi-generation MoR buckets plus
+    # a live tombstone
+    apply_changes(
+        spark,
+        t,
+        _batch_df(
+            spark,
+            [
+                ("a", 0, "user", "EDITED", None, TS, "U", 10),
+                ("b", 0, "user", "yo", None, TS, "D", 11),
+            ],
+        ),
+        epoch=1,
+        cfg=CFG,
+    )
+    snap = t.snapshot()
+    assert any(
+        not info.get("merged", True) for info in snap["buckets"].values()
+    )
+    assert t.read(spark, include_tombstones=True).count() > t.read(
+        spark
+    ).count()
+
+    # OPTIMIZE -> compact: every bucket back to one generation, state
+    # byte-identical
+    before = t.read(spark).orderBy("conv_id", "turn_idx").collect()
+    sid = execute_ddl(spark, "OPTIMIZE transcripts", tables)
+    snap = t.snapshot()
+    assert snap["snapshot_id"] == sid
+    assert all(
+        info.get("merged", True) for info in snap["buckets"].values()
+    )
+    assert t.read(spark).orderBy("conv_id", "turn_idx").collect() == before
+
+    # VACUUM ... TOMBSTONES BELOW LSN -> settled deletes physically gone
+    execute_ddl(
+        spark, "VACUUM transcripts TOMBSTONES BELOW LSN 12", tables
+    )
+    assert t.read(spark, include_tombstones=True).count() == t.read(
+        spark
+    ).count()
+
+    # SHOW TAGS / SHOW SNAPSHOTS are DataFrames over the metadata
+    tags = {
+        r["tag"]: r["snapshot_id"]
+        for r in execute_ddl(spark, "SHOW TAGS transcripts", tables).collect()
+    }
+    assert tags == {"good": sid_good}
+    hist = execute_ddl(spark, "SHOW SNAPSHOTS transcripts", tables)
+    hrows = hist.collect()
+    assert len(hrows) == len(t.snapshots())
+    assert any("good" in r["tags"] for r in hrows)
+
+    # RESTORE TABLE ... TO TAG -> the epoch-0 state, history preserved
+    execute_ddl(spark, "RESTORE TABLE transcripts TO TAG 'good'", tables)
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r for r in t.read(spark).collect()
+    }
+    assert rows[("a", 0)]["text"] == "hi" and ("b", 0) in rows
+
+    # DROP TAG: strict form errors when absent, IF EXISTS is idempotent
+    execute_ddl(spark, "ALTER TABLE transcripts DROP TAG 'good'", tables)
+    execute_ddl(
+        spark, "ALTER TABLE transcripts DROP TAG IF EXISTS 'good'", tables
+    )
+    with pytest.raises(ValueError, match="no tag"):
+        execute_ddl(spark, "ALTER TABLE transcripts DROP TAG 'good'", tables)
+
+    # VACUUM RETAIN n SNAPSHOTS -> history beyond the horizon expired
+    stats = execute_ddl(
+        spark, "VACUUM transcripts RETAIN 1 SNAPSHOTS", tables
+    )
+    assert stats["snapshots_removed"] > 0
+    assert len(t.snapshots()) == 1
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r for r in t.read(spark).collect()
+    }
+    assert rows[("a", 0)]["text"] == "hi" and len(rows) == 3
+
+
+def test_maintenance_statements_refused_inside_transaction(spark, tmp_path):
+    """OPTIMIZE/VACUUM/RESTORE commit their own metadata CAS and cannot
+    stage — the script runner refuses them inside BEGIN blocks (the SHOW
+    forms remain allowed anywhere)."""
+    from cnpj_data_pipeline_spark.lake.ddl import run_sql_script
+    from cnpj_data_pipeline_spark.lake.txn_catalog import Catalog
+
+    tables: dict = {}
+    t = execute_ddl(spark, CREATE.format(loc=tmp_path / "t"), tables)
+    apply_changes(spark, t, _batch_df(spark, ROWS0), epoch=0, cfg=CFG)
+    cat = Catalog.create(str(tmp_path / "cat"))
+    cat.register("transcripts", t)
+    with pytest.raises(ValueError, match="DDL inside a transaction"):
+        run_sql_script(
+            spark,
+            "BEGIN; OPTIMIZE transcripts; COMMIT;",
+            tables,
+            catalog=cat,
+        )
+    res = run_sql_script(
+        spark,
+        "BEGIN; SHOW SNAPSHOTS transcripts; COMMIT;",
+        tables,
+        catalog=cat,
+    )
+    assert res[1]["kind"] == "ddl" and res[1]["result"].count() >= 1

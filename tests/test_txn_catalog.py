@@ -188,8 +188,13 @@ def test_txn_abort_releases_staging(spark, tmp_path):
     assert convs.list_staged() == [] and turns.list_staged() == []
     assert cat.current_version() == 0
     assert 1 not in convs.applied_epochs()
+    # an empty (read-only) block commits as a version-vector no-op — legal
+    # SQL (`BEGIN; COMMIT;`); only an external coordinator PREPARING an
+    # empty transaction is surfaced as a bug
+    assert cat.begin(cfg=CFG).commit() == 0
+    assert cat.current_version() == 0
     with pytest.raises(ValueError, match="empty"):
-        cat.begin(cfg=CFG).commit()
+        cat.begin(cfg=CFG).prepare()
 
 
 def test_crash_before_any_publish_recovers(spark, tmp_path, monkeypatch):
