@@ -651,10 +651,13 @@ def q_cdc_replay_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     retargets ``tool`` -> ``tool_name`` (epoch 2's producer speaks the new
     name, epoch 3's is a stale producer on the old one — both map), an
     ``ALTER TABLE WRITE ORDERED BY (ts)`` declares the sort order, and the
-    closing compaction folds all generations under it. Every statement
-    compiles to the same metadata commit / gated apply the Python API
+    closing upkeep runs through the maintenance STATEMENTS — ``OPTIMIZE``
+    folds all generations under the declared order, ``CREATE TAG`` pins
+    the result, ``VACUUM ... RETAIN 1 SNAPSHOTS`` expires the replay's
+    history (the tagged head survives). Every statement compiles to the
+    same metadata commit / gated apply / maintenance op the Python API
     issues, so the final state equals the plain LWW fold with the column
-    aliased — layout and surface are invisible to semantics."""
+    aliased — layout, surface, and upkeep are invisible to semantics."""
     from cnpj_data_pipeline_spark.lake.ddl import execute_ddl
     from cnpj_data_pipeline_spark.lake.dml import merge_into
 
@@ -708,9 +711,12 @@ def q_cdc_replay_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     execute_ddl(
         spark, "ALTER TABLE transcripts WRITE ORDERED BY (ts)", tables
     )
-    table = tables["transcripts"]
-    table.compact(spark)  # folds all generations under the declared order
-    return table.read(spark)
+    execute_ddl(spark, "OPTIMIZE transcripts", tables)
+    execute_ddl(
+        spark, "ALTER TABLE transcripts CREATE TAG 'replayed'", tables
+    )
+    execute_ddl(spark, "VACUUM transcripts RETAIN 1 SNAPSHOTS", tables)
+    return tables["transcripts"].read(spark)
 
 
 def q_turn_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
