@@ -31,7 +31,7 @@ Supported grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE <name> RENAME COLUMN <old> TO <new>
     ALTER TABLE <name> DROP COLUMN <c>
     ALTER TABLE <name> ADD COLUMN <c> <type>
-    ALTER TABLE <name> ADD COLUMNS (<c> <type> [, ...])
+    ALTER TABLE <name> ADD COLUMNS [IF NOT EXISTS] (<c> <type> [, ...])
     ALTER TABLE <name> ALTER COLUMN <c> TYPE <type>
     ALTER TABLE <name> SET TBLPROPERTIES ('<k>'='<v>' [, ...])
     ALTER TABLE <name> WRITE ORDERED BY [ZORDER] (<c1> [, ...])
@@ -409,7 +409,11 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
             am.group("col"), _parse_type(spark, am.group("typ").strip())
         )
 
-    asm = re.match(r"^ADD\s+COLUMNS\s*\(", rest, re.IGNORECASE)
+    asm = re.match(
+        r"^ADD\s+COLUMNS\s*(?:(?P<ine>IF\s+NOT\s+EXISTS)\s*)?\(",
+        rest,
+        re.IGNORECASE,
+    )
     if asm:
         inner, tail = _scan_balanced(rest[asm.end() - 1:])
         if tail.strip():
@@ -423,6 +427,17 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
                 raise ValueError(
                     f"ADD COLUMNS: cannot parse column def {item!r}"
                 )
+            if asm.group("ine"):
+                # idempotent form, PER COLUMN: the list compiles to one
+                # commit per column, so a crash mid-list must re-run —
+                # columns already landed (under either name space) skip,
+                # the rest still apply
+                snap = table.snapshot()
+                ren = snap.get("renames") or {}
+                names = {f.name for f in table.schema().fields}
+                logical = {ren.get(n, n) for n in names}
+                if cm.group(1) in names | logical:
+                    continue
             sid = table.add_column(
                 cm.group(1), _parse_type(spark, cm.group(2).strip())
             )
@@ -635,11 +650,15 @@ def run_sql_script(
                 # a read: every registered table resolves as a temp view of
                 # its CURRENT state — inside a transaction, through the
                 # catalog's pins (snapshot isolation: the block's own staged
-                # writes are invisible, like every other statement's reads)
+                # writes are invisible, like every other statement's reads).
+                # OUTSIDE a block the pins must NOT apply even when a
+                # catalog is supplied: autocommit DML (merge_into) never
+                # advances the catalog, so a pinned read would silently
+                # miss the statement the script just ran
                 from cnpj_data_pipeline_spark.lake.sql import register_view
 
                 pinned = set()
-                if catalog is not None:
+                if txn is not None:
                     pins = catalog.pins()
                     for vname, pin in pins.items():
                         register_view(
@@ -801,6 +820,17 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
             (
                 "Dropped Columns",
                 ", ".join(snap.get("dropped_cols") or []) or "(none)",
+                "",
+            ),
+            (
+                "Retired Names",
+                ", ".join(
+                    f"{n} -> {p}"
+                    for n, p in sorted(
+                        (snap.get("retired_names") or {}).items()
+                    )
+                )
+                or "(none)",
                 "",
             ),
             ("Properties", json.dumps(table.props() or {}), ""),

@@ -103,9 +103,37 @@ _DELETE_HEAD = re.compile(
 _UPDATE_HEAD = re.compile(
     r"^\s*UPDATE\s+(?P<target>[\w./-]+)"
     r"(?:\s+(?:AS\s+)?(?!SET\b)(?P<talias>\w+))?"
-    r"\s+SET\s+(?P<set>.+?)\s+WHERE\s+(?P<where>.+)$",
+    r"\s+SET\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _split_on_where(rest: str) -> tuple[str, str]:
+    """Split ``<set exprs> WHERE <pred>`` at the first TOP-LEVEL ``WHERE``
+    — outside single-quoted literals and parentheses, so
+    ``SET note = 'fix WHERE clause' WHERE ...`` keeps its string literal
+    intact (a bare regex split would cut inside it)."""
+    depth, quote = 0, False
+    n = len(rest)
+    for i, ch in enumerate(rest):
+        if quote:
+            quote = ch != "'"
+        elif ch == "'":
+            quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "wW"
+            and rest[i:i + 5].upper() == "WHERE"
+            and i > 0
+            and rest[i - 1].isspace()
+            and (i + 5 == n or rest[i + 5].isspace())
+        ):
+            return rest[:i], rest[i + 5:]
+    raise ValueError("UPDATE requires a WHERE clause")
 
 
 def _scan_source(rest: str) -> tuple[str, bool, str]:
@@ -159,6 +187,28 @@ def _strip_alias(cond: str, *aliases: str | None) -> str:
         pos = m.end()
     out.append(_strip(cond[pos:]))
     return "".join(out)
+
+
+def _find_qualifier(cond: str, quals: tuple[str, ...]) -> str | None:
+    """First ``<qual>.`` qualifier from ``quals`` appearing in ``cond``
+    outside single-quoted string literals, or None."""
+    if not quals:
+        return None
+    pats = [
+        (q, re.compile(rf"\b{re.escape(q)}\s*\.\s*", re.IGNORECASE))
+        for q in quals
+    ]
+    pos = 0
+    segments = []
+    for m in _SQL_STRING.finditer(cond):
+        segments.append(cond[pos:m.start()])
+        pos = m.end()
+    segments.append(cond[pos:])
+    for seg in segments:
+        for q, p in pats:
+            if p.search(seg):
+                return q
+    return None
 
 
 def _implicit_aliases(*names: str | None) -> tuple[str, ...]:
@@ -232,7 +282,7 @@ def statement_target(statement: str) -> str:
     stmt = statement.strip().rstrip(";")
     for head in (_DELETE_HEAD, _UPDATE_HEAD, _MERGE_HEAD, _INSERT_HEAD):
         m = head.match(stmt)
-        if m and not (head is _INSERT_HEAD and _MERGE_HEAD.match(stmt)):
+        if m:
             return m.group("target")
     raise ValueError(f"not a DML statement: {stmt[:80]!r}")
 
@@ -241,6 +291,7 @@ def _delete_stmt(
     spark: SparkSession, m: re.Match, tables: dict,
     epoch, cfg, props, expected_props,
     stage_only: bool = False, lsn_offset: int = 0,
+    lsn_floor: int = 0,
 ) -> dict:
     """``DELETE FROM t WHERE pred``: read the CURRENT state filtered by the
     predicate (key-column predicates push through the MoR fold to the scan;
@@ -265,7 +316,10 @@ def _delete_stmt(
     batch = (
         matched.withColumn("op", F.lit("D"))
         .withColumn(
-            "lsn", F.lit(_next_lsn(target) + lsn_offset).cast("long")
+            "lsn",
+            F.lit(
+                max(_next_lsn(target), lsn_floor + 1) + lsn_offset
+            ).cast("long"),
         )
     )
     return apply_changes(
@@ -278,6 +332,7 @@ def _update_stmt(
     spark: SparkSession, m: re.Match, tables: dict,
     epoch, cfg, props, expected_props,
     stage_only: bool = False, lsn_offset: int = 0,
+    lsn_floor: int = 0,
 ) -> dict:
     """``UPDATE t SET c = <expr> [, ...] WHERE pred``: read the CURRENT
     state filtered by the predicate, evaluate the SET expressions over the
@@ -296,12 +351,13 @@ def _update_stmt(
         )
     talias = m.group("talias")
     aliases = _implicit_aliases(talias, m.group("target"))
+    set_txt, where_txt = _split_on_where(m.group("rest"))
     # validate against the LOGICAL schema: every other surface (read, the
     # matched rows below, MERGE, DDL) speaks logical names, so a renamed
     # column must be assignable under its current name
     schema_names = [f.name for f in target.logical_schema().fields]
     assigns: list[tuple[str, str]] = []
-    for a in _split_top_level(m.group("set"), ","):
+    for a in _split_top_level(set_txt, ","):
         am = re.match(
             r"^\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(?P<rhs>.+?)\s*$",
             a, re.DOTALL,
@@ -321,7 +377,7 @@ def _update_stmt(
         assigns.append((col, _strip_alias(rhs, *aliases)))
     if not assigns:
         raise ValueError("UPDATE requires at least one SET assignment")
-    pred = _strip_alias(m.group("where"), *aliases)
+    pred = _strip_alias(where_txt, *aliases)
     matched = target.read(spark).filter(F.expr(pred))
     updated = matched
     for col, rhs in assigns:
@@ -336,7 +392,10 @@ def _update_stmt(
     batch = (
         updated.withColumn("op", F.lit("U"))
         .withColumn(
-            "lsn", F.lit(_next_lsn(target) + lsn_offset).cast("long")
+            "lsn",
+            F.lit(
+                max(_next_lsn(target), lsn_floor + 1) + lsn_offset
+            ).cast("long"),
         )
     )
     return apply_changes(
@@ -355,6 +414,7 @@ def merge_into(
     expected_props: dict | None = None,
     stage_only: bool = False,
     lsn_offset: int = 0,
+    lsn_floor: int = 0,
 ) -> dict:
     """Execute one DML statement — MERGE INTO / INSERT INTO / DELETE FROM /
     UPDATE (module-doc grammar) — against ``tables`` (SQL name -> LakeTable
@@ -373,16 +433,16 @@ def merge_into(
     if md:
         return _delete_stmt(
             spark, md, tables, epoch, cfg, props, expected_props,
-            stage_only, lsn_offset,
+            stage_only, lsn_offset, lsn_floor,
         )
     mu = _UPDATE_HEAD.match(stmt)
     if mu:
         return _update_stmt(
             spark, mu, tables, epoch, cfg, props, expected_props,
-            stage_only, lsn_offset,
+            stage_only, lsn_offset, lsn_floor,
         )
     mi = _INSERT_HEAD.match(stmt)
-    if mi and not _MERGE_HEAD.match(stmt):
+    if mi:
         target = _resolve(mi.group("target"), tables)
         src = spark.sql(mi.group("select"))
         batch = src.withColumn("op", F.lit("I"))
@@ -506,7 +566,21 @@ def merge_into(
         src = src.select(*keep, *extra)
 
     if del_m:
-        cond = _strip_alias(del_m.group("cond"), *aliases)
+        # the condition evaluates over the SOURCE row (the change batch is
+        # the relation being applied). A target-qualified reference would
+        # silently remap to the source's same-named column — wrong rows
+        # deleted with no error — so it is refused, not stripped
+        tgt_quals = _implicit_aliases(talias, mh.group("target"))
+        src_quals = tuple(a for a in aliases if a not in tgt_quals)
+        bad = _find_qualifier(del_m.group("cond"), tgt_quals)
+        if bad:
+            raise ValueError(
+                f"WHEN MATCHED AND <cond> THEN DELETE may reference only "
+                f"SOURCE columns; {bad!r} qualifies the TARGET (the engine "
+                "never reads target state to evaluate a delete condition — "
+                "put the op marker in the change batch)"
+            )
+        cond = _strip_alias(del_m.group("cond"), *src_quals)
         op = F.when(F.expr(cond), F.lit("D")).otherwise(F.lit("U"))
     else:
         op = F.lit("U")
@@ -529,7 +603,8 @@ def merge_into(
         )
         max_src = batch.agg(F.max("lsn").alias("m")).collect()[0]["m"]
         del_lsn = max(
-            int(max_src or 0) + 1, _next_lsn(target) + lsn_offset
+            int(max_src or 0) + 1,
+            max(_next_lsn(target), lsn_floor + 1) + lsn_offset,
         )
         batch = batch.unionByName(
             gone.withColumn("op", F.lit("D")).withColumn(

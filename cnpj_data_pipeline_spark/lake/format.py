@@ -253,21 +253,28 @@ def batch_to_physical(df: DataFrame, snap: dict) -> DataFrame:
     """Map an incoming change batch's column names LOGICAL -> PHYSICAL at
     the apply boundary (identity when the snapshot has no renames). A
     post-rename producer sends the new logical name; a stale producer may
-    still send the physical (old) name — both land in the same physical
-    column. A batch carrying BOTH names for one column is ambiguous and
-    refused. Columns matching neither map entry (genuinely new columns)
-    pass through and take their own name as physical via schema-evolution
-    union."""
+    still send the physical (old) name — or any RETIRED intermediate
+    logical name (tool -> tool_name -> tool_label: a producer still on
+    ``tool_name``) — all land in the same physical column, never a
+    silently-evolved new one. A batch carrying MORE THAN ONE name for the
+    same column is ambiguous and refused. Columns matching no historical
+    name (genuinely new columns) pass through and take their own name as
+    physical via schema-evolution union."""
     ren = snap.get("renames") or {}
-    if not ren:
+    retired = snap.get("retired_names") or {}
+    if not ren and not retired:
         return df
     inv = {l: p for p, l in ren.items()}
+    inv.update(retired)
     cols = df.columns
-    both = [(p, l) for p, l in ren.items() if p in cols and l in cols]
-    if both:
+    names_for: dict[str, list[str]] = {}
+    for c in cols:
+        names_for.setdefault(inv.get(c, c), []).append(c)
+    dupes = {p: ns for p, ns in names_for.items() if len(ns) > 1}
+    if dupes:
         raise ValueError(
-            f"batch carries both the physical and the logical name for "
-            f"renamed column(s) {both}: ambiguous — fix the producer"
+            f"batch carries multiple historical names for the same "
+            f"column(s) {dupes}: ambiguous — fix the producer"
         )
     if not any(c in inv for c in cols):
         return df
@@ -761,6 +768,14 @@ class LakeTable:
                 f"{new!r} is a dropped-column tombstone; old files still "
                 "carry its pre-drop values under that name"
             )
+        retired = snap.get("retired_names") or {}
+        if retired.get(new, phys) != phys:
+            raise ValueError(
+                f"{new!r} is a RETIRED name of column "
+                f"{retired[new]!r} (renamed away); stale producers may "
+                "still send it — reusing it for a different column would "
+                "misroute their data. Pick a different name"
+            )
         return self.commit(
             op="evolve",
             epoch=None,
@@ -999,6 +1014,13 @@ class LakeTable:
                 f"{name!r} is a dropped-column tombstone; old files still "
                 "carry its pre-drop values under that name — a new column "
                 "must take a new name"
+            )
+        if name in (snap.get("retired_names") or {}):
+            raise ValueError(
+                f"{name!r} is a RETIRED name of column "
+                f"{snap['retired_names'][name]!r} (renamed away); stale "
+                "producers may still send it and the apply boundary maps "
+                "it there — a new column must take a new name"
             )
         return self.commit(
             op="evolve",
@@ -2355,6 +2377,7 @@ class LakeTable:
         applied.extend(e for e in epochs if e not in applied)
         dropped_cols = list(cur.get("dropped_cols") or [])
         renames = dict(cur.get("renames") or {})
+        retired = dict(cur.get("retired_names") or {})
         # rename validation AT THE REBASE HEAD (like the drop/sort_order
         # cross-checks): a concurrent drop/evolve could have taken the
         # target name or removed the source column since the caller read
@@ -2374,12 +2397,24 @@ class LakeTable:
                 new_logical in logical_others
                 or (new_logical in head_fields and new_logical != phys)
                 or new_logical in dropped_cols
+                or retired.get(new_logical, phys) != phys
             ):
                 raise CommitConflictError(
                     f"rename target {new_logical!r} collides with a "
-                    "column or tombstone at the commit head (concurrent "
-                    "evolve/drop); re-plan against fresh state"
+                    "column, tombstone or retired name at the commit head "
+                    "(concurrent evolve/drop); re-plan against fresh state"
                 )
+            # the name being renamed AWAY stays resolvable: record it in
+            # the retired map (name -> physical) so a stale producer still
+            # sending an INTERMEDIATE logical name (tool -> tool_name ->
+            # tool_label; producer still says tool_name) maps into the
+            # right physical column instead of silently evolving a brand
+            # new one. The physical name itself needs no entry (it always
+            # maps), and the new current name leaves the retired set.
+            prev_logical = renames.get(phys, phys)
+            if prev_logical not in (phys, new_logical):
+                retired[prev_logical] = phys
+            retired.pop(new_logical, None)
             if new_logical == phys:
                 renames.pop(phys, None)
             else:
@@ -2417,6 +2452,13 @@ class LakeTable:
             ).json()
             if drop_column not in dropped_cols:
                 dropped_cols.append(drop_column)
+            # a dropped RENAMED column's logical name joins the retired
+            # map: a stale producer still sending it must map to the
+            # tombstoned physical name (and be ignored like any stale
+            # physical-name producer), not evolve a brand-new column
+            prev_logical = renames.get(drop_column)
+            if prev_logical:
+                retired[prev_logical] = drop_column
             renames.pop(drop_column, None)
         elif new_schema is not None:
             # union with the CURRENT head's schema (not the baseline's): a
@@ -2434,12 +2476,13 @@ class LakeTable:
             }
             shadow = {
                 f.name for f in unioned.fields if f.name not in head_names
-            } & set(renames.values())
+            } & (set(renames.values()) | set(retired))
             if shadow:
                 raise CommitConflictError(
                     f"schema evolution adds column(s) {sorted(shadow)} "
-                    "that collide with a renamed column's logical name at "
-                    "the commit head; rename the incoming column upstream"
+                    "that collide with a renamed column's current or "
+                    "retired logical name at the commit head; rename the "
+                    "incoming column upstream"
                 )
             schema_json = unioned.json()
         else:
@@ -2457,6 +2500,7 @@ class LakeTable:
             "agg_spec": cur.get("agg_spec"),
             "dropped_cols": dropped_cols,
             "renames": renames,
+            "retired_names": retired,
             "props": {**(cur.get("props") or {}), **(props or {})},
             "n_buckets": int(new_n_buckets) if new_n_buckets is not None else cur["n_buckets"],
             "buckets": buckets,
@@ -3522,6 +3566,7 @@ class LakeTable:
             "merge_engine": target.get("merge_engine", "lww"),
             "agg_spec": target.get("agg_spec"),
             "renames": target.get("renames") or {},
+            "retired_names": target.get("retired_names") or {},
             "dropped_cols": target.get("dropped_cols") or [],
             # props revert WITH the data, like applied_epochs: a consumer
             # frontier stored on this table must rewind to the target state

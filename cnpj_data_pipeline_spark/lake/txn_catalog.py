@@ -454,6 +454,11 @@ class MultiTableTransaction:
         self.cfg = cfg
         self.token = _uuid.uuid4().hex[:16]
         self._staged: list[dict] = []
+        # per-table highest LSN staged so far in THIS transaction: driver
+        # statements (UPDATE/DELETE) mint above it, so a later statement
+        # beats an earlier MERGE's WAL offsets in the fold regardless of
+        # how far those sit above the published high-water mark
+        self._lsn_floor: dict[str, int] = {}
         self._done = False
 
     def apply(
@@ -473,6 +478,10 @@ class MultiTableTransaction:
             spark, table, changes, epoch=epoch, cfg=cfg or self.cfg,
             stage_only=True,
         )
+        if m.get("max_lsn") is not None:
+            self._lsn_floor[name] = max(
+                self._lsn_floor.get(name, 0), int(m["max_lsn"])
+            )
         self._record(name, table, m, epoch)
         return m
 
@@ -494,9 +503,15 @@ class MultiTableTransaction:
         Isolation is snapshot-level: statements read the PRE-transaction
         state — a later statement does not see an earlier statement's
         staged rows (read-your-writes would require reading staged files;
-        the MoR engine deliberately never does on ingest). Driver
-        statements (UPDATE/DELETE) against the same table stay LWW-ordered
-        via a per-table statement counter shifting their minted LSNs."""
+        the MoR engine deliberately never does on ingest). ORDERING is
+        still statement order: driver statements (UPDATE/DELETE) mint
+        their LSNs above both the published high-water mark and the
+        highest LSN any earlier statement in this block staged for the
+        table (the per-table floor), shifted by a per-table statement
+        counter — so a later driver statement beats an earlier MERGE's WAL
+        offsets in the fold, and driver statements beat each other in
+        block order. (Their row CONTENT still derives from the pre-block
+        snapshot — no read-your-writes.)"""
         if self._done:
             raise RuntimeError("transaction already finished")
         from cnpj_data_pipeline_spark.lake.dml import (
@@ -510,7 +525,12 @@ class MultiTableTransaction:
         m = merge_into(
             spark, statement, {name: table}, epoch=epoch,
             cfg=cfg or self.cfg, stage_only=True, lsn_offset=offset,
+            lsn_floor=self._lsn_floor.get(name, 0),
         )
+        if m.get("max_lsn") is not None:
+            self._lsn_floor[name] = max(
+                self._lsn_floor.get(name, 0), int(m["max_lsn"])
+            )
         self._record(name, table, m, epoch)
         return m
 
@@ -542,6 +562,10 @@ class MultiTableTransaction:
             raise ValueError(
                 "record_staged expects stage_only metrics (staged or "
                 "skipped) — a committed apply cannot join a transaction"
+            )
+        if m.get("max_lsn") is not None:
+            self._lsn_floor[name] = max(
+                self._lsn_floor.get(name, 0), int(m["max_lsn"])
             )
         self._record(name, table, m, epoch)
 

@@ -448,8 +448,12 @@ def apply_changes_copart(
     base_schema = table.schema()
     # renamed columns: producers write logical names, files store physical
     # — the inverse map rides into the footer union and every per-file
-    # normalize (identity when nothing was renamed)
+    # normalize (identity when nothing was renamed). RETIRED intermediate
+    # names (renamed more than once; stale producer on an old name) map to
+    # the same physical column, mirroring batch_to_physical on the shuffle
+    # path.
     inv_renames = {l: p for p, l in (snap.get("renames") or {}).items()}
+    inv_renames.update(snap.get("retired_names") or {})
     if all_files:
         # frozen keys: a WAL epoch with drifted key types cannot reach this
         # path (bucketed_layout rejects type-misaligned layouts), but the

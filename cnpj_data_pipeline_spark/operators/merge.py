@@ -176,6 +176,18 @@ def _staged_result(
         "buckets_touched": len(updates),
         "seconds": round(time.monotonic() - t0, 3),
         "snapshot_id": None,
+        # highest LSN in the staged batch: a transaction uses it as the
+        # floor for later driver statements' minted LSNs, so statement
+        # order inside the block decides the fold even when an earlier
+        # MERGE staged WAL offsets far above the published high-water mark
+        "max_lsn": max(
+            (
+                u["max_lsn"]
+                for u in updates.values()
+                if u.get("max_lsn") is not None
+            ),
+            default=None,
+        ),
         "phases": phases,
     }
 

@@ -52,12 +52,20 @@ def ranks_of(col: np.ndarray, nan_greatest: bool = False) -> np.ndarray:
         ]
     else:
         if np.issubdtype(col.dtype, np.floating):
-            key = np.where(
-                np.isnan(col), np.inf if nan_greatest else -np.inf, col
-            )
+            # NaN must sort STRICTLY outside the value range, not merely at
+            # ±inf: mapping NaN to inf would TIE it with a genuine Infinity
+            # value, and in the nan_greatest (Spark total order) use a
+            # duplicate-LSN tie between NaN and Infinity must still rank
+            # NaN above. Two-key lexsort: the NaN mask is the primary key
+            # (False<True puts NaN last = greatest; inverted for the
+            # nulls-first layout default), values the secondary.
+            isnan = np.isnan(col)
+            vals = np.where(isnan, 0.0, col)
+            order = np.lexsort(
+                (vals, isnan if nan_greatest else ~isnan)
+            ).astype(np.int64)
         else:
-            key = col
-        order = np.argsort(key, kind="stable")
+            order = np.argsort(col, kind="stable")
     ranks = np.empty(n, dtype=np.int64)
     ranks[order] = np.arange(n)
     return ranks

@@ -657,3 +657,28 @@ def test_maintenance_statements_refused_inside_transaction(spark, tmp_path):
         catalog=cat,
     )
     assert res[1]["kind"] == "ddl" and res[1]["result"].count() >= 1
+
+
+def test_add_columns_if_not_exists_resumable(spark, tmp_path):
+    """ADD COLUMNS compiles to one commit per column; the IF NOT EXISTS
+    form makes a crash mid-list re-runnable (already-landed columns skip,
+    the rest still apply) — the plural twin of ADD COLUMN IF NOT EXISTS."""
+    tables: dict = {}
+    t = execute_ddl(spark, CREATE.format(loc=tmp_path / "t"), tables)
+    # simulate the crash: the first column already landed
+    execute_ddl(spark, "ALTER TABLE transcripts ADD COLUMN lang STRING", tables)
+    execute_ddl(
+        spark,
+        "ALTER TABLE transcripts ADD COLUMNS IF NOT EXISTS "
+        "(lang STRING, score DOUBLE)",
+        tables,
+    )
+    names = [f.name for f in t.logical_schema().fields]
+    assert names.count("lang") == 1 and "score" in names
+    # the strict form still surfaces drift loudly
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(
+            spark,
+            "ALTER TABLE transcripts ADD COLUMNS (lang STRING)",
+            tables,
+        )

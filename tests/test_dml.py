@@ -462,3 +462,76 @@ def test_bare_relation_names_as_qualifiers(spark, tmp_path):
     )
     got = t.read(spark).orderBy(*KEY).toPandas()
     assert list(got["text"]) == ["hi-edited", "new!"]
+
+
+def test_merge_delete_condition_refuses_target_qualifiers(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN DELETE evaluates over the SOURCE row;
+    a target-qualified reference used to be silently stripped and
+    re-evaluated against the source's same-named column (wrong rows
+    deleted, no error) — it is now refused loudly, for both the explicit
+    alias and the bare target name."""
+    t = _mk(spark, tmp_path / "t")
+    _batch_df(spark, ROWS1).createOrReplaceTempView("batch")
+    for qual in ("t.role", "transcripts.role"):
+        with pytest.raises(ValueError, match="SOURCE columns"):
+            merge_into(
+                spark,
+                f"""
+                MERGE INTO transcripts AS t USING batch AS s
+                ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+                WHEN MATCHED AND {qual} = 'obsolete' THEN DELETE
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *
+                """,
+                {"transcripts": t},
+                epoch=1,
+                cfg=CFG,
+            )
+    # a target-alias-looking token inside a STRING LITERAL is fine
+    m = merge_into(
+        spark,
+        """
+        MERGE INTO transcripts AS t USING batch AS s
+        ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+        WHEN MATCHED AND s.op = 'D'
+            AND (s.text IS NULL OR s.text != 't. marker') THEN DELETE
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        """,
+        {"transcripts": t},
+        epoch=1,
+        cfg=CFG,
+    )
+    assert not m["skipped"]
+    keys = {
+        (r["conv_id"], r["turn_idx"]) for r in t.read(spark).collect()
+    }
+    assert ("b", 0) not in keys and ("c", 0) in keys
+
+
+def test_update_set_literal_containing_where(spark, tmp_path):
+    """The SET/WHERE split is quote- and paren-aware: a string literal
+    containing the word WHERE (or parens) must not cut the statement."""
+    t = _mk(spark, tmp_path / "t")
+    m = merge_into(
+        spark,
+        "UPDATE transcripts SET text = 'fix WHERE clause (v2)' "
+        "WHERE conv_id = 'a' AND turn_idx = 0",
+        {"transcripts": t},
+        epoch=1,
+        cfg=CFG,
+    )
+    assert m["rows_applied"] == 1
+    rows = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in t.read(spark).collect()
+    }
+    assert rows[("a", 0)] == "fix WHERE clause (v2)"
+    with pytest.raises(ValueError, match="WHERE"):
+        merge_into(
+            spark,
+            "UPDATE transcripts SET text = 'no predicate'",
+            {"transcripts": t},
+            epoch=2,
+            cfg=CFG,
+        )

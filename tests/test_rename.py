@@ -375,3 +375,101 @@ def test_rename_inside_window_preserves_preimages(spark, tmp_table):
     assert post["tool_name"] == "drill" and post["text"] == "t1b"
     del_ = typed[typed["change_type"] == "delete"].iloc[0]
     assert del_["tool_name"] == "wrench" and del_["text"] == "t2"
+
+
+def test_double_rename_retires_intermediate_name(spark, tmp_table):
+    """tool -> tool_name -> tool_label: a stale producer still sending the
+    INTERMEDIATE name maps into the same physical column (never a
+    silently-evolved new one); reusing a retired name for anything else is
+    refused; renaming back to a retired name of the SAME column is legal
+    and un-retires it."""
+    t = _mk(spark, tmp_table)
+    t.rename_column("tool", "tool_name")
+    t.rename_column("tool_name", "tool_label")
+    assert t.renames() == {"tool": "tool_label"}
+    assert t.snapshot()["retired_names"] == {"tool_name": "tool"}
+
+    # all three historical names land in the same physical column
+    apply_changes(
+        spark, t,
+        _batch(spark, [("c", 0, "t3", "saw", "U", 10)],
+               cols=("conv_id", "turn_idx", "text", "tool_name")),
+        epoch=1, cfg=CFG,
+    )
+    apply_changes(
+        spark, t,
+        _batch(spark, [("d", 0, "t4", "drill", "U", 11)],
+               cols=("conv_id", "turn_idx", "text", "tool")),
+        epoch=2, cfg=CFG,
+    )
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    assert list(got.columns) == ["conv_id", "turn_idx", "text", "tool_label"]
+    assert list(got["tool_label"]) == ["hammer", "wrench", "saw", "drill"]
+
+    # two historical names for the same column in ONE batch: ambiguous
+    with pytest.raises(ValueError, match="multiple historical names"):
+        apply_changes(
+            spark, t,
+            _batch(spark, [("e", 0, "t5", "x", "y", "U", 12)],
+                   cols=("conv_id", "turn_idx", "text", "tool",
+                         "tool_name")),
+            epoch=3, cfg=CFG,
+        )
+
+    # retired names cannot be reused for anything else
+    with pytest.raises(ValueError, match="RETIRED"):
+        t.add_column("tool_name", T.StringType())
+    with pytest.raises(ValueError, match="RETIRED"):
+        t.rename_column("text", "tool_name")
+
+    # renaming the SAME column back to a retired name un-retires it
+    t.rename_column("tool_label", "tool_name")
+    assert t.renames() == {"tool": "tool_name"}
+    assert t.snapshot()["retired_names"] == {"tool_label": "tool"}
+
+
+def test_drop_renamed_column_retires_logical_name(spark, tmp_table):
+    """DROP of a renamed column tombstones the physical name AND retires
+    the logical one: a stale producer still sending the logical name is
+    silently ignored (mapped to the tombstone), not evolved into a brand
+    new column."""
+    t = _mk(spark, tmp_table)
+    t.rename_column("tool", "tool_name")
+    t.drop_column("tool_name")
+    assert "tool" in t.snapshot()["dropped_cols"]
+    assert t.snapshot()["retired_names"] == {"tool_name": "tool"}
+    apply_changes(
+        spark, t,
+        _batch(spark, [("c", 0, "t3", "saw", "U", 10)],
+               cols=("conv_id", "turn_idx", "text", "tool_name")),
+        epoch=1, cfg=CFG,
+    )
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    assert list(got.columns) == ["conv_id", "turn_idx", "text"]
+    assert list(got["text"]) == ["t1", "t2", "t3"]
+
+
+def test_double_rename_copart_wal_maps_retired_name(spark, tmp_path):
+    """The shuffle-free copart path maps RETIRED intermediate names the
+    same way the shuffle path does (inv map includes retired_names)."""
+    from cnpj_data_pipeline_spark import IngestJob
+    from cnpj_data_pipeline_spark.sources.change_stream import (
+        write_epoch_bucketed,
+    )
+
+    root = str(tmp_path / "lake")
+    t = _mk(spark, root)
+    t.rename_column("tool", "tool_name")
+    t.rename_column("tool_name", "tool_label")
+    wal = str(tmp_path / "wal")
+    b = _batch(
+        spark, [("c", 0, "t3", "saw", "U", 10)],
+        cols=("conv_id", "turn_idx", "text", "tool_name"),
+    )
+    write_epoch_bucketed(b, wal, 1, KEY, CFG.n_buckets)
+    cfg = EngineConfig(n_buckets=4, compact_threshold=None)
+    m = IngestJob(root, cfg).run_stream(spark, wal)
+    assert m and m[0].get("copartitioned"), m
+    got = t.read(spark).orderBy(*KEY).toPandas()
+    assert list(got.columns) == ["conv_id", "turn_idx", "text", "tool_label"]
+    assert list(got["tool_label"]) == ["hammer", "wrench", "saw"]

@@ -337,3 +337,57 @@ def test_select_statement_reads_state_and_pins(spark, tmp_path):
     # mid-block read: pre-transaction pin (24); post-commit read: 23
     assert mid[0]["result"].collect()[0]["n"] == 24
     assert mid[1]["result"].collect()[0]["n"] == 23
+
+
+def test_driver_statement_after_merge_wins_block_order(spark, tmp_path):
+    """Statement ORDER inside a block decides the fold: a driver DELETE
+    issued AFTER a MERGE whose source carries WAL LSNs far above the
+    published high-water mark must still beat those rows (its minted LSN
+    sits above the block's per-table staged max, not just the published
+    watermark)."""
+    cat, convs, turns = _seeded_catalog(spark, tmp_path)
+    # source LSNs ~900+ vs published high-water ~72
+    _register_epoch_views(spark, 1)
+    script = """
+    BEGIN TRANSACTION;
+    MERGE INTO turns AS t USING __txn_turns AS s
+      ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *;
+    DELETE FROM turns WHERE conv_id = 'c01';
+    COMMIT;
+    """
+    run_sql_script(
+        spark, script, {"convs": convs, "turns": turns},
+        epoch_base=1, cfg=CFG, catalog=cat,
+    )
+    got = turns.read(spark).toPandas()
+    # the MERGE's c01 update (lsn 911) must NOT survive the later DELETE
+    assert not (got["conv_id"] == "c01").any()
+    # the MERGE's other effect (c00 turn 0 deleted) still applied
+    assert not (
+        (got["conv_id"] == "c00") & (got["turn_idx"] == 0)
+    ).any()
+
+
+def test_select_after_autocommit_dml_reads_fresh_state(spark, tmp_path):
+    """Outside a BEGIN block the catalog's pins must NOT capture reads:
+    autocommit DML never advances the catalog, so a pinned SELECT would
+    silently miss the statement the script just ran."""
+    cat, convs, turns = _seeded_catalog(spark, tmp_path)
+    _register_epoch_views(spark, 1)
+    script = """
+    MERGE INTO turns AS t USING __txn_turns AS s
+      ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *;
+    SELECT count(*) AS n FROM turns;
+    """
+    res = run_sql_script(
+        spark, script, {"convs": convs, "turns": turns},
+        epoch_base=1, cfg=CFG, catalog=cat,
+    )
+    # 24 seeded - 1 deleted by the merge = 23, visible IMMEDIATELY
+    assert res[-1]["result"].collect()[0]["n"] == 23

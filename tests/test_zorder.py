@@ -173,3 +173,23 @@ def test_zorder_deterministic_layout(spark, tmp_table):
     first = _file_rows()
     t.compact(spark, buckets=range(CFG.n_buckets))
     assert _file_rows() == first
+
+
+def test_ranks_nan_strictly_above_infinity():
+    """Spark's total order ranks NaN above +Infinity; mapping NaN to +inf
+    would TIE them and let stable order pick the wrong winner on a
+    duplicate-LSN tie. nan_greatest must rank NaN STRICTLY above inf (and
+    the layout default strictly below -inf)."""
+    import numpy as np
+
+    from cnpj_data_pipeline_spark.operators.zorder import ranks_of
+
+    col = np.array([np.inf, np.nan, 1.0, -np.inf, np.nan])
+    rg = ranks_of(col, nan_greatest=True)
+    # both NaNs rank above inf; inf above finite; stable among equals
+    assert rg[1] > rg[0] and rg[4] > rg[0] and rg[1] < rg[4]
+    assert rg[0] > rg[2] > rg[3]
+    rl = ranks_of(col)
+    # layout default: NaN first (below -inf), stable
+    assert rl[1] < rl[3] and rl[4] < rl[3] and rl[1] < rl[4]
+    assert rl[3] < rl[2] < rl[0]

@@ -108,11 +108,22 @@ def main() -> None:
         # (with a shared fixed default, the second statement would silently
         # no-op under the exactly-once ledger). Resumable re-runs still
         # require an explicit --epoch-base.
+        import re as _re
+
         from cnpj_data_pipeline_spark import LakeTable
 
         roots = {str(getattr(t, "root", t)) for t in tables.values()}
         if catalog is not None:
             roots |= {p["root"] for p in catalog.pins().values()}
+        # tables the script itself declares (CREATE TABLE IF NOT EXISTS
+        # ... LOCATION '<path>') only enter the registry mid-script, after
+        # this base is already fixed — scan the script's LOCATION paths so
+        # a re-declared existing table's ledger also pushes the base up
+        # (otherwise two different ad-hoc scripts against it would both
+        # derive base 0 and the second's DML silently no-ops)
+        roots |= set(
+            _re.findall(r"\bLOCATION\s+'([^']+)'", script, _re.IGNORECASE)
+        )
         hi = -1
         for root in roots:
             try:
