@@ -144,6 +144,12 @@ _EXTRA_NAMES = (
     # BEGIN TRANSACTION / MERGE / COMMIT blocks in run_sql_script, last
     # epoch recovered from the 2PC commit point by the next run
     "q_multi_table_txn_sql",
+    # round 5: PII detection + scrubbing (emails/phones/IPs -> mask
+    # tokens; C4/Dolma-style redaction) — deterministic doc_id-derived
+    # injection makes the oracle check real masking on the clean corpus.
+    # Extras rather than gate: the driver gate is at its 50-component cap
+    # and the text-analysis family is already represented there
+    "q_pii_scrub",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

@@ -721,6 +721,84 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# regex dialect intersection: every construct below parses identically in
+# Java regex (Spark) and RE2 (DuckDB) — char classes, bounded repeats, \d,
+# ASCII \b. No lookarounds, no backrefs (RE2 has neither).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII DETECTION + SCRUBBING — the redaction pass every training-data
+    pipeline runs before text leaves the trust boundary (emails, phone
+    numbers, IP addresses -> fixed mask tokens; C4/Dolma-style regex
+    scrubbing). The synthetic corpus is clean, so the query first INJECTS
+    deterministic PII derived from doc_id — identically in the Spark plan
+    and the DuckDB oracle — making the gate check real detection and
+    masking, not an all-zeros no-op.
+
+    Plan shape: pure per-row Catalyst string work (`regexp_count` /
+    `regexp_replace`, whole-stage codegen, zero Python) over a projected
+    two-column scan; the flagged-docs filter keeps the result O(matches).
+    At 100 TB this is embarrassingly parallel — no shuffle at all.
+
+    Reference analogue: none (the reference stores PII as-is; its public
+    registry data is already redacted upstream by the provider)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    did = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit(".7 logged"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" call 555-867-5309 today")).otherwise(
+            F.lit("")
+        ),
+    )
+    enriched = docs.select("doc_id", text.alias("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit(_PII_EMAIL), F.lit("[EMAIL]")),
+            F.lit(_PII_PHONE),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("[IP]"),
+    )
+    return (
+        enriched.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))
+            .cast("int")
+            .alias("n_emails"),
+            F.regexp_count(F.col("text"), F.lit(_PII_PHONE))
+            .cast("int")
+            .alias("n_phones"),
+            F.regexp_count(F.col("text"), F.lit(_PII_IP))
+            .cast("int")
+            .alias("n_ips"),
+            scrubbed.alias("scrubbed"),
+        )
+        .filter(
+            (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+        )
+    )
+
+
 QUERIES = {
     "q_doc_sample": q_doc_sample,
     "q_decontaminate": q_decontaminate,
@@ -742,6 +820,7 @@ QUERIES = {
     "q_simhash_neardup": q_simhash_neardup,
     "q_token_quantiles": q_token_quantiles,
     "q_top_docs_per_lang": q_top_docs_per_lang,
+    "q_pii_scrub": q_pii_scrub,
 }
 
 _STOP_EN_SQL = "(" + ",".join(f"'{w}'" for w in STOP_EN) + ")"
@@ -886,7 +965,42 @@ SELECT lang,
 FROM c GROUP BY lang, shard ORDER BY lang, shard
 """
 
+_PII_SQL = f"""
+WITH enriched AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.7 logged' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' call 555-867-5309 today' ELSE '' END AS text
+  FROM documents
+),
+flagged AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER)
+           AS n_phones,
+         CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INTEGER)
+           AS n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'),
+           '{_PII_IP}', '[IP]', 'g') AS scrubbed
+  FROM enriched
+)
+SELECT doc_id, n_emails, n_phones, n_ips, scrubbed
+FROM flagged WHERE n_emails + n_phones + n_ips > 0
+"""
+
+
 ORACLES = {
+    "q_pii_scrub": _PII_SQL,
     "q_decontaminate": _DECON_SQL,
     "q_doc_repetition": _REPETITION_SQL,
     "q_pack_sequences": _PACK_SQL,
