@@ -100,6 +100,10 @@ _EXTRA_NAMES = (
     # snapshot time travel, aggregate merge engine) — oracle-gated here;
     # the primary registry is already at the driver's 50-row cap
     "q_cdc_replay_rebucket",
+    # round 5: incremental decontamination over the change feed
+    # (plans/decontam.py) — the continuous-obligation twin of the
+    # driver-gated one-shot q_decontaminate
+    "q_decontam_index",
     # later in round 4: declared sort order — compaction re-clusters by ts,
     # read must be layout-invariant (same final-state SQL oracle)
     "q_cdc_replay_sorted",

@@ -799,8 +799,101 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL decontamination (plans/decontam.py) driven end-to-end: the
+    training corpus is ingested as a 3-epoch CDC stream into a lake table —
+    epoch 1 inserts every training doc, epoch 2 EDITS two deterministic
+    slices (doc_id %% 13 == 2 replaced with unique clean text — those docs
+    must LEAVE the contamination list; else doc_id %% 7 == 3 gets the first
+    eval doc's text appended — those must ENTER it), epoch 3 DELETES the
+    doc_id %% 11 == 5 slice — and the DecontamIndexJob tails the change feed
+    to maintain the contaminated-docs table. Output = the final list, which
+    must equal the ONE-SHOT decontamination of the corpus' final state (the
+    oracle computes that state in SQL and re-runs q_decontaminate's gram
+    join over it).
+
+    Scale shape: identical to q_decontaminate per epoch — the frozen eval
+    gram set broadcasts, only CHANGED docs are ever scored (O(changed docs x
+    grams), the corpus is never re-scanned) — plus one O(batch) LWW merge
+    into the index table. This is the continuous-obligation form: at 10^10
+    docs a nightly from-scratch decontamination is a full corpus scan; this
+    pays only for the day's churn."""
+    import pyspark.sql.types as T
+
+    from cnpj_data_pipeline_spark.lake.format import LakeTable
+    from cnpj_data_pipeline_spark.operators.merge import apply_changes
+    from cnpj_data_pipeline_spark.plans.decontam import (
+        DecontamIndexJob,
+        eval_gram_set,
+    )
+    from cnpj_data_pipeline_spark.queries.cdc import _mk_scratch
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long"), "text")
+    ev_docs = d.filter(F.col("doc_id") % EVAL_MOD == 0)
+    # two driver-side scalars (the contaminating snippet + the lsn offset)
+    ev0_text = ev_docs.orderBy("doc_id").select("text").head()[0]
+    off = int(d.agg(F.max("doc_id")).head()[0]) + 1
+
+    root = _mk_scratch("decontam_idx_")
+    base = LakeTable.create(
+        os.path.join(root, "docs"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        ["doc_id"],
+        8,
+    )
+    tr = d.filter(F.col("doc_id") % EVAL_MOD != 0)
+    apply_changes(
+        spark,
+        base,
+        tr.select(
+            "doc_id",
+            "text",
+            F.lit("U").alias("op"),
+            F.col("doc_id").alias("lsn"),
+        ),
+        epoch=1,
+    )
+    edits = tr.filter(
+        (F.col("doc_id") % 13 == 2) | (F.col("doc_id") % 7 == 3)
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 2,
+            F.concat(F.lit("clean room zeta "), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" " + ev0_text)))
+        .alias("text"),
+        F.lit("U").alias("op"),
+        (F.col("doc_id") + off).alias("lsn"),
+    )
+    apply_changes(spark, base, edits, epoch=2)
+    dels = tr.filter(F.col("doc_id") % 11 == 5).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"),
+        (F.col("doc_id") + 2 * off).alias("lsn"),
+    )
+    apply_changes(spark, base, dels, epoch=3)
+
+    job = DecontamIndexJob(
+        base.root,
+        os.path.join(root, "idx"),
+        eval_gram_set(ev_docs, k=DECON_K),
+        k=DECON_K,
+        n_buckets=8,
+    )
+    job.run_once(spark)
+    return job.contaminated(spark).orderBy("doc_id")
+
+
 QUERIES = {
     "q_doc_sample": q_doc_sample,
+    "q_decontam_index": q_decontam_index,
     "q_decontaminate": q_decontaminate,
     "q_doc_repetition": q_doc_repetition,
     "q_pack_sequences": q_pack_sequences,
@@ -999,9 +1092,36 @@ FROM flagged WHERE n_emails + n_phones + n_ips > 0
 """
 
 
+# q_decontam_index's oracle: derive the corpus' FINAL state in SQL (the same
+# deterministic edit/delete slices the query streams through the lake), then
+# re-run the one-shot decontamination gram join over it — what the
+# incrementally-maintained contaminated-docs table must equal.
+_DECON_INDEX_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT unnest({_GRAMS4}) AS gram FROM documents WHERE doc_id % 50 = 0
+),
+ev0 AS (
+  SELECT text FROM documents
+  WHERE doc_id = (SELECT min(doc_id) FROM documents WHERE doc_id % 50 = 0)
+),
+fin AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 2 THEN 'clean room zeta ' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 7 = 3 THEN text || ' ' || (SELECT text FROM ev0)
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 50 <> 0 AND doc_id % 11 <> 5
+),
+tr AS (SELECT doc_id, unnest({_GRAMS4}) AS gram FROM fin)
+SELECT tr.doc_id, CAST(count(DISTINCT tr.gram) AS INTEGER) AS n_eval_grams_hit
+FROM tr JOIN ev USING (gram)
+GROUP BY tr.doc_id ORDER BY tr.doc_id
+"""
+
 ORACLES = {
     "q_pii_scrub": _PII_SQL,
     "q_decontaminate": _DECON_SQL,
+    "q_decontam_index": _DECON_INDEX_SQL,
     "q_doc_repetition": _REPETITION_SQL,
     "q_pack_sequences": _PACK_SQL,
     "q_doc_sample": """
