@@ -104,6 +104,9 @@ _EXTRA_NAMES = (
     # (plans/decontam.py) — the continuous-obligation twin of the
     # driver-gated one-shot q_decontaminate
     "q_decontam_index",
+    # round 5: incremental IVF assignment index over the change feed
+    # (plans/ivf.py) — the vector twin of the incremental consumers
+    "q_ivf_index",
     # later in round 4: declared sort order — compaction re-clusters by ts,
     # read must be layout-invariant (same final-state SQL oracle)
     "q_cdc_replay_sorted",

@@ -415,8 +415,87 @@ def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF index (plans/ivf.py) driven end-to-end: the embedding
+    corpus is ingested as a 3-epoch CDC stream into a lake table — epoch 1
+    inserts every vector, epoch 2 RE-EMBEDS the vec_id %% 9 == 4 slice (each
+    takes its successor's embedding, so its nearest cell can change), epoch 3
+    DELETES the vec_id %% 17 == 3 slice — and the IVFIndexJob tails the
+    change feed to maintain the coarse-quantizer assignment table against the
+    FROZEN seed codebook. Output = the final (vec_id, cell) assignment, which
+    must equal the from-scratch assignment of the corpus' final state (the
+    oracle derives that state in SQL and re-runs q_ivf_cells' nearest-cell
+    window over it).
+
+    Scale shape: per epoch only CHANGED vectors broadcast-join the K
+    centroids (O(changed x K), the corpus is never re-scanned) plus one
+    O(batch) LWW merge; the index declares sort_order=(cell,) so compactions
+    cluster posting lists and probes skip files by manifest stats."""
+    import os as _os
+
+    import pyspark.sql.types as T
+
+    from cnpj_data_pipeline_spark.lake.format import LakeTable
+    from cnpj_data_pipeline_spark.operators.merge import apply_changes
+    from cnpj_data_pipeline_spark.plans.ivf import IVFIndexJob
+    from cnpj_data_pipeline_spark.queries.cdc import _mk_scratch
+
+    e = _emb(spark, sf_dir).select("vec_id", "emb")
+    cents = _seed_cents(_emb(spark, sf_dir)).select(
+        "cell", F.col("cent")
+    )
+    off = int(e.agg(F.max("vec_id")).head()[0]) + 1
+
+    root = _mk_scratch("ivf_idx_")
+    base = LakeTable.create(
+        _os.path.join(root, "emb"),
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("emb", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+        ["vec_id"],
+        8,
+    )
+    apply_changes(
+        spark,
+        base,
+        e.select(
+            "vec_id", "emb", F.lit("U").alias("op"), F.col("vec_id").alias("lsn")
+        ),
+        epoch=1,
+    )
+    partner = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("emb").alias("p_emb")
+    )
+    reembeds = (
+        e.filter(F.col("vec_id") % 9 == 4)
+        .join(partner, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("p_emb", "emb").alias("emb"),
+            F.lit("U").alias("op"),
+            (F.col("vec_id") + off).alias("lsn"),
+        )
+    )
+    apply_changes(spark, base, reembeds, epoch=2)
+    dels = e.filter(F.col("vec_id") % 17 == 3).select(
+        "vec_id",
+        F.lit(None).cast("array<double>").alias("emb"),
+        F.lit("D").alias("op"),
+        (F.col("vec_id") + 2 * off).alias("lsn"),
+    )
+    apply_changes(spark, base, dels, epoch=3)
+
+    job = IVFIndexJob(base.root, _os.path.join(root, "idx"), cents, n_buckets=8)
+    job.run_once(spark)
+    return job.assignments(spark).orderBy("vec_id")
+
+
 QUERIES = {
     "q_ann_topk": q_ann_topk,
+    "q_ivf_index": q_ivf_index,
     "q_lsh_buckets": q_lsh_buckets,
     "q_embedding_neardup": q_embedding_neardup,
     "q_embedding_neardup_capped": q_embedding_neardup_capped,
@@ -499,6 +578,33 @@ _TRAINED_CTES = f"""
 """
 
 ORACLES = {
+    # q_ivf_index: derive the corpus' FINAL state in SQL (the same
+    # deterministic re-embed/delete slices the query streams through the
+    # lake), then re-run the nearest-cell assignment window over it — what
+    # the incrementally-maintained index table must equal.
+    "q_ivf_index": f"""
+        WITH cents AS (
+          SELECT CAST(vec_id - 100 AS INTEGER) AS cell, embedding AS cent
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CELLS}
+        ),
+        fin AS (
+          SELECT e.vec_id,
+                 CASE WHEN e.vec_id % 9 = 4
+                      THEN coalesce(p.embedding, e.embedding)
+                      ELSE e.embedding END AS embedding
+          FROM embeddings e
+          LEFT JOIN embeddings p ON p.vec_id = e.vec_id + 1
+          WHERE e.vec_id % 17 <> 3
+        )
+        SELECT vid AS vec_id, cell FROM (
+          SELECT f.vec_id AS vid, c.cell,
+                 row_number() OVER (
+                   PARTITION BY f.vec_id
+                   ORDER BY round({_dot_sql("f.embedding", "c.cent")}, 6) DESC, c.cell ASC
+                 ) AS rn
+          FROM fin f, cents c
+        ) WHERE rn = 1 ORDER BY vec_id
+    """,
     "q_ann_topk": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
         c AS (SELECT vec_id AS cand_id, embedding AS ce FROM embeddings),
