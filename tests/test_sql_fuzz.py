@@ -1,0 +1,103 @@
+"""SQL-surface fuzz: seeded random mutations (truncate / inject / shuffle /
+splice / unknown-table) of valid DDL and DML statements must fail CLOSED —
+only ``ValueError`` (the surface's own refusal) or Spark's analysis/parse
+errors for SELECT bodies may escape, never an AttributeError/TypeError from
+a half-matched regex — and a failed statement must leave the live table
+readable and its registry entry intact."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.errors
+import pytest
+
+from cnpj_data_pipeline_spark.lake.ddl import execute_ddl, run_sql_script
+
+CREATE = (
+    "CREATE TABLE t1 (conv_id STRING, turn_idx INT, text STRING, "
+    "ts TIMESTAMP, PRIMARY KEY (conv_id, turn_idx)) "
+    "CLUSTERED BY (conv_id) INTO 4 BUCKETS LOCATION '{loc}'"
+)
+
+DDL = [
+    "ALTER TABLE t1 RENAME COLUMN text TO body",
+    "ALTER TABLE t1 ADD COLUMN extra STRING",
+    "ALTER TABLE t1 SET TBLPROPERTIES ('k'='v')",
+    "ALTER TABLE t1 WRITE ORDERED BY (ts)",
+    "SHOW CREATE TABLE t1",
+    "DESCRIBE EXTENDED t1",
+    "VACUUM t1 RETAIN 2 SNAPSHOTS",
+    "RESTORE TABLE t1 TO VERSION AS OF 0",
+    "ALTER TABLE t1 CREATE TAG 'x'",
+    "SHOW TAGS t1",
+    "SHOW SNAPSHOTS t1",
+]
+
+DML = [
+    "MERGE INTO t1 USING batch s ON t1.conv_id = s.conv_id AND "
+    "t1.turn_idx = s.turn_idx WHEN MATCHED AND s.op = 'D' THEN DELETE "
+    "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    "UPDATE t1 SET text = upper(text) WHERE conv_id = 'a'",
+    "DELETE FROM t1 WHERE turn_idx > 100",
+    "SELECT conv_id, count(*) AS n FROM t1 GROUP BY conv_id",
+    "INSERT INTO t1 SELECT conv_id, turn_idx, text, ts FROM t1 WHERE 1=0",
+]
+
+ALLOWED = (
+    ValueError,
+    pyspark.errors.AnalysisException,
+    pyspark.errors.ParseException,
+)
+
+
+def _mutate(rng: random.Random, s: str) -> str:
+    mode = rng.randrange(5)
+    if mode == 0:
+        return s[: rng.randrange(len(s))]
+    if mode == 1:
+        i = rng.randrange(len(s))
+        return s[:i] + rng.choice("();',%$#@!*=") + s[i:]
+    if mode == 2:
+        toks = s.split(" ")
+        rng.shuffle(toks)
+        return " ".join(toks)
+    if mode == 3:
+        return s.replace("t1", "no_such_table")
+    i, j = rng.randrange(len(s)), rng.randrange(len(s))
+    return s[:i] + s[j:]
+
+
+@pytest.mark.parametrize("seed", [7, 13])
+def test_mutated_statements_fail_closed(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    tables: dict = {}
+    t = execute_ddl(spark, CREATE.format(loc=tmp_path / "t1"), tables)
+    spark.createDataFrame(
+        [("a", 0, "hi", None, "U", 1)],
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "op string, lsn long",
+    ).createOrReplaceTempView("batch")
+    sid0 = t.current_snapshot_id()
+
+    epoch = 100
+    for trial in range(90):
+        pool = DDL if trial % 3 else DML
+        s = _mutate(rng, rng.choice(pool))
+        epoch += 1
+        try:
+            # fresh registry copy per trial so a SUCCESSFUL rename/tag
+            # mutation can't drift the fixture statements out of date
+            run_sql_script(
+                spark, s + ";", dict(tables), epoch_base=epoch
+            )
+        except ALLOWED:
+            pass
+        # any other exception type propagates and fails the test
+
+    # the live table survived every refusal: registry intact, still
+    # readable, no phantom commits from failed statements beyond the
+    # successful mutations' own metadata ops
+    assert tables["t1"] is t
+    assert t.read(spark).count() >= 0
+    assert t.current_snapshot_id() >= sid0
