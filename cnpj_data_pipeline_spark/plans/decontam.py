@@ -140,6 +140,15 @@ class DecontamIndexJob:
         cross-version state."""
         return self.sync.run_once(spark)
 
+    def run_follow(
+        self,
+        spark: SparkSession,
+        poll_seconds: float = 5.0,
+        max_polls: int | None = None,
+    ) -> dict:
+        """Long-running consumer loop (FeedSyncJob.run_follow underneath)."""
+        return self.sync.run_follow(spark, poll_seconds, max_polls=max_polls)
+
     def index_table(self) -> LakeTable:
         return LakeTable.load(self.index_root)
 

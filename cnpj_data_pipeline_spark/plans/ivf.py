@@ -138,6 +138,32 @@ class IVFIndexJob:
             t.set_sort_order(["cell"])
         return m
 
+    def run_follow(
+        self,
+        spark: SparkSession,
+        poll_seconds: float = 5.0,
+        max_polls: int | None = None,
+    ) -> dict:
+        """Long-running consumer loop: one wrapped run_once first (creates
+        the index table and declares the posting-list layout), then the
+        plain FeedSyncJob poll loop."""
+        first = self.run_once(spark)
+        if max_polls is not None and max_polls <= 1:
+            return {
+                "epochs_synced": first["epochs_synced"],
+                "rows_applied": first["rows_applied"],
+                "polls": 1,
+            }
+        rest = self.sync.run_follow(
+            spark,
+            poll_seconds,
+            max_polls=None if max_polls is None else max_polls - 1,
+        )
+        rest["epochs_synced"] = first["epochs_synced"] + rest["epochs_synced"]
+        rest["rows_applied"] += first["rows_applied"]
+        rest["polls"] += 1
+        return rest
+
     def index_table(self) -> LakeTable:
         return LakeTable.load(self.index_root)
 

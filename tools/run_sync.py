@@ -11,9 +11,16 @@ Cluster usage::
 
 ``mirror`` is incremental lake->lake replication (schema evolution flows
 through); ``text-stats`` maintains the per-turn text-statistics derived
-table. Progress checkpointing is the derived table's own applied-epochs set
-— no external offset store; re-running after a crash skips synced epochs at
-metadata cost. Prints one JSON line of consumer metrics.
+table. The incremental corpus indexes ride the same loop:
+``neardup-index`` maintains the MinHash band index (plans/neardup.py);
+``decontam`` maintains the contaminated-docs table (plans/decontam.py,
+pass ``--eval-docs <parquet>`` — the frozen benchmark, columns
+(doc_id, text)); ``ivf`` maintains the IVF assignment index
+(plans/ivf.py, pass ``--centroids <parquet>`` — the frozen codebook,
+columns (cell INT, cent ARRAY<DOUBLE>)). Progress checkpointing is the
+derived table's own applied-epochs set — no external offset store;
+re-running after a crash skips synced epochs at metadata cost. Prints one
+JSON line of consumer metrics.
 """
 
 from __future__ import annotations
@@ -30,12 +37,25 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="lake change-feed -> derived table sync")
     ap.add_argument("--source", required=True, help="base lake table root")
     ap.add_argument("--derived", required=True, help="derived/replica table root")
-    ap.add_argument("--transform", choices=["mirror", "text-stats"], default="mirror")
+    ap.add_argument(
+        "--transform",
+        choices=["mirror", "text-stats", "neardup-index", "decontam", "ivf"],
+        default="mirror",
+    )
     ap.add_argument("--master", default=None, help="only for local runs; omit under spark-submit")
     ap.add_argument("--n-buckets", type=int, default=None,
                     help="derived table bucket count (default: same as source)")
     ap.add_argument("--salt-factor", type=int, default=4)
     ap.add_argument("--merge-partitions", type=int, default=None)
+    ap.add_argument("--id-col", default=None,
+                    help="id column for the index transforms (default doc_id/vec_id)")
+    ap.add_argument("--text-col", default="text",
+                    help="text column (neardup-index / decontam)")
+    ap.add_argument("--emb-col", default="emb", help="embedding column (ivf)")
+    ap.add_argument("--eval-docs", default=None,
+                    help="decontam: parquet of the frozen benchmark docs (id, text)")
+    ap.add_argument("--centroids", default=None,
+                    help="ivf: parquet of the frozen codebook (cell INT, cent ARRAY<DOUBLE>)")
     ap.add_argument("--follow", action="store_true", help="poll forever")
     ap.add_argument("--poll-seconds", type=float, default=5.0)
     ap.add_argument("--max-polls", type=int, default=None)
@@ -48,14 +68,61 @@ def main() -> None:
         salt_factor=args.salt_factor,
         merge_partitions=args.merge_partitions,
     )
-    job = FeedSyncJob(
-        args.source,
-        args.derived,
-        transform=text_stats_transform if args.transform == "text-stats" else None,
-        cfg=cfg,
-        n_buckets=args.n_buckets,
-    )
     spark = get_spark(master=args.master) if args.master else get_spark()
+    if args.transform == "neardup-index":
+        from cnpj_data_pipeline_spark.plans.neardup import NearDupIndexJob
+
+        job = NearDupIndexJob(
+            args.source,
+            args.derived,
+            id_col=args.id_col or "doc_id",
+            text_col=args.text_col,
+            cfg=cfg,
+            n_buckets=args.n_buckets,
+        )
+    elif args.transform == "decontam":
+        if not args.eval_docs:
+            ap.error("--transform decontam requires --eval-docs")
+        from cnpj_data_pipeline_spark.plans.decontam import (
+            DecontamIndexJob,
+            eval_gram_set,
+        )
+
+        job = DecontamIndexJob(
+            args.source,
+            args.derived,
+            eval_gram_set(
+                spark.read.parquet(args.eval_docs), text_col=args.text_col
+            ),
+            id_col=args.id_col or "doc_id",
+            text_col=args.text_col,
+            cfg=cfg,
+            n_buckets=args.n_buckets,
+        )
+    elif args.transform == "ivf":
+        if not args.centroids:
+            ap.error("--transform ivf requires --centroids")
+        from cnpj_data_pipeline_spark.plans.ivf import IVFIndexJob
+
+        job = IVFIndexJob(
+            args.source,
+            args.derived,
+            spark.read.parquet(args.centroids).select("cell", "cent"),
+            id_col=args.id_col or "vec_id",
+            emb_col=args.emb_col,
+            cfg=cfg,
+            n_buckets=args.n_buckets,
+        )
+    else:
+        job = FeedSyncJob(
+            args.source,
+            args.derived,
+            transform=text_stats_transform
+            if args.transform == "text-stats"
+            else None,
+            cfg=cfg,
+            n_buckets=args.n_buckets,
+        )
     if args.follow:
         m = job.run_follow(spark, args.poll_seconds, max_polls=args.max_polls)
     else:
