@@ -17,7 +17,9 @@ table. The incremental corpus indexes ride the same loop:
 pass ``--eval-docs <parquet>`` — the frozen benchmark, columns
 (doc_id, text)); ``ivf`` maintains the IVF assignment index
 (plans/ivf.py, pass ``--centroids <parquet>`` — the frozen codebook,
-columns (cell INT, cent ARRAY<DOUBLE>)). Progress checkpointing is the
+columns (cell INT, cent ARRAY<DOUBLE>)); ``projection`` maintains a
+re-keyed secondary index from the TYPED feed (plans/projection.py, pass
+``--key-cols band,h1,h2,doc_id``). Progress checkpointing is the
 derived table's own applied-epochs set — no external offset store;
 re-running after a crash skips synced epochs at metadata cost. Prints one
 JSON line of consumer metrics.
@@ -39,7 +41,14 @@ def main() -> None:
     ap.add_argument("--derived", required=True, help="derived/replica table root")
     ap.add_argument(
         "--transform",
-        choices=["mirror", "text-stats", "neardup-index", "decontam", "ivf"],
+        choices=[
+            "mirror",
+            "text-stats",
+            "neardup-index",
+            "decontam",
+            "ivf",
+            "projection",
+        ],
         default="mirror",
     )
     ap.add_argument("--master", default=None, help="only for local runs; omit under spark-submit")
@@ -56,6 +65,11 @@ def main() -> None:
                     help="decontam: parquet of the frozen benchmark docs (id, text)")
     ap.add_argument("--centroids", default=None,
                     help="ivf: parquet of the frozen codebook (cell INT, cent ARRAY<DOUBLE>)")
+    ap.add_argument("--key-cols", default=None,
+                    help="projection: comma-separated re-keying columns "
+                         "(include enough of the source key to stay unique)")
+    ap.add_argument("--payload-cols", default=None,
+                    help="projection: comma-separated carried payload columns")
     ap.add_argument("--follow", action="store_true", help="poll forever")
     ap.add_argument("--poll-seconds", type=float, default=5.0)
     ap.add_argument("--max-polls", type=int, default=None)
@@ -110,6 +124,23 @@ def main() -> None:
             spark.read.parquet(args.centroids).select("cell", "cent"),
             id_col=args.id_col or "vec_id",
             emb_col=args.emb_col,
+            cfg=cfg,
+            n_buckets=args.n_buckets,
+        )
+    elif args.transform == "projection":
+        if not args.key_cols:
+            ap.error("--transform projection requires --key-cols")
+        from cnpj_data_pipeline_spark.plans.projection import ProjectionSyncJob
+
+        job = ProjectionSyncJob(
+            args.source,
+            args.derived,
+            key_cols=tuple(c.strip() for c in args.key_cols.split(",")),
+            payload_cols=tuple(
+                c.strip() for c in args.payload_cols.split(",")
+            )
+            if args.payload_cols
+            else (),
             cfg=cfg,
             n_buckets=args.n_buckets,
         )
