@@ -107,6 +107,9 @@ _EXTRA_NAMES = (
     # round 5: incremental IVF assignment index over the change feed
     # (plans/ivf.py) — the vector twin of the incremental consumers
     "q_ivf_index",
+    # round 5: the two-hop chain — band index + typed-feed hash projection
+    # (plans/projection.py)
+    "q_neardup_projection",
     # later in round 4: declared sort order — compaction re-clusters by ts,
     # read must be layout-invariant (same final-state SQL oracle)
     "q_cdc_replay_sorted",

@@ -891,9 +891,86 @@ def q_decontam_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return job.contaminated(spark).orderBy("doc_id")
 
 
+def q_neardup_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full TWO-HOP index chain (plans/neardup.py -> plans/projection.py)
+    driven end-to-end: the corpus is ingested as a 3-epoch CDC stream (epoch
+    1 inserts every doc, epoch 2 REPLACES the doc_id %% 13 == 2 slice with
+    unique clean text — their band hashes all move, so every old hash key
+    must be retracted through BOTH hops — epoch 3 DELETES the doc_id %% 11
+    == 5 slice); the NearDupIndexJob maintains the band index from the base
+    feed and the ProjectionSyncJob maintains the hash-keyed lookup
+    projection from the band index's TYPED feed. Output = the projection's
+    final state, which must equal the banding of the corpus' final state
+    recomputed from scratch (the oracle derives that state in SQL and
+    re-runs the signature + banding CTEs over it).
+
+    Scale shape: hop 1 is O(changed docs x N_BANDS)/epoch, hop 2 is
+    O(changed band rows)/epoch with retraction by pre-image — no corpus
+    rescan, no read-before-write, at any depth of chaining."""
+    import pyspark.sql.types as T
+
+    from cnpj_data_pipeline_spark.lake.format import LakeTable
+    from cnpj_data_pipeline_spark.operators.merge import apply_changes
+    from cnpj_data_pipeline_spark.plans.neardup import NearDupIndexJob
+    from cnpj_data_pipeline_spark.plans.projection import ProjectionSyncJob
+    from cnpj_data_pipeline_spark.queries.cdc import _mk_scratch
+
+    d = _docs(spark, sf_dir).select(F.col("doc_id").cast("long"), "text")
+    off = int(d.agg(F.max("doc_id")).head()[0]) + 1
+    root = _mk_scratch("neardup_proj_")
+    base = LakeTable.create(
+        os.path.join(root, "docs"),
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        ),
+        ["doc_id"],
+        8,
+    )
+    apply_changes(
+        spark,
+        base,
+        d.select(
+            "doc_id", "text", F.lit("U").alias("op"), F.col("doc_id").alias("lsn")
+        ),
+        epoch=1,
+    )
+    edits = d.filter(F.col("doc_id") % 13 == 2).select(
+        "doc_id",
+        F.concat(F.lit("clean room zeta "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+        F.lit("U").alias("op"),
+        (F.col("doc_id") + off).alias("lsn"),
+    )
+    apply_changes(spark, base, edits, epoch=2)
+    dels = d.filter(F.col("doc_id") % 11 == 5).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("D").alias("op"),
+        (F.col("doc_id") + 2 * off).alias("lsn"),
+    )
+    apply_changes(spark, base, dels, epoch=3)
+
+    index = NearDupIndexJob(base.root, os.path.join(root, "bands"), n_buckets=8)
+    index.run_once(spark)
+    proj = ProjectionSyncJob(
+        index.index_root,
+        os.path.join(root, "by_hash"),
+        key_cols=("band", "h1", "h2", "doc_id"),
+    )
+    proj.run_once(spark)
+    return proj.read(spark).select("doc_id", "band", "h1", "h2").orderBy(
+        "doc_id", "band"
+    )
+
+
 QUERIES = {
     "q_doc_sample": q_doc_sample,
     "q_decontam_index": q_decontam_index,
+    "q_neardup_projection": q_neardup_projection,
     "q_decontaminate": q_decontaminate,
     "q_doc_repetition": q_doc_repetition,
     "q_pack_sequences": q_pack_sequences,
@@ -1118,10 +1195,39 @@ FROM tr JOIN ev USING (gram)
 GROUP BY tr.doc_id ORDER BY tr.doc_id
 """
 
+# q_neardup_projection's oracle: derive the corpus' FINAL state in SQL (the
+# same deterministic edit/delete slices the query streams through the lake),
+# re-run the signature + banding CTEs over it, emit every (doc, band, h1, h2)
+# row — what the two-hop-maintained hash projection must equal.
+_NEARDUP_PROJ_SQL = (
+    """
+WITH fin AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 2
+              THEN 'clean room zeta ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 5
+),
+"""
+    + _SIG_SQL.strip().removeprefix("WITH").replace(
+        "FROM documents", "FROM fin"
+    )
+    + f""",
+banded AS (
+  {" UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band, mh_{2 * band} AS h1, mh_{2 * band + 1} AS h2 FROM sig"
+    for band in range(N_HASHES // 2)
+  )}
+)
+SELECT doc_id, band, h1, h2 FROM banded ORDER BY doc_id, band
+"""
+)
+
 ORACLES = {
     "q_pii_scrub": _PII_SQL,
     "q_decontaminate": _DECON_SQL,
     "q_decontam_index": _DECON_INDEX_SQL,
+    "q_neardup_projection": _NEARDUP_PROJ_SQL,
     "q_doc_repetition": _REPETITION_SQL,
     "q_pack_sequences": _PACK_SQL,
     "q_doc_sample": """
