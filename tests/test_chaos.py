@@ -172,6 +172,28 @@ def test_random_maintenance_interleaving(spark, tmp_path, seed):
     def do_compact():
         t.compact(spark)
 
+    def do_sort_order():
+        # declare / flip / clear the clustering — state-invariant layout op
+        pick = rng.randrange(3)
+        if pick == 0:
+            t.set_sort_order(None)
+        else:
+            sch = t.logical_schema()
+            atomic = [
+                c
+                for c in model.cols
+                if not isinstance(
+                    sch[c].dataType,
+                    (T.MapType, T.ArrayType, T.StructType),
+                )
+            ]
+            if not atomic:
+                return
+            t.set_sort_order([rng.choice(atomic)])
+
+    def do_rebucket():
+        t.rebucket(spark, rng.choice([2, 4, 8]))
+
     def do_vacuum():
         t.vacuum_tombstones(spark, lsn_horizon=lsn + 1)
 
@@ -197,6 +219,8 @@ def test_random_maintenance_interleaving(spark, tmp_path, seed):
         (do_drop, 1),
         (do_widen, 1),
         (do_compact, 2),
+        (do_sort_order, 1),
+        (do_rebucket, 1),
         (do_vacuum, 1),
         (do_expire, 1),
         (do_rollback, 2),
