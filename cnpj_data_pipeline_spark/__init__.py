@@ -54,3 +54,14 @@ from cnpj_data_pipeline_spark.plans.sync import (  # noqa: F401
     FeedSyncJob,
     text_stats_transform,
 )
+from cnpj_data_pipeline_spark.plans.decontam import (  # noqa: F401
+    DecontamIndexJob,
+    eval_gram_set,
+)
+from cnpj_data_pipeline_spark.plans.ivf import IVFIndexJob  # noqa: F401
+from cnpj_data_pipeline_spark.plans.neardup import (  # noqa: F401
+    NearDupIndexJob,
+)
+from cnpj_data_pipeline_spark.plans.projection import (  # noqa: F401
+    ProjectionSyncJob,
+)
