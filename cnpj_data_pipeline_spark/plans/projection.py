@@ -101,7 +101,9 @@ class ProjectionSyncJob:
             .join(ups.select(*self.key_cols), list(self.key_cols), "left_anti")
         )
         for c in self.payload_cols:
-            downs = downs.withColumn(c, F.lit(None))
+            downs = downs.withColumn(
+                c, F.lit(None).cast(typed.schema[c].dataType)
+            )
         return ups.withColumn("op", F.lit("U")).unionByName(
             downs.withColumn("op", F.lit("D"))
         ).withColumn("lsn", F.lit(lsn).cast("long"))

@@ -123,6 +123,56 @@ def test_chained_projection_tracks_band_index(spark, tmp_path):
     assert _as_set(proj.read(spark)) == got
 
 
+def test_projection_with_payload_columns(spark, tmp_path):
+    """payload_cols ride as non-key payload: re-key the band index by
+    (band, doc_id) carrying (h1, h2) — updates overwrite the payload in
+    place, deletes retract the key (typed null-cast path)."""
+    docs = _corpus(spark)
+    base_root = str(tmp_path / "docs")
+    base = LakeTable.create(base_root, DOC_SCHEMA, ["doc_id"], 4)
+    index = NearDupIndexJob(base_root, str(tmp_path / "bands"), n_buckets=4)
+    proj = ProjectionSyncJob(
+        str(tmp_path / "bands"),
+        str(tmp_path / "by_band_doc"),
+        key_cols=("band", "doc_id"),
+        payload_cols=("h1", "h2"),
+    )
+    apply_changes(
+        spark,
+        base,
+        _ch(spark, [(r["doc_id"], r["text"], "U", i) for i, r in enumerate(docs[:30])]),
+        epoch=1,
+    )
+    index.run_once(spark)
+    proj.run_once(spark)
+
+    def _state(df):
+        return {
+            (r["band"], r["doc_id"]): (r["h1"], r["h2"]) for r in df.collect()
+        }
+
+    assert _state(proj.read(spark)) == _state(
+        index.index_table().read(spark).select("band", "doc_id", "h1", "h2")
+    )
+
+    # edit doc 3 (hashes move under the SAME keys -> payload overwrite),
+    # delete doc 4 (keys retract)
+    apply_changes(
+        spark,
+        base,
+        _ch(spark, [(3, "replacement body of words", "U", 500), (4, None, "D", 501)]),
+        epoch=2,
+    )
+    index.run_once(spark)
+    proj.run_once(spark)
+    got = _state(proj.read(spark))
+    assert got == _state(
+        index.index_table().read(spark).select("band", "doc_id", "h1", "h2")
+    )
+    assert not any(d == 4 for _, d in got)
+    assert any(d == 3 for _, d in got)
+
+
 def test_unchanged_projected_key_survives_update(spark, tmp_path):
     """An update that does NOT move the projected key (same text re-sent at
     a higher lsn changes nothing in the band index; but also: a direct
