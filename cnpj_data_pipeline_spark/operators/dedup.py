@@ -117,3 +117,40 @@ def lww_winners_agg(
         .agg(F.max_by(payload, order_key).alias("__w"))
         .select("__w.*")
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Deterministic per-group top-K that survives a hot group at 100 TB.
+
+    A bare ``Window.partitionBy(group)`` funnels a hot group's ENTIRE row set
+    through one task. Two phases instead: phase 1 ranks within
+    (group, input-partition) — the hot group stays spread across every scan
+    partition — and keeps each local top-K, so at most K x partitions rows
+    per group survive; phase 2 ranks the survivors globally per group. The
+    phase-1 prune keeps a superset of the true per-group top-K whatever the
+    row placement, so the output is exact and partitioning-independent
+    PROVIDED ``order_cols`` is a total order (include a unique column last).
+
+    ``order_cols`` accepts column names or Column sort expressions (e.g.
+    ``F.col("score").desc()``).
+    """
+    order = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    pid = "__tk_pid"
+    lrn = "__tk_lrn"
+    wl = Window.partitionBy(*group_cols, pid).orderBy(*order)
+    pruned = (
+        df.withColumn(pid, F.spark_partition_id())
+        .withColumn(lrn, F.row_number().over(wl))
+        .filter(F.col(lrn) <= k)
+        .drop(pid, lrn)
+    )
+    wg = Window.partitionBy(*group_cols).orderBy(*order)
+    return pruned.withColumn(rank_col, F.row_number().over(wg)).filter(
+        F.col(rank_col) <= k
+    )

@@ -160,6 +160,13 @@ _EXTRA_NAMES = (
     # Extras rather than gate: the driver gate is at its 50-component cap
     # and the text-analysis family is already represented there
     "q_pii_scrub",
+    # round 5: deterministic corpus-curation trio — md5-bucket stratified
+    # sampling, append-stable train/val/test split manifest, and two-phase
+    # per-source quota capping (cap docs per domain). Extras for the same
+    # reason as q_pii_scrub: the gate is at its 50-row cap
+    "q_stratified_sample",
+    "q_train_split",
+    "q_source_quota",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

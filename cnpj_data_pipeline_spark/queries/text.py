@@ -460,16 +460,23 @@ def q_top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped top-k: the 3 longest docs (n_chars DESC, doc_id tie-break)
     per language — the PARTITIONED window form of ranking. Contrast
     q_top_customers (global top-k via TakeOrderedAndProject): here the rank
-    is per-group, the shuffle key IS the group key, every partition ranks
-    independently, and output is k x n_groups — no single-task global sort
-    at any scale (the unpartitioned-window trap this engine bans)."""
+    is per-group, the shuffle key IS the group key, and output is
+    k x n_groups — no single-task global sort at any scale (the
+    unpartitioned-window trap this engine bans). Languages are FEW and HUGE,
+    the worst per-group skew shape, so this routes through the two-phase
+    topk_per_group (operators/dedup.py): a local top-k per input partition
+    prunes each language to k x partitions rows before the per-lang rank —
+    the final window never sees a language's full row set."""
+    from cnpj_data_pipeline_spark.operators.dedup import topk_per_group
+
     d = _docs(spark, sf_dir)
-    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    return (
-        d.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select("lang", "rnk", "doc_id", "n_chars")
-    )
+    return topk_per_group(
+        d,
+        ["lang"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        3,
+        rank_col="rnk",
+    ).select("lang", "rnk", "doc_id", "n_chars")
 
 
 SIMHASH_BANDS = 4  # band width = SIMHASH_BITS // SIMHASH_BANDS = 4 bits
@@ -967,7 +974,95 @@ def q_neardup_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic corpus-curation ops: sampling / splits / quotas --------
+#
+# All three key on the same 256-way bucket: the FIRST HEX BYTE of
+# md5(doc_id). Lexicographic comparison on the lowercase 2-char hex equals
+# numeric comparison (ASCII digits sort below 'a'-'f'), so rate thresholds
+# are plain string literals — identical in Spark and DuckDB with no
+# hex->int conversion (which the two engines spell differently). A seeded
+# hash filter is the scale-correct sampler: embarrassingly parallel, pushed
+# to the scan, reproducible across reruns / engines / repartitionings —
+# none of which ``df.sample()``'s partition-seeded RNG guarantees.
+
+SAMPLE_THR_EN = "20"  # 0x20 = 32/256  ≈ 12.5 % of English docs
+SAMPLE_THR_OTHER = "40"  # 0x40 = 64/256  ≈ 25 % of everything else
+SPLIT_TRAIN_HI = "e6"  # 0xe6 = 230/256 ≈ 89.8 % train
+SPLIT_VAL_HI = "f3"  # 0xf3 = 243/256 ≈ +5.1 % val; remainder test
+QUOTA_PER_SOURCE = 10
+
+
+def _hash_bucket(col: str = "doc_id"):
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 2)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED SAMPLING: per-language keep rates (en 12.5 %,
+    other langs 25 %) applied as a pure hash filter over the md5 bucket.
+    The standard down-weight-the-dominant-language curation move. Plan
+    shape: a single filtered scan — no shuffle, no RNG state, no driver
+    coordination; at 100 TB it is exactly as parallel as the scan itself."""
+    d = _docs(spark, sf_dir)
+    thr = F.when(F.col("lang") == "en", F.lit(SAMPLE_THR_EN)).otherwise(
+        F.lit(SAMPLE_THR_OTHER)
+    )
+    return d.filter(_hash_bucket() < thr).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST SPLIT manifest (~90/5/5 by md5 bucket):
+    per (lang, split) document counts and char mass. Hash-assignment means
+    a document's split never changes as the corpus grows — appends cannot
+    leak docs across splits, unlike fraction-based ``randomSplit``. One
+    partial-aggregating hash agg over the scan; |langs|×3 output rows."""
+    d = _docs(spark, sf_dir)
+    b = _hash_bucket()
+    split = (
+        F.when(b < F.lit(SPLIT_TRAIN_HI), F.lit("train"))
+        .when(b < F.lit(SPLIT_VAL_HI), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE QUOTA CAPPING: keep at most K docs per source — the K
+    with the smallest md5(doc_id), i.e. a coordination-free deterministic
+    uniform "reservoir" per source (the cap-docs-per-domain move that tames
+    boilerplate-heavy domains in web corpora).
+
+    Plan shape at 100 TB — deliberately NOT a bare
+    ``Window.partitionBy(source)``: one hot domain would funnel its entire
+    row set through ONE task. Two-phase top-K instead: phase 1 ranks within
+    (source, input-partition) — the hot source stays spread across all
+    scan partitions — and keeps each local top-K, so at most K×partitions
+    rows per source survive; phase 2 ranks those survivors globally per
+    source. The pre-filter keeps any superset of the true per-source top-K
+    regardless of how rows landed in partitions, so the output is exact and
+    partitioning-independent (operators/dedup.py:topk_per_group)."""
+    from cnpj_data_pipeline_spark.operators.dedup import topk_per_group
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    return topk_per_group(
+        d, ["source"], ["h", "doc_id"], QUOTA_PER_SOURCE
+    ).select("doc_id", "source", "rn")
+
+
 QUERIES = {
+    "q_stratified_sample": q_stratified_sample,
+    "q_train_split": q_train_split,
+    "q_source_quota": q_source_quota,
     "q_doc_sample": q_doc_sample,
     "q_decontam_index": q_decontam_index,
     "q_neardup_projection": q_neardup_projection,
@@ -1223,7 +1318,33 @@ SELECT doc_id, band, h1, h2 FROM banded ORDER BY doc_id, band
 """
 )
 
+_BUCKET_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+
 ORACLES = {
+    "q_stratified_sample": f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE {_BUCKET_SQL} < CASE WHEN lang = 'en'
+            THEN '{SAMPLE_THR_EN}' ELSE '{SAMPLE_THR_OTHER}' END
+    """,
+    "q_train_split": f"""
+        SELECT lang,
+               CASE WHEN {_BUCKET_SQL} < '{SPLIT_TRAIN_HI}' THEN 'train'
+                    WHEN {_BUCKET_SQL} < '{SPLIT_VAL_HI}' THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1, 2
+    """,
+    "q_source_quota": f"""
+        SELECT doc_id, source, rn FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                 ) AS rn
+          FROM documents
+        ) WHERE rn <= {QUOTA_PER_SOURCE}
+    """,
     "q_pii_scrub": _PII_SQL,
     "q_decontaminate": _DECON_SQL,
     "q_decontam_index": _DECON_INDEX_SQL,
