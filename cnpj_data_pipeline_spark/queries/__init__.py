@@ -167,6 +167,10 @@ _EXTRA_NAMES = (
     "q_stratified_sample",
     "q_train_split",
     "q_source_quota",
+    # round 5: bucketed range (interval-containment) join — the non-equi
+    # join Spark plans as a nested loop, composed as explode-to-buckets +
+    # hash join + exact-predicate prune (operators/rangejoin.py)
+    "q_interval_join",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

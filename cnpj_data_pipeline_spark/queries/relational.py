@@ -208,7 +208,61 @@ def q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic synthetic interval table for the range-join gate: 30
+# variable-width, overlapping value windows keyed by event_type — pure
+# integer arithmetic over range(30), identical in Spark and DuckDB
+RJ_N_INTERVALS = 30
+RJ_ETYPES = ["click", "error", "purchase", "signup", "view"]
+RJ_BUCKET_WIDTH = 25.0
+
+
+def _rj_intervals(spark: SparkSession) -> DataFrame:
+    i = F.col("id")
+    lo = (i * 37) % 450
+    return spark.range(RJ_N_INTERVALS).select(
+        i.alias("interval_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in RJ_ETYPES]),
+            (i % 5 + 1).cast("int"),
+        ).alias("event_type"),
+        lo.cast("double").alias("lo"),
+        (lo + 10 + (i * 13) % 40).cast("double").alias("hi"),
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (interval-containment) JOIN: events matched to every
+    variable-width, overlapping value window of their event_type
+    (lo <= value < hi), rolled up per interval. Routes through the bucketed
+    range join (operators/rangejoin.py) — interval rows explode to their
+    overlapped fixed-width buckets, events equi-join on
+    (event_type, bucket), the exact predicate prunes boundary false
+    positives — instead of the O(events x intervals) nested-loop Spark
+    plans for a raw inequality join. The decimal-cast sum keeps the float
+    rollup order-independent (bit-stable across partitionings and vs the
+    oracle)."""
+    from cnpj_data_pipeline_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    joined = interval_join(
+        ev,
+        _rj_intervals(spark),
+        point_col="value",
+        lo_col="lo",
+        hi_col="hi",
+        on=("event_type",),
+        bucket_width=RJ_BUCKET_WIDTH,
+    )
+    return joined.groupBy("interval_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_value"),
+    )
+
+
 QUERIES = {
+    "q_interval_join": q_interval_join,
     "q_pricing_summary": q_pricing_summary,
     "q_event_time_windows": q_event_time_windows,
     "q_top_customers": q_top_customers,
@@ -218,7 +272,25 @@ QUERIES = {
     "q_code_enrichment": q_code_enrichment,
 }
 
+_RJ_ETYPES_SQL = "[" + ", ".join(f"'{t}'" for t in RJ_ETYPES) + "]"
+
 ORACLES = {
+    "q_interval_join": f"""
+        WITH iv AS (
+          SELECT i AS interval_id,
+                 {_RJ_ETYPES_SQL}[CAST(i % 5 AS INT) + 1] AS event_type,
+                 CAST((i * 37) % 450 AS DOUBLE) AS lo,
+                 CAST((i * 37) % 450 + 10 + (i * 13) % 40 AS DOUBLE) AS hi
+          FROM range({RJ_N_INTERVALS}) t(i))
+        SELECT iv.interval_id, iv.event_type,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS sum_value
+        FROM events e
+        JOIN iv ON e.event_type = iv.event_type
+               AND e.value >= iv.lo AND e.value < iv.hi
+        GROUP BY 1, 2
+    """,
     "q_event_time_windows": f"""
         WITH e AS (
           SELECT *, event_id // {WM_BATCH} + ({WM_SHIFT}) AS ab FROM events
