@@ -73,27 +73,47 @@ class AggSyncJob:
         measures: dict[str, str],
         cfg: EngineConfig | None = None,
         n_buckets: int | None = None,
+        group_exprs: dict[str, str] | None = None,
     ):
         """``measures``: name -> per-row SQL expression; the view maintains
         ``SUM(expr)`` per group under insert/retract deltas. ``n_rows``
-        (COUNT(*)) is always maintained — it decides group liveness."""
+        (COUNT(*)) is always maintained — it decides group liveness.
+
+        ``group_exprs``: DERIVED grouping columns (name -> deterministic
+        per-row SQL expression over the typed feed), projected before the
+        delta groupBy; each name must also appear in ``group_cols``. This is
+        the continuous-aggregate / hypertable-rollup form: grouping by a
+        time bucket of a payload timestamp (e.g. ``floor(unix_timestamp(ts)
+        / 86400)``) stays delta-maintainable because the typed feed's
+        pre-images evaluate the same expression over the OLD row — an update
+        that moves a row between buckets retracts from the old bucket and
+        adds to the new one. The expression must be deterministic per row
+        (insert and retract must land in the same group)."""
         if N_ROWS_COL in measures:
             raise ValueError(f"measure name {N_ROWS_COL!r} is reserved (COUNT(*))")
         bad = [m for m in measures if m in set(group_cols)]
         if bad:
             raise ValueError(f"measure names collide with group columns: {bad}")
+        stray = [g for g in (group_exprs or {}) if g not in set(group_cols)]
+        if stray:
+            raise ValueError(
+                f"group_exprs names not listed in group_cols: {stray}"
+            )
         self.source_root = source_root
         self.view_root = view_root
         self.group_cols = list(group_cols)
         self.measures = dict(measures)
         self.cfg = cfg or EngineConfig()
         self.n_buckets = n_buckets
+        self.group_exprs = dict(group_exprs or {})
 
     # ---------------- internals ----------------
 
     def _deltas(self, typed: DataFrame) -> DataFrame:
         """Δ per affected group from one typed window: post-images and
         inserts contribute +expr, pre-images and deletes retract −expr."""
+        for name, e in self.group_exprs.items():
+            typed = typed.withColumn(name, F.expr(e))
         sign = F.when(
             F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))

@@ -171,6 +171,10 @@ _EXTRA_NAMES = (
     # join Spark plans as a nested loop, composed as explode-to-buckets +
     # hash join + exact-predicate prune (operators/rangejoin.py)
     "q_interval_join",
+    # round 5: hypertable rollup / continuous aggregate — AggSyncJob with a
+    # derived time-bucket group column; updates move mass across buckets
+    # via pre-image retraction
+    "q_rollup_timebucket",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

@@ -378,6 +378,41 @@ def q_ivm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_timebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERTABLE ROLLUP (continuous aggregate): a time-bucketed materialized
+    view — per (UTC day of ts, role) turn count and char mass — maintained
+    incrementally from the typed change feed, never rebuilt (TimescaleDB's
+    continuous aggregate / Druid's rollup, as an AggSyncJob with a DERIVED
+    group column). The day bucket is computed by the same expression on pre-
+    AND post-images, so an update that moves a turn across buckets retracts
+    from the old day and adds to the new one, and deletes retract from the
+    bucket the row actually occupied. Epoch-day arithmetic
+    (floor(epoch-seconds / 86400)) is session-timezone-independent in both
+    engines — no local-date conversion. Cost per epoch: O(changed data),
+    like every consumer in plans/ivm.py; the oracle is the full GROUP BY
+    recompute over the replayed final state."""
+    from cnpj_data_pipeline_spark.plans.ivm import AggSyncJob
+
+    base = _replayed_table(spark, sf_dir)
+    job = AggSyncJob(
+        base.root,
+        os.path.join(_mk_scratch("cdc_rollup_"), "view"),
+        ["day_bucket", "role"],
+        {"total_chars": "coalesce(length(text), 0)"},
+        cfg=EngineConfig(n_buckets=16, salt_factor=2),
+        group_exprs={
+            "day_bucket": "CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"
+        },
+    )
+    job.run_once(spark)
+    return job.read(spark).select(
+        "day_bucket",
+        "role",
+        F.col("n_rows").alias("n_turns"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
 def q_derived_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CDC CONSUMER: a derived lake table (per-turn text stats)
     maintained incrementally by tailing the base table's change feed —
@@ -1316,6 +1351,7 @@ QUERIES = {
     "q_table_changes": q_table_changes,
     "q_changes_typed": q_changes_typed,
     "q_ivm_agg": q_ivm_agg,
+    "q_rollup_timebucket": q_rollup_timebucket,
     "q_derived_table_sync": q_derived_table_sync,
     "q_conv_render": q_conv_render,
     "q_cdc_replay_rebucket": q_cdc_replay_rebucket,
@@ -1602,6 +1638,15 @@ WHERE op <> 'D' AND turn_idx % 3 = 0
                CAST(count(*) AS BIGINT) AS n_turns,
                CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
         FROM live GROUP BY conv_id
+    """,
+    "q_rollup_timebucket": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
+        live AS (SELECT * FROM winners WHERE op <> 'D')
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
+               role,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
+        FROM live GROUP BY 1, 2
     """,
     "q_derived_table_sync": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}

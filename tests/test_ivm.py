@@ -215,3 +215,76 @@ def test_pending_windows_never_span_done_epochs():
         ([2, 3], 2),
         ([4], 5),
     ]
+
+
+def test_ivm_derived_timebucket_group(spark, tmp_table, tmp_path):
+    """Hypertable-rollup form (group_exprs): grouping by a derived day
+    bucket of ts stays delta-maintainable — an update that MOVES a row to
+    another day retracts from the old bucket (pre-image evaluates the same
+    expression) and a delete retracts from the bucket the row occupied."""
+    cfg = EngineConfig(n_buckets=4)
+    day = 86_400
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b"],
+            "turn_idx": [0, 1, 0],
+            "role": ["user"] * 3,
+            "text": ["xx", "yyy", "zzzz"],
+            "tool": [None] * 3,
+            "ts": [
+                pd.Timestamp("2026-01-01 12:00:00"),
+                pd.Timestamp("2026-01-01 18:00:00"),
+                pd.Timestamp("2026-01-02 06:00:00"),
+            ],
+            "op": ["I"] * 3,
+            "lsn": [1, 2, 3],
+        }
+    )
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, 4)
+    job = AggSyncJob(
+        tmp_table,
+        str(tmp_path / "view"),
+        ["day_bucket"],
+        MEASURES,
+        cfg=cfg,
+        group_exprs={
+            "day_bucket": f"CAST(floor(unix_timestamp(ts) / {day}) AS BIGINT)"
+        },
+    )
+    apply_changes(spark, base, spark.createDataFrame(rows), epoch=0, cfg=cfg)
+    job.run_once(spark)
+
+    def state():
+        pdf = job.read(spark).select(
+            "day_bucket", "n_rows", "total_chars"
+        ).toPandas()
+        return {
+            int(r.day_bucket): (int(r.n_rows), int(r.total_chars))
+            for r in pdf.itertuples()
+        }
+
+    d1 = int(pd.Timestamp("2026-01-01").timestamp()) // day
+    assert state() == {d1: (2, 5), d1 + 1: (1, 4)}
+
+    # update moves turn (a,1) from day 1 to day 3 AND changes its text
+    upd = rows[rows["turn_idx"] == 1].assign(
+        op="U", text="mmmmmm", ts=pd.Timestamp("2026-01-03 01:00:00"), lsn=[9]
+    )
+    apply_changes(spark, base, spark.createDataFrame(upd), epoch=1, cfg=cfg)
+    job.run_once(spark)
+    assert state() == {d1: (1, 2), d1 + 1: (1, 4), d1 + 2: (1, 6)}
+
+    # delete (b,0): its day-2 bucket empties out of the view entirely
+    dels = rows[rows["conv_id"] == "b"].assign(op="D", text=None, lsn=[10])
+    apply_changes(spark, base, spark.createDataFrame(dels), epoch=2, cfg=cfg)
+    job.run_once(spark)
+    assert state() == {d1: (1, 2), d1 + 2: (1, 6)}
+
+
+def test_ivm_group_exprs_must_be_listed_in_group_cols():
+    import pytest
+
+    with pytest.raises(ValueError, match="group_cols"):
+        AggSyncJob(
+            "x", "y", ["conv_id"], MEASURES, group_exprs={"day": "1"}
+        )
