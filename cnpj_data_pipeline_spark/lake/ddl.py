@@ -48,6 +48,21 @@ Supported grammar (case-insensitive keywords; one statement per call):
     RESTORE TABLE <name> TO VERSION AS OF <n>
                        | TO TIMESTAMP AS OF '<ts>' | TO TAG '<tag>'
                                       -> rollback (history preserved)
+    CREATE MATERIALIZED VIEW <name> [IF NOT EXISTS] LOCATION '<path>' AS
+        SELECT <group items...>, count(*) AS <n>, sum(<expr>) AS <m> ...
+        FROM <table> GROUP BY <group names>
+                                      -> an INCREMENTALLY-MAINTAINED
+                                         aggregate view (plans/ivm.py
+                                         AggSyncJob): the definition
+                                         persists as a sidecar spec under
+                                         the view root, grouping items may
+                                         be derived expressions (time
+                                         buckets — the continuous-aggregate
+                                         form), and the initial sync runs
+                                         at CREATE
+    REFRESH MATERIALIZED VIEW <name>  -> maintain through every pending
+                                         source epoch, O(changed data),
+                                         idempotent (the view's own ledger)
     SHOW CREATE TABLE <name>          -> the CREATE statement (round-trips)
     SHOW SNAPSHOTS <name>             -> DataFrame: commit history + tags
     SHOW TAGS <name>                  -> DataFrame: tag -> snapshot id
@@ -137,6 +152,17 @@ _ALTER_HEAD = re.compile(
 _PK_RE = re.compile(
     r"^\s*PRIMARY\s+KEY\s*\((?P<cols>[^)]+)\)\s*$", re.IGNORECASE
 )
+_MVIEW_HEAD = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<name>[\w.-]+)\s+LOCATION\s+'(?P<loc>[^']+)'\s+AS\s+"
+    r"(?P<query>SELECT\s.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_HEAD = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.-]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_MVIEW_SPEC_FILE = "_mview.json"
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
@@ -840,6 +866,182 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
     )
 
 
+def _parse_mview_query(query: str) -> dict:
+    """Parse the MV defining query into an AggSyncJob spec.
+
+    Grammar: ``SELECT <item> [, ...] FROM <table> GROUP BY <names>`` where
+    each item is ``count(*) AS <name>`` (exactly once — the view's liveness
+    counter), ``sum(<expr>) AS <name>`` (a delta-maintainable measure), or a
+    non-aggregate ``<col>`` / ``<expr> AS <name>`` grouping item; GROUP BY
+    lists the grouping items by their output names. No other aggregates —
+    MIN/MAX are not delta-maintainable under deletes (plans/ivm.py doc)."""
+    qm = re.match(
+        r"^SELECT\s+(?P<sel>.+)\s+FROM\s+(?P<src>[\w.-]+)\s+"
+        r"GROUP\s+BY\s+(?P<grp>.+)$",
+        " ".join(query.split()),
+        re.IGNORECASE,
+    )
+    if not qm:
+        raise ValueError(
+            "materialized view query must be "
+            "'SELECT ... FROM <table> GROUP BY ...', got: "
+            f"{query[:80]!r}"
+        )
+    group_cols: list[str] = []
+    group_exprs: dict[str, str] = {}
+    measures: dict[str, str] = {}
+    count_alias: str | None = None
+    select_names: list[str] = []
+    for item in _split_top_level(qm.group("sel")):
+        item = item.strip()
+        cm = re.match(
+            r"^count\s*\(\s*\*\s*\)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE
+        )
+        if cm:
+            if count_alias is not None:
+                raise ValueError("more than one count(*) item")
+            count_alias = cm.group("a")
+            select_names.append(count_alias)
+            continue
+        sm = re.match(
+            r"^sum\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE
+        )
+        if sm:
+            measures[sm.group("a")] = sm.group("e").strip()
+            select_names.append(sm.group("a"))
+            continue
+        if re.match(r"^(count|sum|min|max|avg)\s*\(", item, re.IGNORECASE):
+            raise ValueError(
+                f"unsupported aggregate in materialized view: {item!r} — "
+                "only count(*) AS <name> and sum(<expr>) AS <name> are "
+                "delta-maintainable (use a GroupRefreshSyncJob for MIN/MAX)"
+            )
+        am = re.match(r"^(?P<e>.+)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE)
+        if am:
+            group_cols.append(am.group("a"))
+            group_exprs[am.group("a")] = am.group("e").strip()
+            select_names.append(am.group("a"))
+        elif re.match(r"^[\w.]+$", item):
+            group_cols.append(item)
+            select_names.append(item)
+        else:
+            raise ValueError(
+                f"grouping expression needs an alias: {item!r}"
+            )
+    if count_alias is None:
+        raise ValueError(
+            "materialized view must select count(*) AS <name> — the row "
+            "count decides group liveness"
+        )
+    grp = [g.strip() for g in _split_top_level(qm.group("grp"))]
+    if sorted(grp) != sorted(group_cols):
+        raise ValueError(
+            f"GROUP BY {grp} must list the non-aggregate select items "
+            f"by name: {group_cols}"
+        )
+    return {
+        "source": qm.group("src"),
+        "group_cols": group_cols,
+        "group_exprs": group_exprs,
+        "measures": measures,
+        "count_alias": count_alias,
+        "select_names": select_names,
+    }
+
+
+def _mview_job(spec: dict):
+    from cnpj_data_pipeline_spark.plans.ivm import AggSyncJob
+
+    return AggSyncJob(
+        spec["source_root"],
+        spec["view_root"],
+        spec["group_cols"],
+        spec["measures"],
+        group_exprs=spec["group_exprs"],
+    )
+
+
+def _mview_spec_path(view_root: str) -> str:
+    import os
+
+    return os.path.join(view_root, _MVIEW_SPEC_FILE)
+
+
+def load_mview_spec(view_root: str) -> dict:
+    with open(_mview_spec_path(view_root), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def read_mview(spark: SparkSession, view_root: str):
+    """The materialized view's current state under its DECLARED output
+    names (the physical view table stores the liveness counter as
+    ``n_rows``; this maps it back to the count(*) alias and restores the
+    SELECT's column order)."""
+    from pyspark.sql import functions as F
+
+    spec = load_mview_spec(view_root)
+    df = LakeTable.load(view_root).read(spark)
+    cols = [
+        F.col("n_rows").alias(n) if n == spec["count_alias"] else F.col(n)
+        for n in spec["select_names"]
+    ]
+    return df.select(*cols)
+
+
+def _mview_stmt(spark: SparkSession, m: re.Match, tables: dict):
+    """CREATE MATERIALIZED VIEW: persist the definition as a sidecar spec
+    under the view root (durable before the view table's first commit —
+    the catalog entry a warehouse would hold), create the empty view table
+    eagerly, run the initial sync, register the view into ``tables``."""
+    import os
+
+    name, loc, ine = m.group("name"), m.group("loc"), m.group("ine")
+    spec_path = _mview_spec_path(loc)
+    if os.path.exists(spec_path):
+        if not ine:
+            raise ValueError(
+                f"materialized view already exists at {loc!r} "
+                "(use CREATE MATERIALIZED VIEW IF NOT EXISTS to re-register)"
+            )
+        tables[name] = loc
+        return LakeTable.load(loc)
+    spec = _parse_mview_query(m.group("query"))
+    src = spec.pop("source")
+    if src not in tables:
+        raise ValueError(
+            f"unknown source table {src!r} (registered: {sorted(tables)})"
+        )
+    t = tables[src]
+    spec["source_root"] = t.root if isinstance(t, LakeTable) else t
+    spec["view_root"] = loc
+    job = _mview_job(spec)
+    view = job.ensure_view(spark)
+    os.makedirs(loc, exist_ok=True)
+    tmp = spec_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(spec, f, indent=1)
+    os.replace(tmp, spec_path)
+    job.run_once(spark)
+    tables[name] = loc
+    return view
+
+
+def _mview_refresh(spark: SparkSession, m: re.Match, tables: dict) -> dict:
+    """REFRESH MATERIALIZED VIEW: reconstruct the sync job from the
+    persisted spec and maintain through every pending source epoch —
+    O(changed data), idempotent (the view's own epoch ledger)."""
+    name = m.group("name")
+    if name not in tables:
+        raise ValueError(
+            f"unknown materialized view {name!r} (registered: "
+            f"{sorted(tables)})"
+        )
+    t = tables[name]
+    root = t.root if isinstance(t, LakeTable) else t
+    spec = load_mview_spec(root)
+    return _mview_job(spec).run_once(spark)
+
+
 def execute_ddl(
     spark: SparkSession,
     statement: str,
@@ -852,6 +1054,12 @@ def execute_ddl(
     Python API issues; ``SHOW CREATE TABLE`` returns the statement text;
     ``DESCRIBE`` returns a DataFrame."""
     stmt = statement.strip()
+    mm = _MVIEW_HEAD.match(stmt)
+    if mm:
+        return _mview_stmt(spark, mm, tables)
+    rfm = _REFRESH_HEAD.match(stmt)
+    if rfm:
+        return _mview_refresh(spark, rfm, tables)
     cm = _CLONE_HEAD.match(stmt)
     if cm:
         return _clone_stmt(cm, tables)
@@ -949,6 +1157,8 @@ def execute_ddl(
         )
     raise ValueError(
         "expected 'CREATE TABLE <t> (...)', 'ALTER TABLE <t> ...', "
+        "'CREATE MATERIALIZED VIEW <v> LOCATION ... AS SELECT ...', "
+        "'REFRESH MATERIALIZED VIEW <v>', "
         "'SHOW CREATE TABLE <t>', 'SHOW SNAPSHOTS <t>', 'SHOW TAGS <t>', "
         "'DESCRIBE [EXTENDED] <t>', 'OPTIMIZE <t>', 'VACUUM <t> ...' or "
         "'RESTORE TABLE <t> TO ...', got: "

@@ -181,6 +181,20 @@ class AggSyncJob:
 
     # ---------------- public API ----------------
 
+    def ensure_view(self, spark: SparkSession) -> LakeTable:
+        """Create the (empty) view table eagerly — the MATERIALIZED VIEW DDL
+        surface needs the table to exist at CREATE time even when the source
+        has no applied epochs yet. The schema comes from running the delta
+        algebra over a zero-row slice of the source (types exactly as the
+        first real sync would derive them)."""
+        if LakeTable.exists(self.view_root):
+            return LakeTable.load(self.view_root)
+        src = LakeTable.load(self.source_root)
+        empty = src.read(spark).limit(0).withColumn(
+            CHANGE_TYPE_COL, F.lit("insert")
+        )
+        return self._ensure_view(self._deltas(empty), src)
+
     def run_once(
         self, spark: SparkSession, max_window_epochs: int | None = None
     ) -> dict:

@@ -175,6 +175,10 @@ _EXTRA_NAMES = (
     # derived time-bucket group column; updates move mass across buckets
     # via pre-image retraction
     "q_rollup_timebucket",
+    # round 5: the same rollup declared and maintained purely via SQL —
+    # CREATE MATERIALIZED VIEW ... AS SELECT / REFRESH MATERIALIZED VIEW
+    # (lake/ddl.py), compiling to AggSyncJob with a persisted sidecar spec
+    "q_mview_rollup",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

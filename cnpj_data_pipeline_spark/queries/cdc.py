@@ -413,6 +413,50 @@ def q_rollup_timebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZED VIEW SQL surface: the same continuous-aggregate rollup
+    as q_rollup_timebucket, declared and maintained purely via SQL text —
+    CREATE MATERIALIZED VIEW (after the first epoch lands; the definition
+    persists as a sidecar spec and the initial sync runs at CREATE), then
+    the remaining epochs land and REFRESH MATERIALIZED VIEW catches up
+    incrementally. The statement is a FRONT-END over plans/ivm.AggSyncJob
+    (same ledger, same O(changed data) cost); read_mview maps the physical
+    liveness counter back to the declared count(*) alias."""
+    from cnpj_data_pipeline_spark.lake.ddl import execute_ddl, read_mview
+
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    root = _mk_scratch("cdc_mview_")
+    lake = os.path.join(root, "lake")
+    view = os.path.join(root, "view")
+    table = LakeTable.create(
+        lake, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    batch0 = spark.read.parquet(os.path.join(wal, "epoch=0"))
+    apply_changes(spark, table, batch0, epoch=0, cfg=cfg)
+    tables: dict = {"transcripts": table}
+    execute_ddl(
+        spark,
+        f"""
+        CREATE MATERIALIZED VIEW daily_by_role LOCATION '{view}' AS
+        SELECT CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)
+                   AS day_bucket,
+               role,
+               count(*) AS n_turns,
+               sum(coalesce(length(text), 0)) AS total_chars
+        FROM transcripts GROUP BY day_bucket, role
+        """,
+        tables,
+    )
+    for e in range(1, N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW daily_by_role", tables)
+    return read_mview(spark, view).withColumn(
+        "total_chars", F.col("total_chars").cast("long")
+    )
+
+
 def q_derived_table_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end CDC CONSUMER: a derived lake table (per-turn text stats)
     maintained incrementally by tailing the base table's change feed —
@@ -1352,6 +1396,7 @@ QUERIES = {
     "q_changes_typed": q_changes_typed,
     "q_ivm_agg": q_ivm_agg,
     "q_rollup_timebucket": q_rollup_timebucket,
+    "q_mview_rollup": q_mview_rollup,
     "q_derived_table_sync": q_derived_table_sync,
     "q_conv_render": q_conv_render,
     "q_cdc_replay_rebucket": q_cdc_replay_rebucket,
@@ -1640,6 +1685,15 @@ WHERE op <> 'D' AND turn_idx % 3 = 0
         FROM live GROUP BY conv_id
     """,
     "q_rollup_timebucket": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
+        live AS (SELECT * FROM winners WHERE op <> 'D')
+        SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
+               role,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
+        FROM live GROUP BY 1, 2
+    """,
+    "q_mview_rollup": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()},
         live AS (SELECT * FROM winners WHERE op <> 'D')
         SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,

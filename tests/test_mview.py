@@ -1,0 +1,194 @@
+"""SQL MATERIALIZED VIEW surface (lake/ddl.py): CREATE MATERIALIZED VIEW /
+REFRESH MATERIALIZED VIEW compiling to plans/ivm.AggSyncJob with a persisted
+sidecar definition.
+
+Invariants: the view equals a full GROUP BY recompute after every REFRESH;
+refresh is idempotent; the definition survives re-registration from a fresh
+process (fresh ``tables`` dict); the parser rejects every non-maintainable
+or ambiguous form loudly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cnpj_data_pipeline_spark import EngineConfig, LakeTable
+from cnpj_data_pipeline_spark.lake.ddl import (
+    _parse_mview_query,
+    execute_ddl,
+    read_mview,
+    run_sql_script,
+)
+from cnpj_data_pipeline_spark.operators.merge import apply_changes
+from cnpj_data_pipeline_spark.schemas import TRANSCRIPT_SCHEMA
+
+KEY = ["conv_id", "turn_idx"]
+
+
+def _rows(n0=0, n=6, day=1):
+    return pd.DataFrame(
+        {
+            "conv_id": [f"c{i % 3}" for i in range(n0, n0 + n)],
+            "turn_idx": list(range(n0, n0 + n)),
+            "role": ["user" if i % 2 == 0 else "assistant" for i in range(n0, n0 + n)],
+            "text": [f"t{i}" * (i % 4 + 1) for i in range(n0, n0 + n)],
+            "tool": [None] * n,
+            "ts": [pd.Timestamp(f"2026-01-{day + i % 2:02d} 12:00:00") for i in range(n0, n0 + n)],
+            "op": ["I"] * n,
+            "lsn": list(range(100 + n0, 100 + n0 + n)),
+        }
+    )
+
+
+MV_SQL = """
+CREATE MATERIALIZED VIEW by_role LOCATION '{loc}' AS
+SELECT role, count(*) AS n_turns, sum(coalesce(length(text), 0)) AS chars
+FROM transcripts GROUP BY role
+"""
+
+
+def _recompute(spark, base):
+    return {
+        r.role: (r.n_turns, r.chars)
+        for r in base.read(spark)
+        .groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.expr("coalesce(length(text), 0)")).alias("chars"),
+        )
+        .collect()
+    }
+
+
+def _view_state(spark, loc):
+    return {
+        r.role: (r.n_turns, r.chars)
+        for r in read_mview(spark, loc).collect()
+    }
+
+
+def test_mview_create_refresh_matches_recompute(spark, tmp_table, tmp_path):
+    cfg = EngineConfig(n_buckets=4)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, 4)
+    loc = str(tmp_path / "view")
+    tables = {"transcripts": base}
+
+    # create BEFORE any data: empty view, declared schema
+    v = execute_ddl(spark, MV_SQL.format(loc=loc), tables)
+    assert isinstance(v, LakeTable)
+    assert read_mview(spark, loc).columns == ["role", "n_turns", "chars"]
+    assert read_mview(spark, loc).count() == 0
+    assert tables["by_role"] == loc
+
+    apply_changes(spark, base, spark.createDataFrame(_rows(0, 6)), epoch=0, cfg=cfg)
+    m = execute_ddl(spark, "REFRESH MATERIALIZED VIEW by_role", tables)
+    assert m["epochs_synced"] == [0]
+    assert _view_state(spark, loc) == _recompute(spark, base)
+
+    # second epoch incl. a delete, then refresh again
+    batch = _rows(6, 4)
+    batch.loc[batch.index[-1], ["op", "text"]] = ["D", None]
+    batch.loc[batch.index[-1], ["conv_id", "turn_idx"]] = ["c0", 0]
+    apply_changes(spark, base, spark.createDataFrame(batch), epoch=1, cfg=cfg)
+    m = execute_ddl(spark, "REFRESH MATERIALIZED VIEW by_role", tables)
+    assert m["epochs_synced"] == [1]
+    assert _view_state(spark, loc) == _recompute(spark, base)
+
+    # idempotent: nothing pending
+    m = execute_ddl(spark, "REFRESH MATERIALIZED VIEW by_role", tables)
+    assert m["epochs_synced"] == [] and m["rows_applied"] == 0
+
+
+def test_mview_definition_survives_fresh_registry(spark, tmp_table, tmp_path):
+    """A new process re-registers from the sidecar spec (IF NOT EXISTS) and
+    REFRESH reconstructs the job from disk — the definition is durable."""
+    cfg = EngineConfig(n_buckets=4)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, 4)
+    loc = str(tmp_path / "view")
+    execute_ddl(spark, MV_SQL.format(loc=loc), {"transcripts": base})
+    apply_changes(spark, base, spark.createDataFrame(_rows()), epoch=0, cfg=cfg)
+
+    fresh: dict = {"transcripts": tmp_table}
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, MV_SQL.format(loc=loc), fresh)
+    execute_ddl(
+        spark,
+        MV_SQL.format(loc=loc).replace(
+            "MATERIALIZED VIEW by_role", "MATERIALIZED VIEW IF NOT EXISTS by_role"
+        ),
+        fresh,
+    )
+    m = execute_ddl(spark, "REFRESH MATERIALIZED VIEW by_role", fresh)
+    assert m["epochs_synced"] == [0]
+    assert _view_state(spark, loc) == _recompute(spark, base)
+
+
+def test_mview_in_script_with_derived_bucket(spark, tmp_table, tmp_path):
+    """run_sql_script path + a derived time-bucket grouping expression."""
+    cfg = EngineConfig(n_buckets=4)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, 4)
+    apply_changes(spark, base, spark.createDataFrame(_rows()), epoch=0, cfg=cfg)
+    loc = str(tmp_path / "view")
+    script = f"""
+    CREATE MATERIALIZED VIEW daily LOCATION '{loc}' AS
+    SELECT CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT) AS day_bucket,
+           count(*) AS n, sum(coalesce(length(text), 0)) AS chars
+    FROM transcripts GROUP BY day_bucket;
+    REFRESH MATERIALIZED VIEW daily;
+    """
+    res = run_sql_script(spark, script, {"transcripts": base})
+    assert [r["kind"] for r in res] == ["ddl", "ddl"]
+    exp = {
+        r.day_bucket: (r.n, r.chars)
+        for r in base.read(spark)
+        .groupBy(
+            F.expr("CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)").alias(
+                "day_bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("coalesce(length(text), 0)")).alias("chars"),
+        )
+        .collect()
+    }
+    got = {
+        r.day_bucket: (r.n, r.chars)
+        for r in read_mview(spark, loc).collect()
+    }
+    assert got == exp
+
+
+@pytest.mark.parametrize(
+    "query, err",
+    [
+        ("SELECT role FROM t GROUP BY role", "count"),
+        (
+            "SELECT role, count(*) AS n, min(lsn) AS m FROM t GROUP BY role",
+            "delta-maintainable",
+        ),
+        (
+            "SELECT role, count(*) AS a, count(*) AS b FROM t GROUP BY role",
+            "more than one",
+        ),
+        (
+            "SELECT role, count(*) AS n FROM t GROUP BY role, ts",
+            "GROUP BY",
+        ),
+        (
+            "SELECT length(text), count(*) AS n FROM t GROUP BY length(text)",
+            "alias",
+        ),
+        ("UPDATE t SET x = 1", "GROUP BY"),
+    ],
+)
+def test_mview_parser_rejects(query, err):
+    with pytest.raises(ValueError, match=err):
+        _parse_mview_query(query)
+
+
+def test_mview_refresh_unknown_name(spark):
+    with pytest.raises(ValueError, match="unknown materialized view"):
+        execute_ddl(spark, "REFRESH MATERIALIZED VIEW nope", {})
