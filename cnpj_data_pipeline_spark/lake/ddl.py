@@ -871,7 +871,10 @@ def _parse_mview_query(query: str) -> dict:
 
     Grammar: ``SELECT <item> [, ...] FROM <table> GROUP BY <names>`` where
     each item is ``count(*) AS <name>`` (exactly once — the view's liveness
-    counter), ``sum(<expr>) AS <name>`` (a delta-maintainable measure), or a
+    counter), ``sum(<expr>) AS <name>`` (a delta-maintainable measure),
+    ``count(<expr>) AS <name>`` (maintained as the sum of a non-null
+    indicator), ``avg(<expr>) AS <name>`` (maintained as a hidden sum/count
+    pair, divided at read — the standard IVM decomposition), or a
     non-aggregate ``<col>`` / ``<expr> AS <name>`` grouping item; GROUP BY
     lists the grouping items by their output names. No other aggregates —
     MIN/MAX are not delta-maintainable under deletes (plans/ivm.py doc)."""
@@ -890,6 +893,7 @@ def _parse_mview_query(query: str) -> dict:
     group_cols: list[str] = []
     group_exprs: dict[str, str] = {}
     measures: dict[str, str] = {}
+    avgs: list[str] = []
     count_alias: str | None = None
     select_names: list[str] = []
     for item in _split_top_level(qm.group("sel")):
@@ -910,11 +914,39 @@ def _parse_mview_query(query: str) -> dict:
             measures[sm.group("a")] = sm.group("e").strip()
             select_names.append(sm.group("a"))
             continue
+        ccm = re.match(
+            r"^count\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE
+        )
+        if ccm:
+            e = ccm.group("e").strip()
+            measures[ccm.group("a")] = (
+                f"CASE WHEN ({e}) IS NOT NULL THEN 1 END"
+            )
+            select_names.append(ccm.group("a"))
+            continue
+        avm = re.match(
+            r"^avg\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE
+        )
+        if avm:
+            e, a = avm.group("e").strip(), avm.group("a")
+            # decimal accumulation: exact and associative, so an update's
+            # retract cancels its earlier insert bit-for-bit (a DOUBLE sum
+            # would drift under insert/retract churn). Scale 6 is Spark's
+            # minimum preserved scale, so the folded type is a FIXED
+            # (38,6) through sum and merge addition alike — any other
+            # scale drifts under the decimal-precision rules and trips
+            # the view's schema-evolution guard
+            measures[f"{a}__sum"] = f"CAST(({e}) AS DECIMAL(18,6))"
+            measures[f"{a}__cnt"] = f"CASE WHEN ({e}) IS NOT NULL THEN 1 END"
+            avgs.append(a)
+            select_names.append(a)
+            continue
         if re.match(r"^(count|sum|min|max|avg)\s*\(", item, re.IGNORECASE):
             raise ValueError(
                 f"unsupported aggregate in materialized view: {item!r} — "
-                "only count(*) AS <name> and sum(<expr>) AS <name> are "
-                "delta-maintainable (use a GroupRefreshSyncJob for MIN/MAX)"
+                "only count(*/expr), sum(<expr>) and avg(<expr>) (each "
+                "AS <name>) are delta-maintainable (use a "
+                "GroupRefreshSyncJob for MIN/MAX)"
             )
         am = re.match(r"^(?P<e>.+)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE)
         if am:
@@ -939,11 +971,21 @@ def _parse_mview_query(query: str) -> dict:
             f"GROUP BY {grp} must list the non-aggregate select items "
             f"by name: {group_cols}"
         )
+    names = select_names + [f"{a}__sum" for a in avgs] + [
+        f"{a}__cnt" for a in avgs
+    ]
+    dup = {n for n in names if names.count(n) > 1}
+    if dup:
+        raise ValueError(
+            f"duplicate output names (avg aliases reserve <name>__sum / "
+            f"<name>__cnt): {sorted(dup)}"
+        )
     return {
         "source": qm.group("src"),
         "group_cols": group_cols,
         "group_exprs": group_exprs,
         "measures": measures,
+        "avgs": avgs,
         "count_alias": count_alias,
         "select_names": select_names,
     }
@@ -974,18 +1016,31 @@ def load_mview_spec(view_root: str) -> dict:
 
 def read_mview(spark: SparkSession, view_root: str):
     """The materialized view's current state under its DECLARED output
-    names (the physical view table stores the liveness counter as
-    ``n_rows``; this maps it back to the count(*) alias and restores the
-    SELECT's column order)."""
+    names: the physical view table stores the liveness counter as
+    ``n_rows`` (mapped back to the count(*) alias), avg aliases as hidden
+    ``<name>__sum``/``<name>__cnt`` pairs (divided here — NULL when the
+    group has no non-null values, matching SQL AVG), and the SELECT's
+    column order is restored."""
     from pyspark.sql import functions as F
 
     spec = load_mview_spec(view_root)
     df = LakeTable.load(view_root).read(spark)
-    cols = [
-        F.col("n_rows").alias(n) if n == spec["count_alias"] else F.col(n)
-        for n in spec["select_names"]
-    ]
-    return df.select(*cols)
+    avgs = set(spec.get("avgs") or ())
+
+    def _out(n):
+        if n == spec["count_alias"]:
+            return F.col("n_rows").alias(n)
+        if n in avgs:
+            # sum-then-divide, division in DOUBLE (the exact decimal sum
+            # cast first): matches SQL AVG instead of decimal division's
+            # scale-truncated quotient
+            cnt = F.col(f"{n}__cnt")
+            return F.when(
+                cnt > 0, F.col(f"{n}__sum").cast("double") / cnt
+            ).alias(n)
+        return F.col(n)
+
+    return df.select(*[_out(n) for n in spec["select_names"]])
 
 
 def _mview_stmt(spark: SparkSession, m: re.Match, tables: dict):

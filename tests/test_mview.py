@@ -192,3 +192,73 @@ def test_mview_parser_rejects(query, err):
 def test_mview_refresh_unknown_name(spark):
     with pytest.raises(ValueError, match="unknown materialized view"):
         execute_ddl(spark, "REFRESH MATERIALIZED VIEW nope", {})
+
+
+def test_mview_avg_and_count_col(spark, tmp_table, tmp_path):
+    """avg(expr) (hidden exact-decimal sum/count pair, divided at read) and
+    count(expr) (non-null indicator sum) under insert, update and delete
+    churn — NULL texts drop out of both, an emptied avg reads NULL."""
+    cfg = EngineConfig(n_buckets=4)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, 4)
+    loc = str(tmp_path / "view")
+    tables = {"transcripts": base}
+    execute_ddl(
+        spark,
+        f"""
+        CREATE MATERIALIZED VIEW stats LOCATION '{loc}' AS
+        SELECT role, count(*) AS n, count(text) AS n_texts,
+               avg(length(text)) AS avg_len
+        FROM transcripts GROUP BY role
+        """,
+        tables,
+    )
+    rows = _rows(0, 6)
+    rows.loc[rows.index[1], "text"] = None  # a NULL text (assistant)
+    apply_changes(spark, base, spark.createDataFrame(rows), epoch=0, cfg=cfg)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW stats", tables)
+
+    def state():
+        return {
+            r.n_role: (r.n, r.n_texts, r.avg_len)
+            for r in read_mview(spark, loc)
+            .withColumnRenamed("role", "n_role")
+            .collect()
+        }
+
+    def expect():
+        return {
+            r.n_role: (r.n, r.n_texts, r.avg_len)
+            for r in base.read(spark)
+            .groupBy(F.col("role").alias("n_role"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count("text").alias("n_texts"),
+                F.avg(F.length("text")).alias("avg_len"),
+            )
+            .collect()
+        }
+
+    assert state() == expect()
+
+    # update churn: change texts (incl. NULL->value and value->NULL)
+    upd = rows.iloc[:3].copy().assign(op="U", lsn=[201, 202, 203])
+    upd["text"] = ["changed-longer-text", "now-set", None]
+    apply_changes(spark, base, spark.createDataFrame(upd), epoch=1, cfg=cfg)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW stats", tables)
+    assert state() == expect()
+
+    # delete every assistant row: its avg group disappears with it
+    dels = rows[rows["role"] == "assistant"].assign(op="D", text=None)
+    dels["lsn"] = [300 + i for i in range(len(dels))]
+    apply_changes(spark, base, spark.createDataFrame(dels), epoch=2, cfg=cfg)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW stats", tables)
+    assert state() == expect()
+    assert set(state()) == {"user"}
+
+
+def test_mview_avg_alias_collision_rejected():
+    with pytest.raises(ValueError, match="__sum"):
+        _parse_mview_query(
+            "SELECT role, count(*) AS n, avg(lsn) AS a, sum(lsn) AS a__sum "
+            "FROM t GROUP BY role"
+        )
