@@ -866,18 +866,28 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
     )
 
 
+_MV_DELTA_AGGS = ("count_star", "sum", "count", "avg")
+_MV_REFRESH_ONLY = ("min", "max")
+
+
 def _parse_mview_query(query: str) -> dict:
-    """Parse the MV defining query into an AggSyncJob spec.
+    """Parse the MV defining query into a sync-job spec.
 
     Grammar: ``SELECT <item> [, ...] FROM <table> GROUP BY <names>`` where
-    each item is ``count(*) AS <name>`` (exactly once — the view's liveness
-    counter), ``sum(<expr>) AS <name>`` (a delta-maintainable measure),
-    ``count(<expr>) AS <name>`` (maintained as the sum of a non-null
-    indicator), ``avg(<expr>) AS <name>`` (maintained as a hidden sum/count
-    pair, divided at read — the standard IVM decomposition), or a
-    non-aggregate ``<col>`` / ``<expr> AS <name>`` grouping item; GROUP BY
-    lists the grouping items by their output names. No other aggregates —
-    MIN/MAX are not delta-maintainable under deletes (plans/ivm.py doc)."""
+    each item is an aggregate ``count(*) | count(<e>) | sum(<e>) | avg(<e>)
+    | min(<e>) | max(<e>) AS <name>`` or a non-aggregate ``<col>`` /
+    ``<expr> AS <name>`` grouping item; GROUP BY lists the grouping items
+    by their output names.
+
+    The aggregate set picks the maintenance strategy (``kind`` in the
+    spec): with only the delta-maintainable forms (count/sum/avg — avg as
+    a hidden exact-decimal sum/count pair divided at read) the view is an
+    :class:`AggSyncJob` (cost O(changed rows)/epoch; count(*) required —
+    liveness). Any MIN/MAX switches the WHOLE view to a
+    :class:`GroupRefreshSyncJob` — retracting the current extremum needs
+    the runner-up, so affected groups are re-aggregated from base rows
+    (cost O(rows of affected groups)/epoch; every aggregate runs verbatim,
+    count(*) optional)."""
     qm = re.match(
         r"^SELECT\s+(?P<sel>.+)\s+FROM\s+(?P<src>[\w.-]+)\s+"
         r"GROUP\s+BY\s+(?P<grp>.+)$",
@@ -890,69 +900,44 @@ def _parse_mview_query(query: str) -> dict:
             "'SELECT ... FROM <table> GROUP BY ...', got: "
             f"{query[:80]!r}"
         )
+
+    # pass 1: classify items
+    items: list[tuple[str, str, str]] = []  # (kind, alias, expr-or-text)
     group_cols: list[str] = []
     group_exprs: dict[str, str] = {}
-    measures: dict[str, str] = {}
-    avgs: list[str] = []
-    count_alias: str | None = None
     select_names: list[str] = []
     for item in _split_top_level(qm.group("sel")):
         item = item.strip()
-        cm = re.match(
-            r"^count\s*\(\s*\*\s*\)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE
+        am = re.match(
+            r"^(?P<fn>count|sum|avg|min|max)\s*\((?P<e>.+)\)\s+AS\s+"
+            r"(?P<a>\w+)$",
+            item,
+            re.IGNORECASE,
         )
-        if cm:
-            if count_alias is not None:
-                raise ValueError("more than one count(*) item")
-            count_alias = cm.group("a")
-            select_names.append(count_alias)
-            continue
-        sm = re.match(
-            r"^sum\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE
-        )
-        if sm:
-            measures[sm.group("a")] = sm.group("e").strip()
-            select_names.append(sm.group("a"))
-            continue
-        ccm = re.match(
-            r"^count\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE
-        )
-        if ccm:
-            e = ccm.group("e").strip()
-            measures[ccm.group("a")] = (
-                f"CASE WHEN ({e}) IS NOT NULL THEN 1 END"
-            )
-            select_names.append(ccm.group("a"))
-            continue
-        avm = re.match(
-            r"^avg\s*\((?P<e>.+)\)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE
-        )
-        if avm:
-            e, a = avm.group("e").strip(), avm.group("a")
-            # decimal accumulation: exact and associative, so an update's
-            # retract cancels its earlier insert bit-for-bit (a DOUBLE sum
-            # would drift under insert/retract churn). Scale 6 is Spark's
-            # minimum preserved scale, so the folded type is a FIXED
-            # (38,6) through sum and merge addition alike — any other
-            # scale drifts under the decimal-precision rules and trips
-            # the view's schema-evolution guard
-            measures[f"{a}__sum"] = f"CAST(({e}) AS DECIMAL(18,6))"
-            measures[f"{a}__cnt"] = f"CASE WHEN ({e}) IS NOT NULL THEN 1 END"
-            avgs.append(a)
+        if am:
+            fn, e, a = am.group("fn").lower(), am.group("e").strip(), am.group("a")
+            kind = "count_star" if fn == "count" and e == "*" else fn
+            items.append((kind, a, e))
             select_names.append(a)
             continue
-        if re.match(r"^(count|sum|min|max|avg)\s*\(", item, re.IGNORECASE):
+        if re.match(
+            r"^(approx_count_distinct|count_if|stddev(_samp|_pop)?|"
+            r"var(iance|_samp|_pop)|collect_list|collect_set|first|last|"
+            r"median|percentile(_approx)?|mode|corr|covar_(pop|samp)|"
+            r"any_value|bool_and|bool_or|max_by|min_by)\s*\(",
+            item,
+            re.IGNORECASE,
+        ):
             raise ValueError(
                 f"unsupported aggregate in materialized view: {item!r} — "
-                "only count(*/expr), sum(<expr>) and avg(<expr>) (each "
-                "AS <name>) are delta-maintainable (use a "
-                "GroupRefreshSyncJob for MIN/MAX)"
+                "count(*/expr), sum, avg, min and max (each AS <name>) are "
+                "supported"
             )
-        am = re.match(r"^(?P<e>.+)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE)
-        if am:
-            group_cols.append(am.group("a"))
-            group_exprs[am.group("a")] = am.group("e").strip()
-            select_names.append(am.group("a"))
+        gm = re.match(r"^(?P<e>.+)\s+AS\s+(?P<a>\w+)$", item, re.IGNORECASE)
+        if gm:
+            group_cols.append(gm.group("a"))
+            group_exprs[gm.group("a")] = gm.group("e").strip()
+            select_names.append(gm.group("a"))
         elif re.match(r"^[\w.]+$", item):
             group_cols.append(item)
             select_names.append(item)
@@ -960,20 +945,60 @@ def _parse_mview_query(query: str) -> dict:
             raise ValueError(
                 f"grouping expression needs an alias: {item!r}"
             )
-    if count_alias is None:
-        raise ValueError(
-            "materialized view must select count(*) AS <name> — the row "
-            "count decides group liveness"
-        )
+
     grp = [g.strip() for g in _split_top_level(qm.group("grp"))]
     if sorted(grp) != sorted(group_cols):
         raise ValueError(
             f"GROUP BY {grp} must list the non-aggregate select items "
             f"by name: {group_cols}"
         )
-    names = select_names + [f"{a}__sum" for a in avgs] + [
-        f"{a}__cnt" for a in avgs
-    ]
+    star = [a for k, a, _ in items if k == "count_star"]
+    if len(star) > 1:
+        raise ValueError("more than one count(*) item")
+
+    # pass 2: compile measures for the chosen strategy
+    refresh = any(k in _MV_REFRESH_ONLY for k, _, _ in items)
+    measures: dict[str, str] = {}
+    avgs: list[str] = []
+    count_alias: str | None = None
+    if refresh:
+        for kind, a, e in items:
+            fn = "count" if kind == "count_star" else kind
+            measures[a] = f"{fn}({e})"
+    else:
+        if not star:
+            raise ValueError(
+                "materialized view must select count(*) AS <name> — the "
+                "row count decides group liveness"
+            )
+        count_alias = star[0]
+        for kind, a, e in items:
+            if kind == "count_star":
+                continue
+            if kind == "sum":
+                measures[a] = e
+            elif kind == "count":
+                measures[a] = f"CASE WHEN ({e}) IS NOT NULL THEN 1 END"
+            else:  # avg
+                # decimal accumulation: exact and associative, so an
+                # update's retract cancels its earlier insert bit-for-bit
+                # (a DOUBLE sum would drift under insert/retract churn).
+                # Scale 6 is Spark's minimum preserved scale, so the
+                # folded type is a FIXED (38,6) through sum and merge
+                # addition alike — any other scale drifts under the
+                # decimal-precision rules and trips the view's
+                # schema-evolution guard
+                measures[f"{a}__sum"] = f"CAST(({e}) AS DECIMAL(18,6))"
+                measures[f"{a}__cnt"] = (
+                    f"CASE WHEN ({e}) IS NOT NULL THEN 1 END"
+                )
+                avgs.append(a)
+
+    names = (
+        select_names
+        + [f"{a}__sum" for a in avgs]
+        + [f"{a}__cnt" for a in avgs]
+    )
     dup = {n for n in names if names.count(n) > 1}
     if dup:
         raise ValueError(
@@ -982,6 +1007,7 @@ def _parse_mview_query(query: str) -> dict:
         )
     return {
         "source": qm.group("src"),
+        "kind": "refresh" if refresh else "delta",
         "group_cols": group_cols,
         "group_exprs": group_exprs,
         "measures": measures,
@@ -992,9 +1018,17 @@ def _parse_mview_query(query: str) -> dict:
 
 
 def _mview_job(spec: dict):
-    from cnpj_data_pipeline_spark.plans.ivm import AggSyncJob
+    from cnpj_data_pipeline_spark.plans.ivm import (
+        AggSyncJob,
+        GroupRefreshSyncJob,
+    )
 
-    return AggSyncJob(
+    cls = (
+        GroupRefreshSyncJob
+        if spec.get("kind") == "refresh"
+        else AggSyncJob
+    )
+    return cls(
         spec["source_root"],
         spec["view_root"],
         spec["group_cols"],
@@ -1025,6 +1059,9 @@ def read_mview(spark: SparkSession, view_root: str):
 
     spec = load_mview_spec(view_root)
     df = LakeTable.load(view_root).read(spark)
+    if spec.get("kind") == "refresh":
+        # every aggregate ran verbatim and landed under its own alias
+        return df.select(*spec["select_names"])
     avgs = set(spec.get("avgs") or ())
 
     def _out(n):

@@ -299,32 +299,53 @@ class GroupRefreshSyncJob:
         measures: dict[str, str],
         cfg: EngineConfig | None = None,
         n_buckets: int | None = None,
+        group_exprs: dict[str, str] | None = None,
     ):
         """``measures``: name -> full SQL AGGREGATE expression over the
         group's base rows (e.g. ``{"max_chars": "max(length(text))",
-        "n_roles": "count(distinct role)"}``)."""
+        "n_roles": "count(distinct role)"}``).
+
+        ``group_exprs``: derived grouping columns exactly as in
+        :class:`AggSyncJob` (name -> deterministic per-row SQL, names listed
+        in ``group_cols``) — projected onto both the change feed (affected-
+        group discovery; derived groups are off-key, so the typed feed's
+        pre-images surface the OLD bucket of a moved row) and the base rows
+        before re-aggregation. The MIN/MAX time-bucket rollup form."""
         bad = [m for m in measures if m in set(group_cols)]
         if bad:
             raise ValueError(f"measure names collide with group columns: {bad}")
+        stray = [g for g in (group_exprs or {}) if g not in set(group_cols)]
+        if stray:
+            raise ValueError(
+                f"group_exprs names not listed in group_cols: {stray}"
+            )
         self.source_root = source_root
         self.view_root = view_root
         self.group_cols = list(group_cols)
         self.measures = dict(measures)
         self.cfg = cfg or EngineConfig()
         self.n_buckets = n_buckets
+        self.group_exprs = dict(group_exprs or {})
+
+    def _project(self, df: DataFrame) -> DataFrame:
+        for name, e in self.group_exprs.items():
+            df = df.withColumn(name, F.expr(e))
+        return df
 
     def _affected_rows(
         self, spark: SparkSession, src: LakeTable, groups: DataFrame
     ) -> DataFrame:
         key_cols = src.key_cols() or []
-        if set(self.group_cols) <= set(key_cols):
+        if not self.group_exprs and set(self.group_cols) <= set(key_cols):
             return src.read_keys(
                 spark, groups, on=self.group_cols, broadcast_keys=False
             )
         # grouping off the key: no layout pruning possible — one full scan
         # + semi join per window (documented cost; co-bucket the table on
         # the group columns to avoid it)
-        return src.read(spark).join(groups, on=self.group_cols, how="left_semi")
+        return self._project(src.read(spark)).join(
+            groups, on=self.group_cols, how="left_semi"
+        )
 
     def _recompute(self, rows: DataFrame) -> DataFrame:
         aggs = [F.expr(e).alias(name) for name, e in self.measures.items()]
@@ -340,6 +361,15 @@ class GroupRefreshSyncJob:
             self.n_buckets or src.n_buckets(),
         )
 
+    def ensure_view(self, spark: SparkSession) -> LakeTable:
+        """Create the (empty) view table eagerly (MV DDL surface) — the
+        schema comes from re-aggregating a zero-row slice of the source."""
+        if LakeTable.exists(self.view_root):
+            return LakeTable.load(self.view_root)
+        src = LakeTable.load(self.source_root)
+        fresh = self._recompute(self._project(src.read(spark).limit(0)))
+        return self._ensure_view(fresh, src)
+
     def run_once(
         self, spark: SparkSession, max_window_epochs: int | None = None
     ) -> dict:
@@ -352,7 +382,9 @@ class GroupRefreshSyncJob:
             else None
         )
         done = view.applied_epochs() if view is not None else set()
-        on_key = set(self.group_cols) <= set(src.key_cols() or [])
+        on_key = not self.group_exprs and (
+            set(self.group_cols) <= set(src.key_cols() or [])
+        )
         synced, rows_applied = [], 0
         for window, prev_sid in _pending_windows(
             applies, done, max_window_epochs
@@ -363,12 +395,17 @@ class GroupRefreshSyncJob:
                 # affected group, the cheap feed suffices
                 feed = src.read_changes(spark, prev_sid, end_sid)
             else:
-                # off-key grouping: an update can MOVE a row between
-                # groups and a delete's tombstone may carry NULL payload —
-                # only the typed feed's pre-images surface the old group,
-                # without which it would stay stale forever
+                # off-key grouping (incl. any derived group): an update can
+                # MOVE a row between groups and a delete's tombstone may
+                # carry NULL payload — only the typed feed's pre-images
+                # surface the old group, without which it would stay stale
+                # forever
                 feed = src.read_changes_typed(spark, prev_sid, end_sid)
-            groups = feed.select(*self.group_cols).distinct().persist()
+            groups = (
+                self._project(feed).select(*self.group_cols)
+                .distinct()
+                .persist()
+            )
             try:
                 fresh = self._recompute(
                     self._affected_rows(spark, src, groups)

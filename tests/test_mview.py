@@ -166,8 +166,9 @@ def test_mview_in_script_with_derived_bucket(spark, tmp_table, tmp_path):
     [
         ("SELECT role FROM t GROUP BY role", "count"),
         (
-            "SELECT role, count(*) AS n, min(lsn) AS m FROM t GROUP BY role",
-            "delta-maintainable",
+            "SELECT role, count(*) AS n, approx_count_distinct(lsn) AS m "
+            "FROM t GROUP BY role",
+            "unsupported aggregate",
         ),
         (
             "SELECT role, count(*) AS a, count(*) AS b FROM t GROUP BY role",
@@ -262,3 +263,86 @@ def test_mview_avg_alias_collision_rejected():
             "SELECT role, count(*) AS n, avg(lsn) AS a, sum(lsn) AS a__sum "
             "FROM t GROUP BY role"
         )
+
+
+def test_mview_minmax_routes_to_group_refresh(spark, tmp_table, tmp_path):
+    """Any MIN/MAX switches the view to the group-refresh strategy: after
+    deleting the current extremum the runner-up surfaces (the case the
+    delta algebra cannot maintain), and a derived time-bucket group moves
+    correctly when an update changes ts."""
+    spec = _parse_mview_query(
+        "SELECT role, count(*) AS n, min(lsn) AS lo FROM t GROUP BY role"
+    )
+    assert spec["kind"] == "refresh"
+    assert spec["measures"] == {"n": "count(*)", "lo": "min(lsn)"}
+
+    cfg = EngineConfig(n_buckets=4)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, 4)
+    loc = str(tmp_path / "view")
+    tables = {"transcripts": base}
+    execute_ddl(
+        spark,
+        f"""
+        CREATE MATERIALIZED VIEW extrema LOCATION '{loc}' AS
+        SELECT CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)
+                   AS day_bucket,
+               count(*) AS n, max(length(text)) AS max_len,
+               min(length(text)) AS min_len
+        FROM transcripts GROUP BY day_bucket
+        """,
+        tables,
+    )
+    assert read_mview(spark, loc).columns == [
+        "day_bucket", "n", "max_len", "min_len",
+    ]
+
+    rows = _rows(0, 6)
+    apply_changes(spark, base, spark.createDataFrame(rows), epoch=0, cfg=cfg)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW extrema", tables)
+
+    def expect():
+        return {
+            r.day_bucket: (r.n, r.max_len, r.min_len)
+            for r in base.read(spark)
+            .groupBy(
+                F.expr(
+                    "CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"
+                ).alias("day_bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.length("text")).alias("max_len"),
+                F.min(F.length("text")).alias("min_len"),
+            )
+            .collect()
+        }
+
+    def state():
+        return {
+            r.day_bucket: (r.n, r.max_len, r.min_len)
+            for r in read_mview(spark, loc).collect()
+        }
+
+    assert state() == expect()
+
+    # delete the longest doc of day 1: the runner-up must surface
+    lens = rows.assign(L=rows["text"].str.len())
+    day1 = lens[lens["ts"].dt.day == 1]
+    victim = day1.loc[day1["L"].idxmax()]
+    dels = rows[rows["turn_idx"] == victim["turn_idx"]].assign(
+        op="D", text=None, lsn=[500]
+    )
+    apply_changes(spark, base, spark.createDataFrame(dels), epoch=1, cfg=cfg)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW extrema", tables)
+    assert state() == expect()
+
+    # an update MOVES a row to a new day bucket (derived-group move)
+    upd = rows[rows["turn_idx"] == 0].assign(
+        op="U", ts=pd.Timestamp("2026-01-05 09:00:00"), lsn=[600]
+    )
+    apply_changes(spark, base, spark.createDataFrame(upd), epoch=2, cfg=cfg)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW extrema", tables)
+    assert state() == expect()
+    # idempotent
+    m = execute_ddl(spark, "REFRESH MATERIALIZED VIEW extrema", tables)
+    assert m["epochs_synced"] == []
