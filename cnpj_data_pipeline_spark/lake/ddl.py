@@ -1098,6 +1098,7 @@ def _mview_stmt(spark: SparkSession, m: re.Match, tables: dict):
         tables[name] = loc
         return LakeTable.load(loc)
     spec = _parse_mview_query(m.group("query"))
+    spec["query"] = " ".join(m.group("query").split()).rstrip(";").strip()
     src = spec.pop("source")
     if src not in tables:
         raise ValueError(
@@ -1116,6 +1117,17 @@ def _mview_stmt(spark: SparkSession, m: re.Match, tables: dict):
     job.run_once(spark)
     tables[name] = loc
     return view
+
+
+def show_create_mview(view_root: str, name: str = "v") -> str:
+    """The CREATE MATERIALIZED VIEW statement, reconstructed from the
+    persisted definition — round-trips through :func:`execute_ddl` (fill a
+    new LOCATION to re-point it)."""
+    spec = load_mview_spec(view_root)
+    return (
+        f"CREATE MATERIALIZED VIEW {name} LOCATION '{view_root}' AS "
+        f"{spec['query']}"
+    )
 
 
 def _mview_refresh(spark: SparkSession, m: re.Match, tables: dict) -> dict:
@@ -1152,6 +1164,22 @@ def execute_ddl(
     rfm = _REFRESH_HEAD.match(stmt)
     if rfm:
         return _mview_refresh(spark, rfm, tables)
+    scm = re.match(
+        r"^SHOW\s+CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>[\w.-]+)\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if scm:
+        n = scm.group("name")
+        if n not in tables:
+            raise ValueError(
+                f"unknown materialized view {n!r} (registered: "
+                f"{sorted(tables)})"
+            )
+        t = tables[n]
+        return show_create_mview(
+            t.root if isinstance(t, LakeTable) else t, n
+        )
     cm = _CLONE_HEAD.match(stmt)
     if cm:
         return _clone_stmt(cm, tables)

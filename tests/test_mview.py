@@ -346,3 +346,27 @@ def test_mview_minmax_routes_to_group_refresh(spark, tmp_table, tmp_path):
     # idempotent
     m = execute_ddl(spark, "REFRESH MATERIALIZED VIEW extrema", tables)
     assert m["epochs_synced"] == []
+
+
+def test_show_create_mview_roundtrips(spark, tmp_table, tmp_path):
+    cfg = EngineConfig(n_buckets=4)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, 4)
+    apply_changes(spark, base, spark.createDataFrame(_rows()), epoch=0, cfg=cfg)
+    loc = str(tmp_path / "v1")
+    tables = {"transcripts": base}
+    execute_ddl(spark, MV_SQL.format(loc=loc), tables)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW by_role", tables)
+
+    stmt = execute_ddl(
+        spark, "SHOW CREATE MATERIALIZED VIEW by_role", tables
+    )
+    assert stmt.startswith("CREATE MATERIALIZED VIEW by_role LOCATION")
+
+    # round-trip: re-point the statement at a new location, execute, refresh
+    loc2 = str(tmp_path / "v2")
+    stmt2 = stmt.replace(f"'{loc}'", f"'{loc2}'").replace(
+        "VIEW by_role", "VIEW by_role2"
+    )
+    execute_ddl(spark, stmt2, tables)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW by_role2", tables)
+    assert _view_state(spark, loc2) == _view_state(spark, loc)
