@@ -34,6 +34,17 @@ DDL = [
     "SHOW SNAPSHOTS t1",
 ]
 
+# materialized-view statements join the pool with {mv} filled per test run;
+# REFRESH/SHOW against a never-registered view must refuse with ValueError
+DDL_MV = [
+    "CREATE MATERIALIZED VIEW mv1 LOCATION '{mv}' AS SELECT conv_id, "
+    "count(*) AS n, sum(length(text)) AS chars FROM t1 GROUP BY conv_id",
+    "CREATE MATERIALIZED VIEW mv1 LOCATION '{mv}' AS SELECT conv_id, "
+    "count(*) AS n, min(length(text)) AS lo FROM t1 GROUP BY conv_id",
+    "REFRESH MATERIALIZED VIEW mv1",
+    "SHOW CREATE MATERIALIZED VIEW mv1",
+]
+
 DML = [
     "MERGE INTO t1 USING batch s ON t1.conv_id = s.conv_id AND "
     "t1.turn_idx = s.turn_idx WHEN MATCHED AND s.op = 'D' THEN DELETE "
@@ -80,9 +91,10 @@ def test_mutated_statements_fail_closed(spark, tmp_path, seed):
     ).createOrReplaceTempView("batch")
     sid0 = t.current_snapshot_id()
 
+    ddl_pool = DDL + [s.format(mv=tmp_path / "mv1") for s in DDL_MV]
     epoch = 100
     for trial in range(90):
-        pool = DDL if trial % 3 else DML
+        pool = ddl_pool if trial % 3 else DML
         s = _mutate(rng, rng.choice(pool))
         epoch += 1
         try:
