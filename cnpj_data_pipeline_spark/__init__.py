@@ -43,7 +43,9 @@ from cnpj_data_pipeline_spark.lake.sql import (  # noqa: F401
 from cnpj_data_pipeline_spark.lake.dml import merge_into  # noqa: F401
 from cnpj_data_pipeline_spark.lake.ddl import (  # noqa: F401
     execute_ddl,
+    read_mview,
     run_sql_script,
+    show_create_mview,
     show_create_table,
 )
 from cnpj_data_pipeline_spark.lake.txn_catalog import (  # noqa: F401
