@@ -370,3 +370,47 @@ def test_show_create_mview_roundtrips(spark, tmp_table, tmp_path):
     execute_ddl(spark, stmt2, tables)
     execute_ddl(spark, "REFRESH MATERIALIZED VIEW by_role2", tables)
     assert _view_state(spark, loc2) == _view_state(spark, loc)
+
+
+def test_mview_refresh_across_maintenance(spark, tmp_table, tmp_path):
+    """Lagging consumer vs layout churn: epochs land, COMPACTION / REBUCKET
+    / tombstone VACUUM / a sort-order flip rewrite the source's files, and
+    only then does REFRESH catch up — the typed feed must resolve its
+    pre-images across the rewritten generations (snapshot isolation of the
+    window start), and the view must still equal the full recompute."""
+    cfg = EngineConfig(n_buckets=4)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, 4)
+    loc = str(tmp_path / "view")
+    tables = {"transcripts": base}
+    execute_ddl(spark, MV_SQL.format(loc=loc), tables)
+
+    apply_changes(spark, base, spark.createDataFrame(_rows(0, 8)), epoch=0, cfg=cfg)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW by_role", tables)
+    assert _view_state(spark, loc) == _recompute(spark, base)
+
+    # two more epochs (updates + a delete), NO refresh yet
+    upd = _rows(0, 4).assign(op="U")
+    upd["text"] = ["redone-" + str(i) for i in range(4)]
+    upd["lsn"] = [400 + i for i in range(4)]
+    apply_changes(spark, base, spark.createDataFrame(upd), epoch=1, cfg=cfg)
+    dels = _rows(4, 2).assign(op="D", text=None)
+    dels["lsn"] = [500, 501]
+    apply_changes(spark, base, spark.createDataFrame(dels), epoch=2, cfg=cfg)
+
+    # layout churn between the pending epochs and the catch-up refresh
+    base.compact(spark)
+    base.rebucket(spark, 8)
+    base.set_sort_order(["ts"])
+    base.compact(spark)
+    base.vacuum_tombstones(spark, lsn_horizon=600)
+
+    m = execute_ddl(spark, "REFRESH MATERIALIZED VIEW by_role", tables)
+    assert m["epochs_synced"] == [1, 2]
+    assert _view_state(spark, loc) == _recompute(spark, base)
+
+    # and one more epoch after all the churn
+    late = _rows(10, 3)
+    late["lsn"] = [700, 701, 702]
+    apply_changes(spark, base, spark.createDataFrame(late), epoch=3, cfg=cfg)
+    execute_ddl(spark, "REFRESH MATERIALIZED VIEW by_role", tables)
+    assert _view_state(spark, loc) == _recompute(spark, base)
