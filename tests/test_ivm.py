@@ -288,3 +288,29 @@ def test_ivm_group_exprs_must_be_listed_in_group_cols():
         AggSyncJob(
             "x", "y", ["conv_id"], MEASURES, group_exprs={"day": "1"}
         )
+
+
+def test_ivm_lagging_consumer_past_retention_fails_loud(
+    spark, tmp_table, tmp_path
+):
+    """A consumer whose window-start snapshot has been EXPIRED must refuse
+    with a clear error — never silently skip or emit a wrong view (the
+    change-feed retention contract, same as Delta CDF's)."""
+    import pytest
+
+    cfg = EngineConfig(n_buckets=4)
+    ch = gen_changes(spark, n_events=1_200, n_convs=20, n_epochs=6)
+    base = LakeTable.create(tmp_table, TRANSCRIPT_SCHEMA, KEY, cfg.n_buckets)
+    job = AggSyncJob(
+        tmp_table, str(tmp_path / "view"), ["conv_id"], MEASURES, cfg=cfg
+    )
+    batches = list(epoch_batches(ch, 6))
+    e0, b0 = batches[0]
+    apply_changes(spark, base, b0, epoch=e0, cfg=cfg)
+    job.run_once(spark)  # consumer checkpoint at epoch 0
+    for e, b in batches[1:]:
+        apply_changes(spark, base, b, epoch=e, cfg=cfg)
+    base.compact(spark)
+    base.expire_snapshots(keep_last=2, sweep_orphans=True)
+    with pytest.raises(ValueError, match="expired"):
+        job.run_once(spark)
