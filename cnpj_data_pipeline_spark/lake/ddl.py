@@ -17,6 +17,7 @@ Supported grammar (case-insensitive keywords; one statement per call):
     CREATE TABLE <name> (
         <col> <spark-sql-type> [, ...]
         [, PRIMARY KEY (<k1> [, <k2> ...])]
+        [, CONSTRAINT <cn> CHECK (<expr>) [ON VIOLATION FAIL|DROP|DLQ]]
     )
     [USING lake]
     [CLUSTERED BY (<c1> [, ...]) INTO <n> BUCKETS]
@@ -38,6 +39,9 @@ Supported grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE <name> WRITE UNORDERED
     ALTER TABLE <name> CREATE TAG '<tag>' [AS OF VERSION <n>]
     ALTER TABLE <name> DROP TAG [IF EXISTS] '<tag>'
+    ALTER TABLE <name> ADD CONSTRAINT <cn> CHECK (<expr>)
+                       [ON VIOLATION FAIL|DROP|DLQ]
+    ALTER TABLE <name> DROP CONSTRAINT [IF EXISTS] <cn>
 
     OPTIMIZE <name>                   -> compact multi-generation buckets
                                          (map-only rewrite, no exchange)
@@ -95,6 +99,15 @@ Semantics, each inherited from the operation the statement compiles to:
   names never re-enter.
 * ``WRITE ORDERED BY`` is Iceberg's declared-sort-order DDL analogue,
   compiling to ``set_sort_order`` (ZORDER interleaves 2-4 columns).
+* ``CONSTRAINT ... CHECK`` declares a row-level ingest expectation
+  (``lake/constraints.py`` — the reference's Postgres column constraints,
+  init-db/postgres.sql, as declarative quality gates): a deterministic
+  boolean predicate over the table's logical columns, enforced against
+  every change batch with the declared violation policy (FAIL aborts the
+  epoch, DROP filters the events out, DLQ additionally persists them
+  under ``<table>/_dlq/constraints``). SQL CHECK semantics: NULL passes;
+  DELETE events are exempt. Compiled to ``add_constraint`` — same
+  fail-closed declaration-time analysis as the Python API.
 * The maintenance statements are front-ends over the operator CLI's ops
   (``tools/run_maintenance.py``), so a pure-SQL deployment can run its
   own upkeep: ``OPTIMIZE`` -> ``compact`` (bounds MoR read
@@ -168,18 +181,25 @@ _MVIEW_SPEC_FILE = "_mview.json"
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` outside parentheses, angle brackets and single
     quotes, so ``decimal(10,2)``, ``array<struct<a:int,b:int>>`` and
-    ``'x,y'`` survive intact."""
-    parts, depth, quote, start = [], 0, False, 0
+    ``'x,y'`` survive intact. Angle brackets count only at paren depth 0:
+    generics appear in TYPE positions, never inside parens, while a CHECK
+    constraint's parenthesized expression may contain bare ``<``/``>``/
+    ``>=`` comparisons that must not skew the depth."""
+    parts, paren, angle, quote, start = [], 0, 0, False, 0
     for i, ch in enumerate(s):
         if quote:
             quote = ch != "'"
         elif ch == "'":
             quote = True
-        elif ch in "(<":
-            depth += 1
-        elif ch in ")>":
-            depth -= 1
-        elif ch == sep and depth == 0:
+        elif ch == "(":
+            paren += 1
+        elif ch == ")":
+            paren -= 1
+        elif ch == "<" and paren == 0:
+            angle += 1
+        elif ch == ">" and paren == 0 and angle > 0:
+            angle -= 1
+        elif ch == sep and paren == 0 and angle == 0:
             parts.append(s[start:i])
             start = i + 1
     parts.append(s[start:])
@@ -239,12 +259,34 @@ def _create_stmt(
 
     key_cols: list[str] | None = None
     col_defs: list[str] = []
+    cons_defs: list[tuple[str, str, str]] = []  # (name, expr, mode)
     for item in _split_top_level(cols_txt):
         pk = _PK_RE.match(item)
         if pk:
             if key_cols is not None:
                 raise ValueError("CREATE TABLE: duplicate PRIMARY KEY")
             key_cols = [c.strip() for c in pk.group("cols").split(",")]
+            continue
+        cm = re.match(
+            r"^CONSTRAINT\s+(?P<cn>\w+)\s+CHECK\s*\(", item, re.IGNORECASE
+        )
+        if cm:
+            expr, tail = _scan_balanced(item[cm.end() - 1:])
+            mode, tail = "fail", tail.strip()
+            if tail:
+                vm = re.match(
+                    r"^ON\s+VIOLATION\s+(?P<mode>FAIL|DROP|DLQ)$",
+                    tail,
+                    re.IGNORECASE,
+                )
+                if not vm:
+                    raise ValueError(
+                        f"CONSTRAINT: unsupported trailing text "
+                        f"{tail[:60]!r} (expected ON VIOLATION "
+                        "FAIL|DROP|DLQ)"
+                    )
+                mode = vm.group("mode").lower()
+            cons_defs.append((cm.group("cn"), expr.strip(), mode))
             continue
         col_defs.append(item)
     if not col_defs:
@@ -348,6 +390,9 @@ def _create_stmt(
         table.set_props(props)
     if sort_cols is not None:
         table.set_sort_order(sort_cols, kind=sort_kind)
+    for cn, expr, mode in cons_defs:
+        # declared ahead of any data: validation is analysis-only here
+        table.add_constraint(spark, cn, expr, on_violation=mode)
     tables[name] = table
     return table
 
@@ -527,6 +572,41 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
                 "(add IF EXISTS for the idempotent form)"
             )
         return table.current_snapshot_id()
+
+    acm = re.match(
+        r"^ADD\s+CONSTRAINT\s+(?P<cn>\w+)\s+CHECK\s*\(",
+        rest,
+        re.IGNORECASE,
+    )
+    if acm:
+        expr, tail = _scan_balanced(rest[acm.end() - 1:])
+        mode = "fail"
+        tail = tail.strip()
+        if tail:
+            vm = re.match(
+                r"^ON\s+VIOLATION\s+(?P<mode>FAIL|DROP|DLQ)$",
+                tail,
+                re.IGNORECASE,
+            )
+            if not vm:
+                raise ValueError(
+                    f"ADD CONSTRAINT: unsupported trailing DDL "
+                    f"{tail[:60]!r} (expected ON VIOLATION FAIL|DROP|DLQ)"
+                )
+            mode = vm.group("mode").lower()
+        return table.add_constraint(
+            spark, acm.group("cn"), expr.strip(), on_violation=mode
+        )
+
+    dcm = re.match(
+        r"^DROP\s+CONSTRAINT\s+(?:(?P<ife>IF\s+EXISTS)\s+)?(?P<cn>\w+)$",
+        rest,
+        re.IGNORECASE,
+    )
+    if dcm:
+        if dcm.group("ife") and dcm.group("cn") not in table.constraints():
+            return table.current_snapshot_id()
+        return table.drop_constraint(dcm.group("cn"))
 
     raise ValueError(
         f"ALTER TABLE: unsupported clause {rest[:80]!r} "
@@ -761,6 +841,11 @@ def show_create_table(table: LakeTable, name: str = "t") -> str:
     key_cols = table.key_cols()
     if key_cols is not None:
         lines.append(f"    PRIMARY KEY ({', '.join(key_cols)})")
+    for cn, spec in table.constraints().items():
+        lines.append(
+            f"    CONSTRAINT {cn} CHECK ({spec['expr']}) "
+            f"ON VIOLATION {spec['on_violation'].upper()}"
+        )
     stmt = f"CREATE TABLE {name} (\n" + ",\n".join(lines) + "\n)\nUSING lake"
     if key_cols is not None:
         bcols = table.bucket_cols() or key_cols
@@ -774,7 +859,8 @@ def show_create_table(table: LakeTable, name: str = "t") -> str:
     props = {
         k: v
         for k, v in (table.props() or {}).items()
-        if not str(k).startswith("sort_order") and isinstance(v, str)
+        if not str(k).startswith(("sort_order", "constraint."))
+        and isinstance(v, str)
     }
     engine = snap.get("merge_engine", "lww")
     tbl_props = {}
@@ -855,6 +941,16 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
                     for n, p in sorted(
                         (snap.get("retired_names") or {}).items()
                     )
+                )
+                or "(none)",
+                "",
+            ),
+            (
+                "Check Constraints",
+                "; ".join(
+                    f"{n}: CHECK ({s['expr']}) ON VIOLATION "
+                    f"{s['on_violation'].upper()}"
+                    for n, s in table.constraints().items()
                 )
                 or "(none)",
                 "",

@@ -776,6 +776,7 @@ class LakeTable:
                 "still send it — reusing it for a different column would "
                 "misroute their data. Pick a different name"
             )
+        self._constraint_refs_guard(snap, ren.get(phys, phys), "rename")
         return self.commit(
             op="evolve",
             epoch=None,
@@ -974,6 +975,8 @@ class LakeTable:
                 f"column {name!r} has an agg_spec fold; dropping it would "
                 "orphan the aggregate definition"
             )
+        ren = snap.get("renames") or {}
+        self._constraint_refs_guard(snap, ren.get(name, name), "drop")
         return self.commit(
             op="evolve",
             epoch=None,
@@ -1104,6 +1107,13 @@ class LakeTable:
                 f"{sorted(reserved)} are engine-managed — use "
                 "set_sort_order()"
             )
+        cons = {k for k in props if str(k).startswith("constraint.")}
+        if cons:
+            raise ValueError(
+                f"propert{'y' if len(cons) == 1 else 'ies'} {sorted(cons)} "
+                "are engine-managed — use add_constraint()/drop_constraint() "
+                "(constraints are validated at declaration)"
+            )
         if not props:
             raise ValueError("set_props requires at least one property")
         return self.commit(
@@ -1187,6 +1197,139 @@ class LakeTable:
                 "sort_order_kind": kind if cols is not None else None,
             },
         )
+
+    # ---------------- CHECK constraints (lake/constraints.py) ----------
+
+    def constraints(self) -> dict[str, dict]:
+        """Active CHECK constraints: name -> {"expr", "on_violation",
+        "refs"} (see :mod:`cnpj_data_pipeline_spark.lake.constraints`)."""
+        from cnpj_data_pipeline_spark.lake.constraints import constraints_of
+
+        return constraints_of(self.snapshot())
+
+    def add_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        expr: str,
+        on_violation: str = "fail",
+        validate: bool = True,
+    ) -> int:
+        """Declare a named row-level CHECK constraint enforced against every
+        future change batch (the ``ALTER TABLE ADD CONSTRAINT`` surface —
+        the reference's Postgres column constraints, init-db/postgres.sql,
+        re-expressed as declarative ingest expectations).
+
+        ``expr`` is a deterministic boolean Spark-SQL predicate over the
+        table's LOGICAL columns (SQL CHECK semantics: NULL passes; DELETE
+        events are exempt). ``on_violation``: ``fail`` aborts the epoch,
+        ``drop`` filters violating events out, ``dlq`` additionally
+        persists them under ``<table>/_dlq/constraints`` — see the module
+        doc of :mod:`..lake.constraints` for the exact contract.
+
+        Fail-closed at declaration: the expression must analyze against the
+        current logical schema to a BOOLEAN (envelope columns op/lsn/epoch
+        are out of scope), non-deterministic functions are refused, and the
+        referenced columns are recorded so RENAME/DROP COLUMN on them is
+        refused while the constraint lives. ``validate=True`` (default)
+        additionally scans the CURRENT table state and refuses to declare a
+        constraint existing live rows already violate (Delta's ADD
+        CONSTRAINT contract) — ``validate=False`` skips that scan for
+        forward-only enforcement on very large tables.
+
+        LWW and keyless tables only: partial/aggregate merge engines carry
+        null-means-unchanged patch envelopes, on which a row predicate is
+        not evaluable event-by-event."""
+        from cnpj_data_pipeline_spark.lake.constraints import (
+            CONSTRAINT_MODES,
+            CONSTRAINT_PREFIX,
+            analyze_constraint,
+        )
+
+        if on_violation not in CONSTRAINT_MODES:
+            raise ValueError(
+                f"unknown on_violation {on_violation!r} "
+                f"(choose from {CONSTRAINT_MODES})"
+            )
+        snap = self.snapshot()
+        if snap.get("merge_engine", "lww") != "lww":
+            raise ValueError(
+                "CHECK constraints require the lww merge engine — "
+                "partial/aggregate patch envelopes use NULL for "
+                "'unchanged', so a row predicate cannot be evaluated "
+                "event-by-event"
+            )
+        if name in self.constraints():
+            raise ValueError(
+                f"constraint {name!r} already declared; drop it first"
+            )
+        logical = self.logical_schema()
+        # refs are validated against the LOGICAL schema inside — envelope
+        # columns (op/lsn/epoch) resolve only if the table itself declares
+        # such a column, otherwise they are refused as unknown
+        refs = analyze_constraint(spark, logical, name, expr)
+        if validate and (snap.get("buckets") or {}):
+            bad = (
+                self.read(spark)
+                .filter(F.expr(expr).eqNullSafe(F.lit(False)))
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: {bad} existing live "
+                    "row(s) violate it (fix the data or declare with "
+                    "validate=False for forward-only enforcement)"
+                )
+        return self.commit(
+            op="set-props",
+            epoch=None,
+            bucket_updates={},
+            props={
+                CONSTRAINT_PREFIX + name: json.dumps(
+                    {
+                        "expr": expr,
+                        "on_violation": on_violation,
+                        "refs": refs,
+                    }
+                )
+            },
+            expected_parent=snap["snapshot_id"],
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        """Remove a declared CHECK constraint (props-only commit; the
+        column-evolution guards it held are released)."""
+        from cnpj_data_pipeline_spark.lake.constraints import (
+            CONSTRAINT_PREFIX,
+        )
+
+        if name not in self.constraints():
+            raise ValueError(
+                f"no constraint named {name!r} "
+                f"(have {sorted(self.constraints())})"
+            )
+        return self.commit(
+            op="set-props",
+            epoch=None,
+            bucket_updates={},
+            props={CONSTRAINT_PREFIX + name: None},
+        )
+
+    def _constraint_refs_guard(self, snap: dict, logical_name: str, verb: str):
+        """Refuse column evolution on a constraint-referenced column."""
+        from cnpj_data_pipeline_spark.lake.constraints import constraints_of
+
+        holders = [
+            n
+            for n, spec in constraints_of(snap).items()
+            if logical_name in (spec.get("refs") or ())
+        ]
+        if holders:
+            raise ValueError(
+                f"cannot {verb} column {logical_name!r}: referenced by "
+                f"CHECK constraint(s) {holders} — drop them first (their "
+                "expressions name this column)"
+            )
 
     def n_buckets(self) -> int:
         return int(self.snapshot()["n_buckets"])

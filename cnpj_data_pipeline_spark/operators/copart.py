@@ -445,6 +445,28 @@ def apply_changes_copart(
     if cfg.copart_verify_placement:
         verify_bucket_placement(spark, table, bucket_files)
     all_files = [fp for fps in bucket_files.values() for fp in fps]
+    # CHECK constraints: fail-mode only on this path — one column-pruned,
+    # map-only scan of the epoch's WAL files; a clean batch proceeds with
+    # the zero-shuffle apply untouched. Row-dropping modes (drop/dlq) need
+    # a batch rewrite and are routed to the general path by the pipeline
+    # (check_fail_only raises if they reach here).
+    constraint_counts = None
+    if all_files and any(
+        k.startswith("constraint.") and v is not None
+        for k, v in (snap.get("props") or {}).items()
+    ):
+        from cnpj_data_pipeline_spark.lake.constraints import check_fail_only
+
+        constraint_counts = check_fail_only(
+            spark,
+            snap,
+            all_files,
+            epoch
+            if isinstance(epoch, int)
+            else f"{min(epoch_set)}-{max(epoch_set)}",
+            table.logical_schema(),
+        )
+        _mark("constraints")
     base_schema = table.schema()
     # renamed columns: producers write logical names, files store physical
     # — the inverse map rides into the footer union and every per-file
@@ -584,6 +606,11 @@ def apply_changes_copart(
         "schema_evolved": evolved_changed,
         "compacted": compacted_sid is not None,
         "phases": phases,
+        **(
+            {"constraint_violations": constraint_counts}
+            if constraint_counts is not None
+            else {}
+        ),
     }
 
 

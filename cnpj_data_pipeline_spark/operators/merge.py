@@ -37,6 +37,7 @@ part 2); ``LakeTable.vacuum_tombstones`` reclaims them behind an LSN horizon.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Sequence
 
@@ -269,6 +270,28 @@ def apply_changes(
         )
 
     snap = table.snapshot()
+    # CHECK constraints (lake/constraints.py): fail / drop / dlq the
+    # violating events BEFORE the merge, against LOGICAL names (the
+    # language constraints are declared in). One map-only pass over the
+    # batch; tables without constraints skip this entirely.
+    constraint_counts = None
+    if any(
+        k.startswith("constraint.") and v is not None
+        for k, v in (snap.get("props") or {}).items()
+    ):
+        from cnpj_data_pipeline_spark.lake.constraints import enforce_general
+
+        changes, constraint_counts = enforce_general(
+            spark,
+            snap,
+            changes,
+            epoch
+            if isinstance(epoch, int)
+            else f"{min(epoch_set)}-{max(epoch_set)}",
+            os.path.join(table.root, "_dlq", "constraints"),
+            table.logical_schema(),
+        )
+        _mark("constraints")
     # renamed columns: producers speak logical names, files store physical
     # — map the batch at the boundary (identity when nothing was renamed)
     changes = batch_to_physical(changes, snap)
@@ -375,6 +398,11 @@ def apply_changes(
             "snapshot_id": sid,
             "schema_evolved": evolved_changed,
             "phases": phases,
+            **(
+                {"constraint_violations": constraint_counts}
+                if constraint_counts is not None
+                else {}
+            ),
         }
 
     if cfg.write_mode == "mor":
@@ -512,6 +540,11 @@ def apply_changes(
             "schema_evolved": evolved_changed,
             "compacted": compacted_sid is not None,
             "phases": phases,
+            **(
+                {"constraint_violations": constraint_counts}
+                if constraint_counts is not None
+                else {}
+            ),
         }
 
     # -- touched buckets (bounded by n_buckets; tiny driver-side list).
@@ -660,4 +693,9 @@ def apply_changes(
         "snapshot_id": sid,
         "schema_evolved": evolved_changed,
         "phases": phases,
+        **(
+            {"constraint_violations": constraint_counts}
+            if constraint_counts is not None
+            else {}
+        ),
     }

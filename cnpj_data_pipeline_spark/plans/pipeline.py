@@ -201,8 +201,16 @@ class IngestJob:
         if dlq_dir is not None and wal_format != "debezium":
             raise ValueError("dlq_dir only applies to wal_format='debezium'")
         table = self.ensure_table()
-        use_copart = self.cfg.copart != "off" and (
-            table.key_cols() is None or self.cfg.write_mode == "mor"
+        from cnpj_data_pipeline_spark.lake.constraints import row_dropping
+
+        # row-dropping CHECK constraints (drop/dlq) rewrite the batch, which
+        # the zero-shuffle copart apply cannot do — route those tables
+        # through the general path; fail-mode constraints keep the fast path
+        # (one map-only pre-scan inside apply_changes_copart)
+        use_copart = (
+            self.cfg.copart != "off"
+            and (table.key_cols() is None or self.cfg.write_mode == "mor")
+            and not row_dropping(table.constraints())
         )
 
         def _plans_debezium():

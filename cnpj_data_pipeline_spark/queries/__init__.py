@@ -179,6 +179,10 @@ _EXTRA_NAMES = (
     # CREATE MATERIALIZED VIEW ... AS SELECT / REFRESH MATERIALIZED VIEW
     # (lake/ddl.py), compiling to AggSyncJob with a persisted sidecar spec
     "q_mview_rollup",
+    # round 5: row-level CHECK constraints (lake/constraints.py) — a
+    # declarative ingest expectation with ON VIOLATION DLQ enforced on
+    # every epoch of the replay; final state folds only admitted events
+    "q_constrained_ingest",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

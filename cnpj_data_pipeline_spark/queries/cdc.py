@@ -1012,6 +1012,36 @@ def q_cdc_replay_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+# the constrained replay's declarative ingest expectation: a 'tool' turn
+# must name its tool — violating change events are filtered out (DLQ'd)
+# BEFORE the merge, so the key's previous valid version stays live
+CONSTRAINT_EXPR = "role <> 'tool' OR tool IS NOT NULL"
+
+
+def q_constrained_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHECK constraints under replay (lake/constraints.py — the
+    reference's Postgres column constraints, init-db/postgres.sql, as
+    declarative ingest expectations): the table declares
+    ``CHECK (role <> 'tool' OR tool IS NOT NULL) ON VIOLATION DLQ``, the
+    full WAL replays through the engine, violating events land in
+    ``_dlq/constraints`` with the constraint named, and the final state is
+    the LWW fold of only the ADMITTED events — SQL CHECK semantics (NULL
+    passes, deletes exempt), one map-only verdict pass per epoch."""
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    table = LakeTable.create(
+        os.path.join(_mk_scratch("cdc_cons_"), "lake"),
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    table.add_constraint(
+        spark, "tool_named", CONSTRAINT_EXPR, on_violation="dlq"
+    )
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    return table.read(spark)
+
+
 def q_stateful_conv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-conversation counters/watermarks maintained in the streaming state
@@ -1404,6 +1434,7 @@ QUERIES = {
     "q_time_travel": q_time_travel,
     "q_cdc_replay_partial": q_cdc_replay_partial,
     "q_agg_table_counters": q_agg_table_counters,
+    "q_constrained_ingest": q_constrained_ingest,
 }
 
 # pre/post winner state for the typed-feed oracle: pre = LWW fold of epochs
@@ -1449,6 +1480,21 @@ j AS (
 
 _FINAL_STATE_SQL = f"""
 WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM winners WHERE op <> 'D'
+"""
+
+# the constrained replay admits only events passing the CHECK (SQL
+# semantics: NULL passes via coalesce; deletes exempt) — the LWW fold then
+# runs over the admitted stream, so a rejected update leaves the previous
+# valid version live
+_CONSTRAINED_SQL = f"""
+WITH {CHANGES_CTE.strip()},
+admitted AS (
+  SELECT * FROM changes
+  WHERE op = 'D' OR coalesce(role <> 'tool' OR tool IS NOT NULL, TRUE)
+),
+{WINNERS_CTE.strip().replace("FROM changes", "FROM admitted")}
 SELECT conv_id, turn_idx, role, text, tool, ts
 FROM winners WHERE op <> 'D'
 """
@@ -1600,6 +1646,7 @@ WHERE op <> 'D' AND turn_idx % 3 = 0
         SELECT conv_id, turn_idx, role, text, tool, ts, tool_meta
         FROM winners WHERE op <> 'D'
     """,
+    "q_constrained_ingest": _CONSTRAINED_SQL,
     "q_tombstones": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
         SELECT conv_id, turn_idx, lsn FROM winners WHERE op = 'D'
