@@ -3635,6 +3635,8 @@ class LakeTable:
         read-amplification profile, checkpoint state. The DESCRIBE/inspect
         surface the reference exposes only as hand-run SQL against Postgres
         catalogs."""
+        from cnpj_data_pipeline_spark.lake.constraints import constraints_of
+
         snap = self.snapshot(snapshot_id)
         buckets = snap["buckets"].values()
         n_files = sum(len(i["files"]) for i in buckets)
@@ -3663,6 +3665,10 @@ class LakeTable:
             "merge_engine": snap.get("merge_engine", "lww"),
             "sort_order": (snap.get("props") or {}).get("sort_order"),
             "sort_order_kind": self._sort_kind_of(snap),
+            "constraints": {
+                n: {"check": s["expr"], "on_violation": s["on_violation"]}
+                for n, s in constraints_of(snap).items()
+            },
         }
 
     def rollback(self, to_snapshot_id: int) -> int:

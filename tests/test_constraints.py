@@ -340,3 +340,16 @@ def test_sql_surface_roundtrip(spark, tmp_path):
             "WARN",
             tables,
         )
+
+
+def test_describe_carries_constraints(spark, tmp_path):
+    # the operator CLI's `stats` op (tools/run_maintenance.py) prints
+    # describe(); active constraints must surface there
+    t = _table(tmp_path / "t")
+    t.add_constraint(spark, "tool_named", EXPR, on_violation="dlq")
+    d = t.describe()
+    assert d["constraints"] == {
+        "tool_named": {"check": EXPR, "on_violation": "dlq"}
+    }
+    t.drop_constraint("tool_named")
+    assert t.describe()["constraints"] == {}

@@ -123,6 +123,26 @@ def main() -> None:
     p.add_argument("--to", dest="new", required=True,
                    help="new logical name")
 
+    p = sub.add_parser("add-constraint",
+                       help="declare a row-level CHECK constraint enforced "
+                            "against every future change batch (runs a "
+                            "Spark analysis + existing-data validation "
+                            "unless --no-validate)")
+    p.add_argument("--name", required=True)
+    p.add_argument("--check", required=True,
+                   help="deterministic boolean SQL predicate over the "
+                        "table's logical columns")
+    p.add_argument("--on-violation", default="fail",
+                   choices=["fail", "drop", "dlq"])
+    p.add_argument("--no-validate", action="store_true",
+                   help="skip the existing-data scan (forward-only "
+                        "enforcement)")
+
+    p = sub.add_parser("drop-constraint",
+                       help="remove a declared CHECK constraint "
+                            "(metadata-only; releases its column guards)")
+    p.add_argument("--name", required=True)
+
     p = sub.add_parser("clone", help="zero-copy shallow clone: fork the "
                                      "table at a snapshot in O(metadata); "
                                      "the source snapshot is auto-tag-"
@@ -221,7 +241,23 @@ def main() -> None:
         print(json.dumps({"op": "set-sort-order", "snapshot_id": sid,
                           "sort_order": cols, "kind": args.kind}))
         return
+    if args.op == "drop-constraint":
+        sid = table.drop_constraint(args.name)
+        print(json.dumps({"op": "drop-constraint", "snapshot_id": sid,
+                          "name": args.name,
+                          "constraints": sorted(table.constraints())}))
+        return
     spark = get_spark(master=args.master) if args.master else get_spark()
+    if args.op == "add-constraint":
+        sid = table.add_constraint(
+            spark, args.name, args.check,
+            on_violation=args.on_violation,
+            validate=not args.no_validate,
+        )
+        print(json.dumps({"op": "add-constraint", "snapshot_id": sid,
+                          "name": args.name,
+                          "constraint": table.constraints()[args.name]}))
+        return
     before = table.current_snapshot_id()
     if args.op == "compact":
         sid = table.compact_if_needed(
