@@ -100,23 +100,26 @@ def row_dropping(cons: dict[str, dict]) -> bool:
     return any(c["on_violation"] in ("drop", "dlq") for c in cons.values())
 
 
-def analyze_constraint(
-    spark: SparkSession, logical_schema: T.StructType, name: str, expr: str
+def _parse_refs(
+    spark: SparkSession,
+    logical_schema: T.StructType,
+    label: str,
+    expr: str,
 ) -> list[str]:
-    """Fail-closed declaration-time analysis. Returns the LOGICAL column
-    names the expression references (recorded so rename/drop evolution on
-    them is refused while the constraint lives)."""
-    if not _NAME_RE.match(name or ""):
-        raise ValueError(f"invalid constraint name {name!r}")
+    """Shared fail-closed declaration-time analysis for row expressions
+    (CHECK constraints and GENERATED columns): parse, determinism guard,
+    and reference extraction. Returns the canonical LOGICAL column names
+    the expression references (recorded so rename/drop evolution on them
+    is refused while the declaration lives)."""
     if not expr or not str(expr).strip():
-        raise ValueError("constraint expression must be non-empty")
+        raise ValueError(f"{label}: expression must be non-empty")
     m = _NONDET_RE.search(expr)
     if m:
         raise ValueError(
-            f"constraint {name!r} uses non-deterministic/time-dependent "
-            f"function {m.group(0)!r}: a replayed epoch must get the same "
-            "verdict (exactly-once), so constraints must be deterministic "
-            "pure row predicates"
+            f"{label} uses non-deterministic/time-dependent function "
+            f"{m.group(0)!r}: a replayed epoch must produce the same "
+            "result (exactly-once), so row expressions must be "
+            "deterministic"
         )
     # referenced columns straight off the UNRESOLVED Catalyst expression
     # tree (sqlParser().parseExpression(...).references()) — no failing
@@ -126,7 +129,7 @@ def analyze_constraint(
         jrefs = parsed.parseExpression(expr).references().iterator()
     except Exception as e:
         raise ValueError(
-            f"constraint {name!r} does not parse as a SQL expression: {e}"
+            f"{label} does not parse as a SQL expression: {e}"
         ) from None
     raw_refs = []
     while jrefs.hasNext():
@@ -135,11 +138,23 @@ def analyze_constraint(
     unknown = sorted({r for r in raw_refs if r.lower() not in canon})
     if unknown:
         raise ValueError(
-            f"constraint {name!r} references unknown column(s) {unknown} "
+            f"{label} references unknown column(s) {unknown} "
             f"(table has {[f.name for f in logical_schema.fields]}; "
             "envelope columns op/lsn/epoch are out of scope)"
         )
-    refs = sorted({canon[r.lower()] for r in raw_refs})
+    return sorted({canon[r.lower()] for r in raw_refs})
+
+
+def analyze_constraint(
+    spark: SparkSession, logical_schema: T.StructType, name: str, expr: str
+) -> list[str]:
+    """Fail-closed CHECK declaration analysis: :func:`_parse_refs` plus
+    the BOOLEAN-type requirement. Returns the referenced LOGICAL names."""
+    if not _NAME_RE.match(name or ""):
+        raise ValueError(f"invalid constraint name {name!r}")
+    refs = _parse_refs(
+        spark, logical_schema, f"constraint {name!r}", expr
+    )
     probe = spark.createDataFrame([], logical_schema)
     try:
         col = probe.select(F.expr(expr).alias("__c"))

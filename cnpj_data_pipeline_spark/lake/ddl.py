@@ -15,7 +15,7 @@ data rewrite.
 Supported grammar (case-insensitive keywords; one statement per call):
 
     CREATE TABLE <name> (
-        <col> <spark-sql-type> [, ...]
+        <col> <spark-sql-type> [GENERATED ALWAYS AS (<expr>)] [, ...]
         [, PRIMARY KEY (<k1> [, <k2> ...])]
         [, CONSTRAINT <cn> CHECK (<expr>) [ON VIOLATION FAIL|DROP|DLQ]]
     )
@@ -42,6 +42,7 @@ Supported grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE <name> ADD CONSTRAINT <cn> CHECK (<expr>)
                        [ON VIOLATION FAIL|DROP|DLQ]
     ALTER TABLE <name> DROP CONSTRAINT [IF EXISTS] <cn>
+    ALTER TABLE <name> ADD COLUMN <c> <type> GENERATED ALWAYS AS (<expr>)
 
     OPTIMIZE <name>                   -> compact multi-generation buckets
                                          (map-only rewrite, no exchange)
@@ -99,6 +100,13 @@ Semantics, each inherited from the operation the statement compiles to:
   names never re-enter.
 * ``WRITE ORDERED BY`` is Iceberg's declared-sort-order DDL analogue,
   compiling to ``set_sort_order`` (ZORDER interleaves 2-4 columns).
+* ``GENERATED ALWAYS AS (expr)`` declares an ingest-time derived column
+  (``lake/generated.py`` — the Iceberg hidden-partitioning / Delta
+  generated-column idea): the engine computes ``CAST(expr AS type)`` for
+  batches that don't carry the column and VERIFIES batches that do; the
+  declared sort order or a materialized view can then target it. The
+  co-partitioned WAL path requires producers to supply it (verified,
+  never recomputed).
 * ``CONSTRAINT ... CHECK`` declares a row-level ingest expectation
   (``lake/constraints.py`` — the reference's Postgres column constraints,
   init-db/postgres.sql, as declarative quality gates): a deterministic
@@ -260,6 +268,7 @@ def _create_stmt(
     key_cols: list[str] | None = None
     col_defs: list[str] = []
     cons_defs: list[tuple[str, str, str]] = []  # (name, expr, mode)
+    gen_defs: list[tuple[str, str, str]] = []  # (name, type, expr)
     for item in _split_top_level(cols_txt):
         pk = _PK_RE.match(item)
         if pk:
@@ -287,6 +296,22 @@ def _create_stmt(
                     )
                 mode = vm.group("mode").lower()
             cons_defs.append((cm.group("cn"), expr.strip(), mode))
+            continue
+        gm = re.match(
+            r"^(?P<col>\w+)\s+(?P<typ>.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\(",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if gm:
+            expr, tail = _scan_balanced(item[gm.end() - 1:])
+            if tail.strip():
+                raise ValueError(
+                    f"GENERATED column: unsupported trailing text "
+                    f"{tail[:60]!r}"
+                )
+            gen_defs.append(
+                (gm.group("col"), gm.group("typ").strip(), expr.strip())
+            )
             continue
         col_defs.append(item)
     if not col_defs:
@@ -390,8 +415,13 @@ def _create_stmt(
         table.set_props(props)
     if sort_cols is not None:
         table.set_sort_order(sort_cols, kind=sort_kind)
+    for gc, typ, expr in gen_defs:
+        # in declaration order, so a later generated column may derive
+        # from an earlier one
+        table.add_generated_column(spark, gc, _parse_type(spark, typ), expr)
     for cn, expr, mode in cons_defs:
         # declared ahead of any data: validation is analysis-only here
+        # (after generated columns, so a CHECK may reference them)
         table.add_constraint(spark, cn, expr, on_violation=mode)
     tables[name] = table
     return table
@@ -459,6 +489,26 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
             if phys not in names:  # idempotent re-run: already dropped
                 return table.current_snapshot_id()
         return table.drop_column(dm.group("col"))
+
+    agm = re.match(
+        r"^ADD\s+COLUMN\s+(?P<col>\w+)\s+(?P<typ>.+?)\s+"
+        r"GENERATED\s+ALWAYS\s+AS\s*\(",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if agm:
+        expr, tail = _scan_balanced(rest[agm.end() - 1:])
+        if tail.strip():
+            raise ValueError(
+                f"ADD COLUMN GENERATED: unsupported trailing DDL "
+                f"{tail[:60]!r}"
+            )
+        return table.add_generated_column(
+            spark,
+            agm.group("col"),
+            _parse_type(spark, agm.group("typ").strip()),
+            expr.strip(),
+        )
 
     am = re.match(
         r"^ADD\s+COLUMN\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
@@ -836,8 +886,16 @@ def show_create_table(table: LakeTable, name: str = "t") -> str:
     must be filled by the caller."""
     snap = table.snapshot()
     schema = table.logical_schema()
-    lines = [f"    {f.name} {f.dataType.simpleString().upper()}"
-             for f in schema.fields]
+    gens = table.generated_columns()
+    lines = [
+        f"    {f.name} {f.dataType.simpleString().upper()}"
+        + (
+            f" GENERATED ALWAYS AS ({gens[f.name]['expr']})"
+            if f.name in gens
+            else ""
+        )
+        for f in schema.fields
+    ]
     key_cols = table.key_cols()
     if key_cols is not None:
         lines.append(f"    PRIMARY KEY ({', '.join(key_cols)})")
@@ -859,7 +917,7 @@ def show_create_table(table: LakeTable, name: str = "t") -> str:
     props = {
         k: v
         for k, v in (table.props() or {}).items()
-        if not str(k).startswith(("sort_order", "constraint."))
+        if not str(k).startswith(("sort_order", "constraint.", "generated."))
         and isinstance(v, str)
     }
     engine = snap.get("merge_engine", "lww")
@@ -899,6 +957,7 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
     # never renameable, so only the sort list needs mapping)
     ren = table.renames()
     sort = [ren.get(c, c) for c in (table.sort_order() or [])]
+    gens = table.generated_columns()
     rows = [
         (
             f.name,
@@ -909,6 +968,11 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
                     "key" if f.name in key else "",
                     "bucket" if f.name in bcols else "",
                     f"sort#{sort.index(f.name)}" if f.name in sort else "",
+                    (
+                        f"generated: {gens[f.name]['expr']}"
+                        if f.name in gens
+                        else ""
+                    ),
                 )
                 if x
             ),

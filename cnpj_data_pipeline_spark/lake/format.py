@@ -777,11 +777,30 @@ class LakeTable:
                 "misroute their data. Pick a different name"
             )
         self._constraint_refs_guard(snap, ren.get(phys, phys), "rename")
+        from cnpj_data_pipeline_spark.lake.generated import (
+            GENERATED_PREFIX,
+            generated_of,
+        )
+
+        gens = generated_of(snap)
+        old_logical = ren.get(phys, phys)
+        props = (
+            # a renamed generated column keeps its declaration — the
+            # expression references OTHER columns (self-reference is
+            # refused at declaration), so only the prop key moves
+            {
+                GENERATED_PREFIX + old_logical: None,
+                GENERATED_PREFIX + new: json.dumps(gens[old_logical]),
+            }
+            if old_logical in gens
+            else None
+        )
         return self.commit(
             op="evolve",
             epoch=None,
             bucket_updates={},
             rename=(phys, new),
+            props=props,
             expected_parent=snap["snapshot_id"],
         )
 
@@ -976,12 +995,25 @@ class LakeTable:
                 "orphan the aggregate definition"
             )
         ren = snap.get("renames") or {}
-        self._constraint_refs_guard(snap, ren.get(name, name), "drop")
+        logical = ren.get(name, name)
+        self._constraint_refs_guard(snap, logical, "drop")
+        from cnpj_data_pipeline_spark.lake.generated import (
+            GENERATED_PREFIX,
+            generated_of,
+        )
+
+        props = (
+            # dropping a generated column retires its declaration with it
+            {GENERATED_PREFIX + logical: None}
+            if logical in generated_of(snap)
+            else None
+        )
         return self.commit(
             op="evolve",
             epoch=None,
             bucket_updates={},
             drop_column=name,
+            props=props,
             expected_parent=snap["snapshot_id"],
         )
 
@@ -1113,6 +1145,14 @@ class LakeTable:
                 f"propert{'y' if len(cons) == 1 else 'ies'} {sorted(cons)} "
                 "are engine-managed — use add_constraint()/drop_constraint() "
                 "(constraints are validated at declaration)"
+            )
+        gen = {k for k in props if str(k).startswith("generated.")}
+        if gen:
+            raise ValueError(
+                f"propert{'y' if len(gen) == 1 else 'ies'} {sorted(gen)} "
+                "are engine-managed — use add_generated_column()/"
+                "drop_generated_expression() (expressions are validated "
+                "at declaration)"
             )
         if not props:
             raise ValueError("set_props requires at least one property")
@@ -1316,8 +1356,10 @@ class LakeTable:
         )
 
     def _constraint_refs_guard(self, snap: dict, logical_name: str, verb: str):
-        """Refuse column evolution on a constraint-referenced column."""
+        """Refuse column evolution on a column referenced by a CHECK
+        constraint or a GENERATED column expression."""
         from cnpj_data_pipeline_spark.lake.constraints import constraints_of
+        from cnpj_data_pipeline_spark.lake.generated import generated_of
 
         holders = [
             n
@@ -1330,6 +1372,120 @@ class LakeTable:
                 f"CHECK constraint(s) {holders} — drop them first (their "
                 "expressions name this column)"
             )
+        gen_holders = [
+            n
+            for n, spec in generated_of(snap).items()
+            if logical_name in (spec.get("refs") or ())
+        ]
+        if gen_holders:
+            raise ValueError(
+                f"cannot {verb} column {logical_name!r}: referenced by "
+                f"GENERATED column(s) {gen_holders} — drop them first "
+                "(their expressions name this column)"
+            )
+
+    # ---------------- GENERATED columns (lake/generated.py) ------------
+
+    def generated_columns(self) -> dict[str, dict]:
+        """Active GENERATED column declarations: logical name ->
+        {"expr", "refs"} (see :mod:`cnpj_data_pipeline_spark.lake.generated`)."""
+        from cnpj_data_pipeline_spark.lake.generated import generated_of
+
+        return generated_of(self.snapshot())
+
+    def add_generated_column(
+        self,
+        spark: SparkSession,
+        name: str,
+        dtype: T.DataType,
+        expr: str,
+    ) -> int:
+        """ADD COLUMN ... GENERATED ALWAYS AS (expr): declare a physical
+        column whose value is always ``CAST(expr AS dtype)`` over the row's
+        other columns, computed at ingest when a batch doesn't carry it and
+        VERIFIED when it does (see :mod:`..lake.generated` for the full
+        contract, including the co-partitioned-path producer requirement).
+
+        One atomic commit: the schema union (same evolve op as
+        :meth:`add_column`) plus the expression declaration. Metadata-only:
+        rows written BEFORE the declaration read back NULL for the column
+        (no rewrite; backfill explicitly with an ``UPDATE`` statement if
+        history needs the value). Referenced columns gain the same
+        rename/drop guard CHECK constraints hold. LWW and keyless tables
+        only — partial/aggregate patch envelopes use NULL for 'unchanged',
+        so a row expression cannot be evaluated event-by-event."""
+        from cnpj_data_pipeline_spark.lake.generated import (
+            GENERATED_PREFIX,
+            analyze_generated,
+        )
+
+        snap = self.snapshot()
+        if snap.get("merge_engine", "lww") != "lww":
+            raise ValueError(
+                "GENERATED columns require the lww merge engine — "
+                "partial/aggregate patch envelopes use NULL for "
+                "'unchanged', so a row expression cannot be evaluated "
+                "event-by-event"
+            )
+        if isinstance(dtype, T.NullType):
+            raise ValueError(
+                "GENERATED column requires a concrete type (NullType "
+                "carries no type evidence)"
+            )
+        # analyze against the PRE-declaration schema (self-reference is
+        # separately refused inside analyze_generated)
+        refs = analyze_generated(
+            spark, self.logical_schema(), name, expr, dtype
+        )
+        # same new-name validation add_column performs
+        schema = schema_from_json(snap["schema"])
+        phys_names = {f.name for f in schema.fields}
+        ren = snap.get("renames") or {}
+        if name in phys_names or name in {
+            ren.get(n, n) for n in phys_names
+        }:
+            raise ValueError(f"column {name!r} already exists")
+        if name in set(snap.get("dropped_cols") or ()):
+            raise ValueError(
+                f"{name!r} is a dropped-column tombstone; a new column "
+                "must take a new name"
+            )
+        if name in (snap.get("retired_names") or {}):
+            raise ValueError(
+                f"{name!r} is a RETIRED name of column "
+                f"{snap['retired_names'][name]!r} (renamed away); a new "
+                "column must take a new name"
+            )
+        return self.commit(
+            op="evolve",
+            epoch=None,
+            bucket_updates={},
+            new_schema=T.StructType([T.StructField(name, dtype, True)]),
+            props={
+                GENERATED_PREFIX + name: json.dumps(
+                    {"expr": expr, "refs": refs}
+                )
+            },
+            expected_parent=snap["snapshot_id"],
+        )
+
+    def drop_generated_expression(self, name: str) -> int:
+        """Clear a column's GENERATED declaration, keeping the column and
+        its data — it becomes an ordinary nullable payload column (the
+        release valve for retiring a derivation without a drop)."""
+        from cnpj_data_pipeline_spark.lake.generated import GENERATED_PREFIX
+
+        if name not in self.generated_columns():
+            raise ValueError(
+                f"no GENERATED declaration on {name!r} "
+                f"(have {sorted(self.generated_columns())})"
+            )
+        return self.commit(
+            op="set-props",
+            epoch=None,
+            bucket_updates={},
+            props={GENERATED_PREFIX + name: None},
+        )
 
     def n_buckets(self) -> int:
         return int(self.snapshot()["n_buckets"])
@@ -3636,6 +3792,7 @@ class LakeTable:
         surface the reference exposes only as hand-run SQL against Postgres
         catalogs."""
         from cnpj_data_pipeline_spark.lake.constraints import constraints_of
+        from cnpj_data_pipeline_spark.lake.generated import generated_of
 
         snap = self.snapshot(snapshot_id)
         buckets = snap["buckets"].values()
@@ -3668,6 +3825,9 @@ class LakeTable:
             "constraints": {
                 n: {"check": s["expr"], "on_violation": s["on_violation"]}
                 for n, s in constraints_of(snap).items()
+            },
+            "generated_columns": {
+                n: s["expr"] for n, s in generated_of(snap).items()
             },
         }
 

@@ -467,6 +467,27 @@ def apply_changes_copart(
             table.logical_schema(),
         )
         _mark("constraints")
+    # GENERATED columns: this path never rewrites the batch, so producers
+    # must supply them (pre-computed like bucket placement); verified in
+    # one column-pruned map-only scan, missing columns fail loud.
+    if all_files and any(
+        k.startswith("generated.") and v is not None
+        for k, v in (snap.get("props") or {}).items()
+    ):
+        from cnpj_data_pipeline_spark.lake.generated import (
+            check_generated_copart,
+        )
+
+        check_generated_copart(
+            spark,
+            snap,
+            all_files,
+            epoch
+            if isinstance(epoch, int)
+            else f"{min(epoch_set)}-{max(epoch_set)}",
+            table.logical_schema(),
+        )
+        _mark("generated")
     base_schema = table.schema()
     # renamed columns: producers write logical names, files store physical
     # — the inverse map rides into the footer union and every per-file

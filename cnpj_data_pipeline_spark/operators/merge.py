@@ -292,6 +292,25 @@ def apply_changes(
             table.logical_schema(),
         )
         _mark("constraints")
+    # GENERATED columns (lake/generated.py): compute absent declared
+    # columns (one fused Catalyst projection), verify supplied ones (one
+    # map-only pass). Tables without declarations skip this entirely.
+    if any(
+        k.startswith("generated.") and v is not None
+        for k, v in (snap.get("props") or {}).items()
+    ):
+        from cnpj_data_pipeline_spark.lake.generated import enforce_generated
+
+        changes = enforce_generated(
+            spark,
+            snap,
+            changes,
+            epoch
+            if isinstance(epoch, int)
+            else f"{min(epoch_set)}-{max(epoch_set)}",
+            table.logical_schema(),
+        )
+        _mark("generated")
     # renamed columns: producers speak logical names, files store physical
     # — map the batch at the boundary (identity when nothing was renamed)
     changes = batch_to_physical(changes, snap)

@@ -183,6 +183,10 @@ _EXTRA_NAMES = (
     # declarative ingest expectation with ON VIOLATION DLQ enforced on
     # every epoch of the replay; final state folds only admitted events
     "q_constrained_ingest",
+    # round 5: GENERATED columns (lake/generated.py) — the derived
+    # epoch-day bucket computed at ingest (hidden-partitioning shape:
+    # sort order clusters on it); oracle recomputes it from the winners
+    "q_cdc_replay_generated",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

@@ -18,6 +18,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from cnpj_data_pipeline_spark.config import EngineConfig
 from cnpj_data_pipeline_spark.lake.format import (
@@ -1042,6 +1043,38 @@ def q_constrained_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+# the generated column the replay declares: the session-tz-independent
+# day bucket (the same epoch-day arithmetic q_rollup_timebucket uses),
+# derived ONCE at ingest instead of in every downstream consumer
+GENERATED_DAY_EXPR = "CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT)"
+
+
+def q_cdc_replay_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED columns under replay (lake/generated.py — the Iceberg
+    hidden-partitioning / Delta generated-column idea): the table declares
+    ``day_bucket BIGINT GENERATED ALWAYS AS (<epoch-day of ts>)`` plus a
+    sort order on it, the full WAL replays WITHOUT the column (each epoch
+    computes it as one fused Catalyst projection — no extra pass), and the
+    final state carries the derived value for every surviving version —
+    the oracle recomputes it from the winners in SQL."""
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    table = LakeTable.create(
+        os.path.join(_mk_scratch("cdc_gen_"), "lake"),
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    table.add_generated_column(
+        spark, "day_bucket", T.LongType(), GENERATED_DAY_EXPR
+    )
+    # the hidden-partitioning payoff: compaction clusters by the derived
+    # bucket, so day-range scans prune row groups (physical-layout only)
+    table.set_sort_order(["day_bucket"])
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    return table.read(spark)
+
+
 def q_stateful_conv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-conversation counters/watermarks maintained in the streaming state
@@ -1435,6 +1468,7 @@ QUERIES = {
     "q_cdc_replay_partial": q_cdc_replay_partial,
     "q_agg_table_counters": q_agg_table_counters,
     "q_constrained_ingest": q_constrained_ingest,
+    "q_cdc_replay_generated": q_cdc_replay_generated,
 }
 
 # pre/post winner state for the typed-feed oracle: pre = LWW fold of epochs
@@ -1647,6 +1681,14 @@ WHERE op <> 'D' AND turn_idx % 3 = 0
         FROM winners WHERE op <> 'D'
     """,
     "q_constrained_ingest": _CONSTRAINED_SQL,
+    # the generated column recomputed from the winners (DuckDB's
+    # tz-independent epoch-day form of GENERATED_DAY_EXPR)
+    "q_cdc_replay_generated": f"""
+        WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
+        SELECT conv_id, turn_idx, role, text, tool, ts,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket
+        FROM winners WHERE op <> 'D'
+    """,
     "q_tombstones": f"""
         WITH {CHANGES_CTE.strip()}, {WINNERS_CTE.strip()}
         SELECT conv_id, turn_idx, lsn FROM winners WHERE op = 'D'
