@@ -15,7 +15,8 @@ data rewrite.
 Supported grammar (case-insensitive keywords; one statement per call):
 
     CREATE TABLE <name> (
-        <col> <spark-sql-type> [GENERATED ALWAYS AS (<expr>)] [, ...]
+        <col> <spark-sql-type>
+              [GENERATED ALWAYS AS (<expr>) | DEFAULT (<expr>)] [, ...]
         [, PRIMARY KEY (<k1> [, <k2> ...])]
         [, CONSTRAINT <cn> CHECK (<expr>) [ON VIOLATION FAIL|DROP|DLQ]]
     )
@@ -42,7 +43,8 @@ Supported grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE <name> ADD CONSTRAINT <cn> CHECK (<expr>)
                        [ON VIOLATION FAIL|DROP|DLQ]
     ALTER TABLE <name> DROP CONSTRAINT [IF EXISTS] <cn>
-    ALTER TABLE <name> ADD COLUMN <c> <type> GENERATED ALWAYS AS (<expr>)
+    ALTER TABLE <name> ADD COLUMN <c> <type>
+                       GENERATED ALWAYS AS (<expr>) | DEFAULT (<expr>)
 
     OPTIMIZE <name>                   -> compact multi-generation buckets
                                          (map-only rewrite, no exchange)
@@ -106,7 +108,9 @@ Semantics, each inherited from the operation the statement compiles to:
   batches that don't carry the column and VERIFIES batches that do; the
   declared sort order or a materialized view can then target it. The
   co-partitioned WAL path requires producers to supply it (verified,
-  never recomputed).
+  never recomputed). ``DEFAULT (expr)`` is the writable sibling: computed
+  only when the column is absent from a batch, writer-supplied values
+  (including NULLs) kept verbatim.
 * ``CONSTRAINT ... CHECK`` declares a row-level ingest expectation
   (``lake/constraints.py`` — the reference's Postgres column constraints,
   init-db/postgres.sql, as declarative quality gates): a deterministic
@@ -298,7 +302,8 @@ def _create_stmt(
             cons_defs.append((cm.group("cn"), expr.strip(), mode))
             continue
         gm = re.match(
-            r"^(?P<col>\w+)\s+(?P<typ>.+?)\s+GENERATED\s+ALWAYS\s+AS\s*\(",
+            r"^(?P<col>\w+)\s+(?P<typ>.+?)\s+"
+            r"(?:(?P<gen>GENERATED\s+ALWAYS\s+AS)|(?P<dft>DEFAULT))\s*\(",
             item,
             re.IGNORECASE | re.DOTALL,
         )
@@ -306,11 +311,16 @@ def _create_stmt(
             expr, tail = _scan_balanced(item[gm.end() - 1:])
             if tail.strip():
                 raise ValueError(
-                    f"GENERATED column: unsupported trailing text "
+                    f"GENERATED/DEFAULT column: unsupported trailing text "
                     f"{tail[:60]!r}"
                 )
             gen_defs.append(
-                (gm.group("col"), gm.group("typ").strip(), expr.strip())
+                (
+                    gm.group("col"),
+                    gm.group("typ").strip(),
+                    expr.strip(),
+                    "always" if gm.group("gen") else "default",
+                )
             )
             continue
         col_defs.append(item)
@@ -415,10 +425,12 @@ def _create_stmt(
         table.set_props(props)
     if sort_cols is not None:
         table.set_sort_order(sort_cols, kind=sort_kind)
-    for gc, typ, expr in gen_defs:
+    for gc, typ, expr, gmode in gen_defs:
         # in declaration order, so a later generated column may derive
         # from an earlier one
-        table.add_generated_column(spark, gc, _parse_type(spark, typ), expr)
+        table.add_generated_column(
+            spark, gc, _parse_type(spark, typ), expr, mode=gmode
+        )
     for cn, expr, mode in cons_defs:
         # declared ahead of any data: validation is analysis-only here
         # (after generated columns, so a CHECK may reference them)
@@ -492,7 +504,7 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
 
     agm = re.match(
         r"^ADD\s+COLUMN\s+(?P<col>\w+)\s+(?P<typ>.+?)\s+"
-        r"GENERATED\s+ALWAYS\s+AS\s*\(",
+        r"(?:(?P<gen>GENERATED\s+ALWAYS\s+AS)|(?P<dft>DEFAULT))\s*\(",
         rest,
         re.IGNORECASE | re.DOTALL,
     )
@@ -500,7 +512,7 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
         expr, tail = _scan_balanced(rest[agm.end() - 1:])
         if tail.strip():
             raise ValueError(
-                f"ADD COLUMN GENERATED: unsupported trailing DDL "
+                f"ADD COLUMN GENERATED/DEFAULT: unsupported trailing DDL "
                 f"{tail[:60]!r}"
             )
         return table.add_generated_column(
@@ -508,6 +520,7 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
             agm.group("col"),
             _parse_type(spark, agm.group("typ").strip()),
             expr.strip(),
+            mode="always" if agm.group("gen") else "default",
         )
 
     am = re.match(
@@ -887,13 +900,17 @@ def show_create_table(table: LakeTable, name: str = "t") -> str:
     snap = table.snapshot()
     schema = table.logical_schema()
     gens = table.generated_columns()
+
+    def _gen_clause(col):
+        if col not in gens:
+            return ""
+        if gens[col].get("mode", "always") == "default":
+            return f" DEFAULT ({gens[col]['expr']})"
+        return f" GENERATED ALWAYS AS ({gens[col]['expr']})"
+
     lines = [
         f"    {f.name} {f.dataType.simpleString().upper()}"
-        + (
-            f" GENERATED ALWAYS AS ({gens[f.name]['expr']})"
-            if f.name in gens
-            else ""
-        )
+        + _gen_clause(f.name)
         for f in schema.fields
     ]
     key_cols = table.key_cols()
@@ -969,7 +986,12 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
                     "bucket" if f.name in bcols else "",
                     f"sort#{sort.index(f.name)}" if f.name in sort else "",
                     (
-                        f"generated: {gens[f.name]['expr']}"
+                        (
+                            "default: "
+                            if gens[f.name].get("mode") == "default"
+                            else "generated: "
+                        )
+                        + gens[f.name]["expr"]
                         if f.name in gens
                         else ""
                     ),

@@ -1399,6 +1399,7 @@ class LakeTable:
         name: str,
         dtype: T.DataType,
         expr: str,
+        mode: str = "always",
     ) -> int:
         """ADD COLUMN ... GENERATED ALWAYS AS (expr): declare a physical
         column whose value is always ``CAST(expr AS dtype)`` over the row's
@@ -1413,12 +1414,22 @@ class LakeTable:
         history needs the value). Referenced columns gain the same
         rename/drop guard CHECK constraints hold. LWW and keyless tables
         only — partial/aggregate patch envelopes use NULL for 'unchanged',
-        so a row expression cannot be evaluated event-by-event."""
+        so a row expression cannot be evaluated event-by-event.
+
+        ``mode="always"`` (GENERATED ALWAYS) verifies supplied values;
+        ``mode="default"`` (the ``DEFAULT (expr)`` DDL form) computes only
+        when a batch doesn't carry the column and keeps writer-supplied
+        values verbatim — SQL DEFAULT semantics for absent columns."""
         from cnpj_data_pipeline_spark.lake.generated import (
             GENERATED_PREFIX,
             analyze_generated,
         )
 
+        if mode not in ("always", "default"):
+            raise ValueError(
+                f"unknown generated-column mode {mode!r} "
+                "(choose 'always' or 'default')"
+            )
         snap = self.snapshot()
         if snap.get("merge_engine", "lww") != "lww":
             raise ValueError(
@@ -1463,7 +1474,7 @@ class LakeTable:
             new_schema=T.StructType([T.StructField(name, dtype, True)]),
             props={
                 GENERATED_PREFIX + name: json.dumps(
-                    {"expr": expr, "refs": refs}
+                    {"expr": expr, "refs": refs, "mode": mode}
                 )
             },
             expected_parent=snap["snapshot_id"],

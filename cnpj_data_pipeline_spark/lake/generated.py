@@ -24,6 +24,11 @@ declaration analysis):
   aggregate — any row where the supplied value differs from the computed
   one aborts the epoch with :class:`GeneratedColumnMismatchError`
   (GENERATED ALWAYS semantics: a writer may pre-compute, never override).
+* ``DEFAULT (expr)`` is the writable sibling (``mode="default"``): the
+  expression fills the column only when a batch doesn't carry it at all;
+  a batch that does keeps the writer's values verbatim (including NULLs —
+  SQL DEFAULT applies to ABSENT columns, not null ones). Same declaration
+  analysis, same ref guards, no verification pass.
 * The zero-shuffle co-partitioned path cannot rewrite the batch, so it
   requires producers to SUPPLY the column (the same pre-computation they
   already do for bucket placement) and verifies it with one column-pruned
@@ -67,11 +72,17 @@ class GeneratedColumnMismatchError(RuntimeError):
 
 def generated_of(snap: dict) -> dict[str, dict]:
     """Active generated columns from a snapshot's property map:
-    logical name -> {"expr", "refs"} (cleared declarations hold None)."""
+    logical name -> {"expr", "refs", "mode"} (cleared declarations hold
+    None). ``mode``: "always" (GENERATED ALWAYS — supplied values are
+    verified against the expression) or "default" (DEFAULT — computed
+    only when the batch doesn't carry the column; supplied values,
+    including NULLs, are the writer's to keep)."""
     out = {}
     for k, v in (snap.get("props") or {}).items():
         if k.startswith(GENERATED_PREFIX) and v is not None:
-            out[k[len(GENERATED_PREFIX):]] = json.loads(v)
+            spec = json.loads(v)
+            spec.setdefault("mode", "always")
+            out[k[len(GENERATED_PREFIX):]] = spec
     return dict(sorted(out.items()))
 
 
@@ -141,7 +152,11 @@ def enforce_generated(
             if c not in have and c in types:
                 probe = probe.withColumn(c, F.lit(None).cast(types[c]))
                 have.add(c)
-    supplied = [n for n in gens if n in changes.columns]
+    supplied = [
+        n
+        for n in gens
+        if n in changes.columns and gens[n].get("mode", "always") == "always"
+    ]
     if supplied:
         row = probe.agg(
             *[
@@ -219,6 +234,11 @@ def check_generated_copart(
         if "op" in probe.columns
         else F.lit(True)
     )
+    verified = [
+        n for n in gens if gens[n].get("mode", "always") == "always"
+    ]
+    if not verified:
+        return
     row = probe.agg(
         *[
             F.sum(
@@ -229,9 +249,9 @@ def check_generated_copart(
                     )
                 ).cast("long")
             ).alias(n)
-            for n in gens
+            for n in verified
         ]
     ).first()
-    bad = {n: int(row[n] or 0) for n in gens if row[n]}
+    bad = {n: int(row[n] or 0) for n in verified if row[n]}
     if bad:
         raise GeneratedColumnMismatchError(epoch_label, bad)

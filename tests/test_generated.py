@@ -236,3 +236,67 @@ def test_sql_surface(spark, tmp_path):
     rows = execute_ddl(spark, "DESCRIBE conv", tables).collect()
     marked = {r[0]: r[2] for r in rows}
     assert "generated:" in marked["day_bucket"]
+
+
+def test_default_mode_keeps_writer_values(spark, tmp_path):
+    t = _table(tmp_path / "t")
+    t.add_generated_column(
+        spark, "day_bucket", T.LongType(), DAY_EXPR, mode="default"
+    )
+    cfg = EngineConfig(n_buckets=4)
+    # absent -> computed
+    rows = [("c1", 0, "user", "hi", None, TS, "I", 1, 0)]
+    apply_changes(
+        spark, t, spark.createDataFrame(rows, CHANGE_SCHEMA), epoch=0,
+        cfg=cfg,
+    )
+    # supplied (even 'wrong' and even NULL) -> writer's values kept,
+    # no verification pass
+    sch = _with_day(None)
+    sup = [
+        ("c2", 0, "user", "yo", None, TS, 999, "I", 2, 1),
+        ("c3", 0, "user", "yo", None, TS, None, "I", 3, 1),
+    ]
+    apply_changes(
+        spark, t, spark.createDataFrame(sup, sch), epoch=1, cfg=cfg
+    )
+    out = {r.conv_id: r.day_bucket for r in t.read(spark).collect()}
+    assert out == {"c1": DAY_OF_TS, "c2": 999, "c3": None}
+    with pytest.raises(ValueError, match="unknown generated-column mode"):
+        t.add_generated_column(
+            spark, "x", T.LongType(), DAY_EXPR, mode="sometimes"
+        )
+
+
+def test_default_mode_sql_surface(spark, tmp_path):
+    from cnpj_data_pipeline_spark.lake.ddl import (
+        execute_ddl,
+        show_create_table,
+    )
+
+    tables: dict = {}
+    execute_ddl(
+        spark,
+        f"""CREATE TABLE conv (
+            conv_id STRING, turn_idx INT, role STRING, text STRING,
+            tool STRING, ts TIMESTAMP,
+            src STRING DEFAULT ('wal'),
+            PRIMARY KEY (conv_id, turn_idx)
+        ) USING lake CLUSTERED BY (conv_id, turn_idx) INTO 4 BUCKETS
+        LOCATION '{tmp_path / "conv"}'""",
+        tables,
+    )
+    t = tables["conv"]
+    assert t.generated_columns()["src"]["mode"] == "default"
+    stmt = show_create_table(t, "conv2")
+    assert "src STRING DEFAULT ('wal')" in stmt
+    execute_ddl(
+        spark, stmt.replace("'<path>'", f"'{tmp_path / 'conv2'}'"), tables
+    )
+    assert tables["conv2"].generated_columns() == t.generated_columns()
+    execute_ddl(
+        spark,
+        "ALTER TABLE conv ADD COLUMN batch_tag STRING DEFAULT ('v1')",
+        tables,
+    )
+    assert t.generated_columns()["batch_tag"]["mode"] == "default"
