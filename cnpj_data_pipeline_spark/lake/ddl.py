@@ -70,6 +70,25 @@ Supported grammar (case-insensitive keywords; one statement per call):
     REFRESH MATERIALIZED VIEW <name>  -> maintain through every pending
                                          source epoch, O(changed data),
                                          idempotent (the view's own ledger)
+    CREATE INDEX <name> [IF NOT EXISTS] ON <table>
+        USING NEARDUP (<id>, <text>) LOCATION '<path>'
+      | USING DECONTAM (<id>, <text>) LOCATION '<path>' EVAL '<parquet>'
+      | USING IVF (<id>, <emb>) LOCATION '<path>' CENTROIDS '<parquet>'
+                                      -> one of the engine's INCREMENTAL
+                                         change-feed indexes (near-dup
+                                         band index, contamination index,
+                                         IVF assignment index) as a
+                                         declared object: the definition
+                                         persists as _index.json under
+                                         the index root, the side input
+                                         (eval docs are grammed first;
+                                         the codebook is copied) is
+                                         FROZEN under <root>/_side, and
+                                         the initial sync runs at CREATE
+    REFRESH INDEX <name>              -> index every pending source epoch,
+                                         O(changed data), idempotent
+    SHOW CREATE INDEX <name>          -> the CREATE statement (side clause
+                                         points at the frozen copy)
     SHOW CREATE TABLE <name>          -> the CREATE statement (round-trips)
     SHOW SNAPSHOTS <name>             -> DataFrame: commit history + tags
     SHOW TAGS <name>                  -> DataFrame: tag -> snapshot id
@@ -1328,6 +1347,189 @@ def _mview_refresh(spark: SparkSession, m: re.Match, tables: dict) -> dict:
     return _mview_job(spec).run_once(spark)
 
 
+# ---------------- secondary INDEX statements ----------------
+
+_INDEX_SPEC_FILE = "_index.json"
+_INDEX_KINDS = ("NEARDUP", "DECONTAM", "IVF")
+_INDEX_HEAD = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<name>[\w.-]+)\s+ON\s+(?P<src>[\w.-]+)\s+USING\s+"
+    r"(?P<kind>\w+)\s*\((?P<cols>[^)]+)\)\s+LOCATION\s+'(?P<loc>[^']+)'"
+    r"(?:\s+(?P<skw>EVAL|CENTROIDS)\s+'(?P<side>[^']+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_INDEX_REFRESH_HEAD = re.compile(
+    r"^\s*REFRESH\s+INDEX\s+(?P<name>[\w.-]+)\s*;?\s*$", re.IGNORECASE
+)
+
+
+def _index_spec_path(index_root: str) -> str:
+    import os
+
+    return os.path.join(index_root, _INDEX_SPEC_FILE)
+
+
+def load_index_spec(index_root: str) -> dict:
+    with open(_index_spec_path(index_root), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _index_job(spark: SparkSession, spec: dict):
+    """Reconstruct the incremental index job from a persisted spec. The
+    side input (eval grams / centroids) was FROZEN under the index root at
+    CREATE, so a refresh never re-reads the original side location."""
+    kind = spec["kind"]
+    if kind == "NEARDUP":
+        from cnpj_data_pipeline_spark.plans.neardup import NearDupIndexJob
+
+        return NearDupIndexJob(
+            spec["source_root"],
+            spec["index_root"],
+            id_col=spec["id_col"],
+            text_col=spec["val_col"],
+        )
+    if kind == "DECONTAM":
+        from cnpj_data_pipeline_spark.plans.decontam import DecontamIndexJob
+
+        grams = spark.read.parquet(spec["side_frozen"])
+        return DecontamIndexJob(
+            spec["source_root"],
+            spec["index_root"],
+            grams,
+            id_col=spec["id_col"],
+            text_col=spec["val_col"],
+        )
+    if kind == "IVF":
+        from cnpj_data_pipeline_spark.plans.ivf import IVFIndexJob
+
+        cents = spark.read.parquet(spec["side_frozen"])
+        return IVFIndexJob(
+            spec["source_root"],
+            spec["index_root"],
+            cents,
+            id_col=spec["id_col"],
+            emb_col=spec["val_col"],
+        )
+    raise ValueError(f"unknown index kind {kind!r}")
+
+
+def _index_stmt(spark: SparkSession, m: re.Match, tables: dict):
+    """CREATE INDEX: declare one of the engine's INCREMENTAL change-feed
+    indexes (plans/neardup.py band index, plans/decontam.py contamination
+    index, plans/ivf.py assignment index) in SQL. The definition persists
+    as a sidecar ``_index.json`` under the index root (the mview pattern),
+    the side input is FROZEN by copying it under ``<root>/_side/`` (a
+    refresh never depends on the original side path still existing or
+    being unchanged — the frozen-codebook contract made physical), and the
+    initial sync runs at CREATE. ``REFRESH INDEX`` catches up O(changed
+    data), idempotent under the index table's own epoch ledger."""
+    import os
+
+    name, loc, ine = m.group("name"), m.group("loc"), m.group("ine")
+    kind = m.group("kind").upper()
+    if kind not in _INDEX_KINDS:
+        raise ValueError(
+            f"unknown index kind {kind!r} (choose from {_INDEX_KINDS})"
+        )
+    spec_path = _index_spec_path(loc)
+    if os.path.exists(spec_path):
+        if not ine:
+            raise ValueError(
+                f"index already exists at {loc!r} "
+                "(use CREATE INDEX IF NOT EXISTS to re-register)"
+            )
+        tables[name] = loc
+        return LakeTable.load(loc)
+    cols = [c.strip() for c in m.group("cols").split(",")]
+    if len(cols) != 2:
+        raise ValueError(
+            f"CREATE INDEX USING {kind} takes exactly (id_col, "
+            f"{'emb_col' if kind == 'IVF' else 'text_col'}), got {cols}"
+        )
+    src = m.group("src")
+    if src not in tables:
+        raise ValueError(
+            f"unknown source table {src!r} (registered: {sorted(tables)})"
+        )
+    t = tables[src]
+    source_root = t.root if isinstance(t, LakeTable) else t
+    skw = (m.group("skw") or "").upper()
+    side = m.group("side")
+    need = {"NEARDUP": None, "DECONTAM": "EVAL", "IVF": "CENTROIDS"}[kind]
+    if need is None and skw:
+        raise ValueError(f"USING NEARDUP takes no {skw} side input")
+    if need is not None and skw != need:
+        raise ValueError(
+            f"USING {kind} requires {need} '<parquet-path>' "
+            f"(got {skw or 'nothing'})"
+        )
+    spec = {
+        "kind": kind,
+        "source": src,
+        "source_root": source_root,
+        "index_root": loc,
+        "id_col": cols[0],
+        "val_col": cols[1],
+    }
+    os.makedirs(loc, exist_ok=True)
+    if need is not None:
+        frozen = os.path.join(loc, "_side", need.lower())
+        if kind == "DECONTAM":
+            from cnpj_data_pipeline_spark.plans.decontam import eval_gram_set
+
+            # freeze the GRAMS, not the docs: the spec's side input is
+            # exactly what the transform broadcasts each epoch. EVAL
+            # accepts raw eval docs OR an already-grammed one-column
+            # (gram) frame — the latter is what SHOW CREATE INDEX emits,
+            # so the statement round-trips
+            ev = spark.read.parquet(side)
+            if ev.columns == ["gram"]:
+                ev.write.mode("overwrite").parquet(frozen)
+            else:
+                eval_gram_set(ev, text_col=cols[1]).write.mode(
+                    "overwrite"
+                ).parquet(frozen)
+        else:
+            spark.read.parquet(side).write.mode("overwrite").parquet(frozen)
+        spec["side_frozen"] = frozen
+        spec["side_origin"] = side
+    tmp = spec_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(spec, f, indent=1)
+    os.replace(tmp, spec_path)
+    job = _index_job(spark, spec)
+    job.run_once(spark)
+    tables[name] = loc
+    return LakeTable.load(loc)
+
+
+def show_create_index(index_root: str, name: str = "i") -> str:
+    """The CREATE INDEX statement, reconstructed from the persisted
+    definition (the side clause points at the FROZEN copy — the original
+    side path may be long gone)."""
+    spec = load_index_spec(index_root)
+    side = ""
+    if spec.get("side_frozen"):
+        kw = "EVAL" if spec["kind"] == "DECONTAM" else "CENTROIDS"
+        side = f" {kw} '{spec['side_frozen']}'"
+    return (
+        f"CREATE INDEX {name} ON {spec['source']} USING {spec['kind']} "
+        f"({spec['id_col']}, {spec['val_col']}) "
+        f"LOCATION '{index_root}'{side}"
+    )
+
+
+def _index_refresh(spark: SparkSession, m: re.Match, tables: dict) -> dict:
+    name = m.group("name")
+    if name not in tables:
+        raise ValueError(
+            f"unknown index {name!r} (registered: {sorted(tables)})"
+        )
+    t = tables[name]
+    root = t.root if isinstance(t, LakeTable) else t
+    return _index_job(spark, load_index_spec(root)).run_once(spark)
+
+
 def execute_ddl(
     spark: SparkSession,
     statement: str,
@@ -1360,6 +1562,27 @@ def execute_ddl(
             )
         t = tables[n]
         return show_create_mview(
+            t.root if isinstance(t, LakeTable) else t, n
+        )
+    im = _INDEX_HEAD.match(stmt)
+    if im:
+        return _index_stmt(spark, im, tables)
+    irm = _INDEX_REFRESH_HEAD.match(stmt)
+    if irm:
+        return _index_refresh(spark, irm, tables)
+    sim = re.match(
+        r"^SHOW\s+CREATE\s+INDEX\s+(?P<name>[\w.-]+)\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if sim:
+        n = sim.group("name")
+        if n not in tables:
+            raise ValueError(
+                f"unknown index {n!r} (registered: {sorted(tables)})"
+            )
+        t = tables[n]
+        return show_create_index(
             t.root if isinstance(t, LakeTable) else t, n
         )
     cm = _CLONE_HEAD.match(stmt)
