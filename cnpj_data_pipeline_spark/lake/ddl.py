@@ -89,6 +89,10 @@ Supported grammar (case-insensitive keywords; one statement per call):
                                          O(changed data), idempotent
     SHOW CREATE INDEX <name>          -> the CREATE statement (side clause
                                          points at the frozen copy)
+    SHOW CONSUMERS                    -> DataFrame: every registered
+                                         declared consumer (index / mview)
+                                         with its epochs_behind lag —
+                                         metadata-only
     SHOW CREATE TABLE <name>          -> the CREATE statement (round-trips)
     SHOW SNAPSHOTS <name>             -> DataFrame: commit history + tags
     SHOW TAGS <name>                  -> DataFrame: tag -> snapshot id
@@ -1530,6 +1534,52 @@ def _index_refresh(spark: SparkSession, m: re.Match, tables: dict) -> dict:
     return _index_job(spark, load_index_spec(root)).run_once(spark)
 
 
+def _show_consumers(spark: SparkSession, tables: dict):
+    """SHOW CONSUMERS: one row per registered DECLARED consumer (index or
+    materialized view) with its lag — ``epochs_behind`` is the count of
+    source apply-commits its own epoch ledger hasn't consumed yet (the
+    same formula every sync job reports). Metadata-only: snapshot reads,
+    no Spark job over data."""
+    import os
+
+    from cnpj_data_pipeline_spark.plans.sync import _apply_snapshots
+
+    rows = []
+    for name, t in sorted(tables.items()):
+        root = t.root if isinstance(t, LakeTable) else t
+        for spec_file, default_kind in (
+            (_INDEX_SPEC_FILE, None),
+            (_MVIEW_SPEC_FILE, "MVIEW"),
+        ):
+            p = os.path.join(root, spec_file)
+            if not os.path.exists(p):
+                continue
+            with open(p, encoding="utf-8") as f:
+                spec = json.load(f)
+            src_root = spec["source_root"]
+            behind = None
+            if LakeTable.exists(src_root) and LakeTable.exists(root):
+                behind = max(
+                    len(_apply_snapshots(LakeTable.load(src_root)))
+                    - len(LakeTable.load(root).applied_epochs()),
+                    0,
+                )
+            rows.append(
+                (
+                    name,
+                    spec.get("kind") or default_kind,
+                    spec.get("source") or src_root,
+                    root,
+                    behind,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "name string, kind string, source string, location string, "
+        "epochs_behind int",
+    )
+
+
 def execute_ddl(
     spark: SparkSession,
     statement: str,
@@ -1585,6 +1635,8 @@ def execute_ddl(
         return show_create_index(
             t.root if isinstance(t, LakeTable) else t, n
         )
+    if re.match(r"^SHOW\s+CONSUMERS\s*;?\s*$", stmt, re.IGNORECASE):
+        return _show_consumers(spark, tables)
     cm = _CLONE_HEAD.match(stmt)
     if cm:
         return _clone_stmt(cm, tables)

@@ -233,3 +233,35 @@ def test_ivf_index_ddl(spark, tmp_path):
             f"LOCATION '{tmp_path / 'x'}'",
             tables,
         )
+
+
+def test_show_consumers(spark, tmp_path):
+    docs = _docs(spark, 40)
+    base = _doc_base(spark, str(tmp_path / "docs"), docs[:25])
+    tables = {"docs": base}
+    execute_ddl(
+        spark,
+        f"CREATE INDEX bands ON docs USING NEARDUP (doc_id, text) "
+        f"LOCATION '{tmp_path / 'bands'}'",
+        tables,
+    )
+    rows = {
+        r["name"]: r.asDict()
+        for r in execute_ddl(spark, "SHOW CONSUMERS", tables).collect()
+    }
+    assert rows["bands"]["kind"] == "NEARDUP"
+    assert rows["bands"]["source"] == "docs"
+    assert rows["bands"]["epochs_behind"] == 0
+    # a new base epoch shows up as lag until REFRESH consumes it
+    _doc_base(spark, base.root, docs[25:], epoch=2, lsn0=500)
+    rows = {
+        r["name"]: r["epochs_behind"]
+        for r in execute_ddl(spark, "SHOW CONSUMERS", tables).collect()
+    }
+    assert rows["bands"] == 1
+    execute_ddl(spark, "REFRESH INDEX bands", tables)
+    rows = {
+        r["name"]: r["epochs_behind"]
+        for r in execute_ddl(spark, "SHOW CONSUMERS", tables).collect()
+    }
+    assert rows["bands"] == 0

@@ -143,6 +143,24 @@ def main() -> None:
                             "(metadata-only; releases its column guards)")
     p.add_argument("--name", required=True)
 
+    p = sub.add_parser("add-generated-column",
+                       help="declare a derived column computed at ingest "
+                            "(GENERATED ALWAYS verifies supplied values; "
+                            "--default keeps writer values verbatim)")
+    p.add_argument("--name", required=True)
+    p.add_argument("--type", required=True, dest="coltype",
+                   help="Spark SQL type, e.g. BIGINT / DATE / STRING")
+    p.add_argument("--as", required=True, dest="expr",
+                   help="deterministic SQL expression over logical columns")
+    p.add_argument("--default", action="store_true",
+                   help="DEFAULT semantics: compute only when the batch "
+                        "doesn't carry the column")
+
+    p = sub.add_parser("drop-generated-expression",
+                       help="retire a column's GENERATED/DEFAULT "
+                            "declaration, keeping the column and its data")
+    p.add_argument("--name", required=True)
+
     p = sub.add_parser("clone", help="zero-copy shallow clone: fork the "
                                      "table at a snapshot in O(metadata); "
                                      "the source snapshot is auto-tag-"
@@ -247,7 +265,25 @@ def main() -> None:
                           "name": args.name,
                           "constraints": sorted(table.constraints())}))
         return
+    if args.op == "drop-generated-expression":
+        sid = table.drop_generated_expression(args.name)
+        print(json.dumps({"op": "drop-generated-expression",
+                          "snapshot_id": sid, "name": args.name,
+                          "generated": sorted(table.generated_columns())}))
+        return
     spark = get_spark(master=args.master) if args.master else get_spark()
+    if args.op == "add-generated-column":
+        from pyspark.sql import types as T
+
+        dtype = T.StructType.fromDDL(f"__c {args.coltype}").fields[0].dataType
+        sid = table.add_generated_column(
+            spark, args.name, dtype, args.expr,
+            mode="default" if args.default else "always",
+        )
+        print(json.dumps({"op": "add-generated-column", "snapshot_id": sid,
+                          "name": args.name,
+                          "generated": table.generated_columns()[args.name]}))
+        return
     if args.op == "add-constraint":
         sid = table.add_constraint(
             spark, args.name, args.check,
