@@ -45,6 +45,26 @@ DDL_MV = [
     "SHOW CREATE MATERIALIZED VIEW mv1",
 ]
 
+# round-5 statement families: CHECK constraints, GENERATED/DEFAULT
+# columns, secondary indexes, consumer lag. The index statements target a
+# never-registered name / unknown source so even an unmutated survivor
+# refuses with ValueError instead of launching a sync job mid-fuzz.
+DDL_R5 = [
+    "ALTER TABLE t1 ADD CONSTRAINT c1 CHECK (turn_idx >= 0) "
+    "ON VIOLATION DROP",
+    "ALTER TABLE t1 ADD CONSTRAINT c2 CHECK (length(text) < 10000)",
+    "ALTER TABLE t1 DROP CONSTRAINT IF EXISTS c1",
+    "ALTER TABLE t1 ADD COLUMN day BIGINT GENERATED ALWAYS AS "
+    "(CAST(floor(unix_timestamp(ts) / 86400) AS BIGINT))",
+    "ALTER TABLE t1 ADD COLUMN tag STRING DEFAULT ('v1')",
+    "CREATE INDEX ix1 ON no_such USING NEARDUP (conv_id, text) "
+    "LOCATION '{ix}'",
+    "CREATE INDEX ix1 ON t1 USING BTREE (conv_id, text) LOCATION '{ix}'",
+    "REFRESH INDEX ix1",
+    "SHOW CREATE INDEX ix1",
+    "SHOW CONSUMERS",
+]
+
 DML = [
     "MERGE INTO t1 USING batch s ON t1.conv_id = s.conv_id AND "
     "t1.turn_idx = s.turn_idx WHEN MATCHED AND s.op = 'D' THEN DELETE "
@@ -91,7 +111,14 @@ def test_mutated_statements_fail_closed(spark, tmp_path, seed):
     ).createOrReplaceTempView("batch")
     sid0 = t.current_snapshot_id()
 
-    ddl_pool = DDL + [s.format(mv=tmp_path / "mv1") for s in DDL_MV]
+    ddl_pool = (
+        DDL
+        + [s.format(mv=tmp_path / "mv1") for s in DDL_MV]
+        + [
+            s.format(ix=tmp_path / "ix1") if "{ix}" in s else s
+            for s in DDL_R5
+        ]
+    )
     epoch = 100
     for trial in range(90):
         pool = ddl_pool if trial % 3 else DML
