@@ -28,7 +28,17 @@ apply time, with a per-constraint violation policy:
 
 Semantics follow SQL CHECK: a row violates only when the predicate is
 FALSE — NULL passes (declare ``x IS NOT NULL`` explicitly to reject nulls).
-DELETE events are exempt: they carry a key and no payload. Constraint
+DELETE events are exempt: they carry a key and no payload.
+
+FOREIGN KEY constraints (``LakeTable.add_fk_constraint``) share the same
+policy machinery with a referential predicate instead of a row expression:
+a non-delete event whose FK columns are all non-NULL must reference a live
+parent row. The check anti-joins the batch's DISTINCT keys against the
+parent via the bucket-pruned batch lookup (``read_keys(on=ref_cols,
+broadcast_keys=False)``), so its cost is O(batch) regardless of parent
+size; a NULL in any FK column passes (SQL MATCH SIMPLE). Apply parents
+before children within an epoch — the FK dependency order
+``plans/catalog.py`` already runs multi-table ingest in. Constraint
 expressions are analyzed at DECLARATION time against the table's LOGICAL
 schema (fail-closed: unknown columns, non-boolean results, envelope columns
 and non-deterministic functions are refused), and the referenced columns are
@@ -172,16 +182,52 @@ def analyze_constraint(
     return refs
 
 
+def _fk_missing(spark: SparkSession, spec: dict, changes: DataFrame):
+    """Distinct FK key tuples of the batch ABSENT from the parent's live
+    state, or None when the batch doesn't carry every FK column (absent ==
+    NULL == passes, like a NULL value — SQL MATCH SIMPLE). The parent read
+    is the bucket-pruned batch-lookup regime (``read_keys(on=ref_cols,
+    broadcast_keys=False)``): only the buckets the batch's keys hash to are
+    scanned, the keys never leave the executors — O(batch) work against a
+    table of any size."""
+    from cnpj_data_pipeline_spark.lake.format import LakeTable
+
+    fk = spec["fk"]
+    cols, ref_cols = list(fk["cols"]), list(fk["ref_cols"])
+    if any(c not in changes.columns for c in cols):
+        return None
+    src = changes
+    if "op" in src.columns:
+        src = src.filter(F.col("op") != F.lit("D"))
+    keys = src.select(*cols).na.drop("any").distinct()
+    lk = keys.toDF(*ref_cols)
+    parent = LakeTable.load(fk["ref_root"])
+    present = (
+        parent.read_keys(spark, lk, on=ref_cols, broadcast_keys=False)
+        .select(*ref_cols)
+        .distinct()
+    )
+    return lk.join(present, ref_cols, "left_anti").toDF(*cols)
+
+
 def _flags(
-    changes: DataFrame, cons: dict[str, dict], logical_schema: T.StructType
+    changes: DataFrame,
+    cons: dict[str, dict],
+    logical_schema: T.StructType,
+    spark: SparkSession | None = None,
 ):
     """(probe_df, {name: violation Column}) — the probe adds typed-null
     placeholders for referenced columns the batch doesn't carry (an old
-    producer predating an additive evolution: absent == NULL == passes)."""
+    producer predating an additive evolution: absent == NULL == passes),
+    and for FOREIGN KEY specs a left-join marker against the batch's
+    missing-in-parent key set (``spark`` required when any FK is
+    declared)."""
     types = {f.name: f.dataType for f in logical_schema.fields}
     probe = changes
     have = set(changes.columns)
     for spec in cons.values():
+        if "fk" in spec:
+            continue
         for c in spec.get("refs") or ():
             if c not in have and c in types:
                 probe = probe.withColumn(c, F.lit(None).cast(types[c]))
@@ -191,19 +237,43 @@ def _flags(
         if "op" in changes.columns
         else F.lit(True)
     )
-    flags = {
-        n: not_delete & F.expr(spec["expr"]).eqNullSafe(F.lit(False))
-        for n, spec in cons.items()
-    }
+    flags = {}
+    for n, spec in cons.items():
+        if "fk" not in spec:
+            flags[n] = not_delete & F.expr(spec["expr"]).eqNullSafe(
+                F.lit(False)
+            )
+            continue
+        if spark is None:
+            raise ValueError(
+                "FOREIGN KEY constraint evaluation needs an active "
+                "SparkSession (internal misuse)"
+            )
+        missing = _fk_missing(spark, spec, changes)
+        if missing is None:
+            flags[n] = F.lit(False)
+            continue
+        marker = f"__fkv_{n}"
+        probe = probe.join(
+            missing.withColumn(marker, F.lit(True)),
+            list(spec["fk"]["cols"]),
+            "left",
+        )
+        # a NULL in any FK column never joins -> coalesce(False) -> passes
+        flags[n] = not_delete & F.coalesce(F.col(marker), F.lit(False))
     return probe, flags
 
 
 def violation_counts(
-    changes: DataFrame, cons: dict[str, dict], logical_schema: T.StructType
+    changes: DataFrame,
+    cons: dict[str, dict],
+    logical_schema: T.StructType,
+    spark: SparkSession | None = None,
 ) -> dict[str, int]:
-    """Per-constraint violating-event counts over one batch: a single
-    map-only partial-aggregating pass (no shuffle, no per-row Python)."""
-    probe, flags = _flags(changes, cons, logical_schema)
+    """Per-constraint violating-event counts over one batch: one
+    partial-aggregating pass (map-only for CHECK specs; FK specs add their
+    bucket-pruned parent anti-join, still O(batch))."""
+    probe, flags = _flags(changes, cons, logical_schema, spark)
     row = probe.agg(
         *[
             F.sum(flag.cast("long")).alias(n)
@@ -227,7 +297,7 @@ def enforce_general(
     cons = constraints_of(snap)
     if not cons:
         return changes, {}
-    counts = violation_counts(changes, cons, logical_schema)
+    counts = violation_counts(changes, cons, logical_schema, spark)
     bad = {n: c for n, c in counts.items() if c}
     fail_bad = {
         n: c for n, c in bad.items()
@@ -237,7 +307,7 @@ def enforce_general(
         raise ConstraintViolationError(epoch_label, fail_bad)
     if not bad:
         return changes, counts
-    probe, flags = _flags(changes, cons, logical_schema)
+    probe, flags = _flags(changes, cons, logical_schema, spark)
     drop_flags = [
         flags[n] for n in cons
         if cons[n]["on_violation"] in ("drop", "dlq")
@@ -288,6 +358,12 @@ def check_fail_only(
         )
     need = sorted(
         {c for spec in cons.values() for c in spec.get("refs") or ()}
+        | {
+            c
+            for spec in cons.values()
+            if "fk" in spec
+            for c in spec["fk"]["cols"]
+        }
     )
     df = spark.read.parquet(*wal_files)
     # WAL files may carry retired logical names (a producer behind on a
@@ -303,7 +379,7 @@ def check_fail_only(
         if cur != c:
             df = df.withColumnRenamed(c, cur)
     keep = [c for c in df.columns if c in set(need) | {"op"}]
-    counts = violation_counts(df.select(*keep), cons, logical_schema)
+    counts = violation_counts(df.select(*keep), cons, logical_schema, spark)
     bad = {n: c for n, c in counts.items() if c}
     if bad:
         raise ConstraintViolationError(epoch_label, bad)

@@ -19,6 +19,8 @@ Supported grammar (case-insensitive keywords; one statement per call):
               [GENERATED ALWAYS AS (<expr>) | DEFAULT (<expr>)] [, ...]
         [, PRIMARY KEY (<k1> [, <k2> ...])]
         [, CONSTRAINT <cn> CHECK (<expr>) [ON VIOLATION FAIL|DROP|DLQ]]
+        [, CONSTRAINT <cn> FOREIGN KEY (<cols>) REFERENCES
+             <table-or-'root'> (<ref-cols>) [ON VIOLATION ...]]
     )
     [USING lake]
     [CLUSTERED BY (<c1> [, ...]) INTO <n> BUCKETS]
@@ -41,6 +43,9 @@ Supported grammar (case-insensitive keywords; one statement per call):
     ALTER TABLE <name> CREATE TAG '<tag>' [AS OF VERSION <n>]
     ALTER TABLE <name> DROP TAG [IF EXISTS] '<tag>'
     ALTER TABLE <name> ADD CONSTRAINT <cn> CHECK (<expr>)
+                       [ON VIOLATION FAIL|DROP|DLQ]
+    ALTER TABLE <name> ADD CONSTRAINT <cn> FOREIGN KEY (<cols>)
+                       REFERENCES <table-or-'root'> (<ref-cols>)
                        [ON VIOLATION FAIL|DROP|DLQ]
     ALTER TABLE <name> DROP CONSTRAINT [IF EXISTS] <cn>
     ALTER TABLE <name> ADD COLUMN <c> <type>
@@ -143,6 +148,13 @@ Semantics, each inherited from the operation the statement compiles to:
   under ``<table>/_dlq/constraints``). SQL CHECK semantics: NULL passes;
   DELETE events are exempt. Compiled to ``add_constraint`` — same
   fail-closed declaration-time analysis as the Python API.
+  ``FOREIGN KEY ... REFERENCES`` is the referential form (the reference's
+  init-db/postgres.sql REFERENCES contract enforced per change batch):
+  the batch's distinct FK keys anti-join the parent's live state via the
+  bucket-pruned batch lookup — O(batch) at any parent size; ``ref_cols``
+  must be exactly the parent's key or bucket columns so pruning is
+  guaranteed. NULL FK values pass (MATCH SIMPLE); apply parents before
+  children (the FK dependency order multi-table ingest already runs in).
 * The maintenance statements are front-ends over the operator CLI's ops
   (``tools/run_maintenance.py``), so a pure-SQL deployment can run its
   own upkeep: ``OPTIMIZE`` -> ``compact`` (bounds MoR read
@@ -296,6 +308,7 @@ def _create_stmt(
     col_defs: list[str] = []
     cons_defs: list[tuple[str, str, str]] = []  # (name, expr, mode)
     gen_defs: list[tuple[str, str, str]] = []  # (name, type, expr)
+    fk_defs: list[re.Match] = []
     for item in _split_top_level(cols_txt):
         pk = _PK_RE.match(item)
         if pk:
@@ -323,6 +336,18 @@ def _create_stmt(
                     )
                 mode = vm.group("mode").lower()
             cons_defs.append((cm.group("cn"), expr.strip(), mode))
+            continue
+        fkm = re.match(
+            r"^CONSTRAINT\s+(?P<cn>\w+)\s+FOREIGN\s+KEY\s*"
+            r"\((?P<cols>[^)]+)\)\s+REFERENCES\s+"
+            r"(?:'(?P<refpath>[^']+)'|(?P<refname>[\w.-]+))\s*"
+            r"\((?P<rcols>[^)]+)\)"
+            r"(?:\s+ON\s+VIOLATION\s+(?P<mode>FAIL|DROP|DLQ))?$",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if fkm:
+            fk_defs.append(fkm)
             continue
         gm = re.match(
             r"^(?P<col>\w+)\s+(?P<typ>.+?)\s+"
@@ -458,6 +483,17 @@ def _create_stmt(
         # declared ahead of any data: validation is analysis-only here
         # (after generated columns, so a CHECK may reference them)
         table.add_constraint(spark, cn, expr, on_violation=mode)
+    for fkm in fk_defs:
+        ref, rname = _resolve_fk_match(fkm, tables)
+        table.add_fk_constraint(
+            spark,
+            fkm.group("cn"),
+            [c.strip() for c in fkm.group("cols").split(",")],
+            ref,
+            [c.strip() for c in fkm.group("rcols").split(",")],
+            on_violation=(fkm.group("mode") or "fail").lower(),
+            ref_name=fkm.group("refname"),
+        )
     tables[name] = table
     return table
 
@@ -494,6 +530,31 @@ def _clone_stmt(m: re.Match, tables: dict) -> LakeTable:
     clone = src.clone(m.group("loc"), snapshot_id=sid, at=m.group("ts"))
     tables[name] = clone
     return clone
+
+
+_FK_CLAUSE = re.compile(
+    r"^ADD\s+CONSTRAINT\s+(?P<cn>\w+)\s+FOREIGN\s+KEY\s*"
+    r"\((?P<cols>[^)]+)\)\s+REFERENCES\s+"
+    r"(?:'(?P<refpath>[^']+)'|(?P<refname>[\w.-]+))\s*"
+    r"\((?P<rcols>[^)]+)\)"
+    r"(?:\s+ON\s+VIOLATION\s+(?P<mode>FAIL|DROP|DLQ))?$",
+    re.IGNORECASE,
+)
+
+
+def _resolve_fk_match(m: re.Match, tables: dict):
+    """REFERENCES target -> (LakeTable-or-root, recorded SQL name): a bare
+    name resolves through the registry; a quoted path loads directly."""
+    if m.group("refpath"):
+        return m.group("refpath"), None
+    name = m.group("refname")
+    if name not in tables:
+        raise ValueError(
+            f"FOREIGN KEY references unknown table {name!r} "
+            f"(registered: {sorted(tables)}; or quote a lake root path)"
+        )
+    t = tables[name]
+    return (t if isinstance(t, LakeTable) else t), name
 
 
 def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
@@ -682,6 +743,20 @@ def _alter_stmt(spark: SparkSession, m: re.Match, tables: dict) -> int:
             mode = vm.group("mode").lower()
         return table.add_constraint(
             spark, acm.group("cn"), expr.strip(), on_violation=mode
+        )
+
+    afk = _FK_CLAUSE.match(rest)
+    if afk:
+        ref, rname = _resolve_fk_match(afk, tables)
+        mode = (afk.group("mode") or "fail").lower()
+        return table.add_fk_constraint(
+            spark,
+            afk.group("cn"),
+            [c.strip() for c in afk.group("cols").split(",")],
+            ref,
+            [c.strip() for c in afk.group("rcols").split(",")],
+            on_violation=mode,
+            ref_name=rname,
         )
 
     dcm = re.match(
@@ -906,6 +981,21 @@ def run_sql_script(
     return results
 
 
+def _constraint_body(spec: dict) -> str:
+    """The declaration body of one constraint spec: ``CHECK (expr)`` or
+    ``FOREIGN KEY (cols) REFERENCES <name-or-'root'> (ref_cols)`` — the
+    FK target renders as its declaration-time SQL name when recorded,
+    else the quoted parent root (which CREATE also accepts)."""
+    if "fk" not in spec:
+        return f"CHECK ({spec['expr']})"
+    fk = spec["fk"]
+    ref = fk.get("ref_name") or f"'{fk['ref_root']}'"
+    return (
+        f"FOREIGN KEY ({', '.join(fk['cols'])}) "
+        f"REFERENCES {ref} ({', '.join(fk['ref_cols'])})"
+    )
+
+
 def show_create_table(table: LakeTable, name: str = "t") -> str:
     """The CREATE TABLE statement (module-doc grammar) that declares an
     equivalent table — the replication twin of the outbound change feed
@@ -941,7 +1031,7 @@ def show_create_table(table: LakeTable, name: str = "t") -> str:
         lines.append(f"    PRIMARY KEY ({', '.join(key_cols)})")
     for cn, spec in table.constraints().items():
         lines.append(
-            f"    CONSTRAINT {cn} CHECK ({spec['expr']}) "
+            f"    CONSTRAINT {cn} {_constraint_body(spec)} "
             f"ON VIOLATION {spec['on_violation'].upper()}"
         )
     stmt = f"CREATE TABLE {name} (\n" + ",\n".join(lines) + "\n)\nUSING lake"
@@ -1057,7 +1147,7 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
             (
                 "Check Constraints",
                 "; ".join(
-                    f"{n}: CHECK ({s['expr']}) ON VIOLATION "
+                    f"{n}: {_constraint_body(s)} ON VIOLATION "
                     f"{s['on_violation'].upper()}"
                     for n, s in table.constraints().items()
                 )

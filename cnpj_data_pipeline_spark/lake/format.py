@@ -1336,6 +1336,141 @@ class LakeTable:
             expected_parent=snap["snapshot_id"],
         )
 
+    def add_fk_constraint(
+        self,
+        spark: SparkSession,
+        name: str,
+        cols: Sequence[str],
+        ref_table: "LakeTable | str",
+        ref_cols: Sequence[str] | None = None,
+        on_violation: str = "fail",
+        validate: bool = True,
+        ref_name: str | None = None,
+    ) -> int:
+        """Declare a FOREIGN KEY constraint: every non-delete change event
+        whose ``cols`` are all non-NULL must reference a LIVE row of
+        ``ref_table`` on ``ref_cols`` (SQL MATCH SIMPLE: a NULL in any FK
+        column passes). The reference's schema is FK-driven end to end
+        (init-db/postgres.sql REFERENCES clauses; its loader orders tables
+        by FK dependency) — this is that contract enforced per change
+        batch, with the same fail / drop / dlq policies as CHECK
+        constraints.
+
+        Enforcement cost is O(batch) at any parent size: the batch's
+        distinct FK keys anti-join the parent via the bucket-pruned batch
+        lookup (``read_keys(on=ref_cols, broadcast_keys=False)`` — only
+        the buckets the keys hash to are scanned, keys never leave the
+        executors). To keep that pruning guaranteed, ``ref_cols`` must be
+        exactly the parent's key columns or exactly its bucket columns
+        (the prefix-bucketed form). Parent key/bucket columns are never
+        renameable (engine rule), so the stored reference can't drift.
+
+        Same-epoch parents: apply the parent's batch FIRST (the FK
+        dependency order ``plans/catalog.py`` already runs multi-table
+        ingest in) — the check reads the parent's CURRENT committed state.
+        Parent-side deletes are not checked (no ON DELETE action): CDC
+        upstreams emit child deletes before parent deletes; a later
+        backfill can re-check with ``validate``."""
+        from cnpj_data_pipeline_spark.lake.constraints import (
+            CONSTRAINT_MODES,
+            CONSTRAINT_PREFIX,
+            _NAME_RE,
+        )
+
+        if on_violation not in CONSTRAINT_MODES:
+            raise ValueError(
+                f"unknown on_violation {on_violation!r} "
+                f"(choose from {CONSTRAINT_MODES})"
+            )
+        if not _NAME_RE.match(name or ""):
+            raise ValueError(f"invalid constraint name {name!r}")
+        snap = self.snapshot()
+        if snap.get("merge_engine", "lww") != "lww":
+            raise ValueError(
+                "FOREIGN KEY constraints require the lww merge engine"
+            )
+        if name in self.constraints():
+            raise ValueError(
+                f"constraint {name!r} already declared; drop it first"
+            )
+        parent = (
+            ref_table
+            if isinstance(ref_table, LakeTable)
+            else LakeTable.load(ref_table)
+        )
+        cols = list(cols)
+        local = {f.name: f.dataType for f in self.logical_schema().fields}
+        missing = [c for c in cols if c not in local]
+        if missing:
+            raise ValueError(
+                f"FK constraint {name!r}: unknown column(s) {missing} "
+                f"(table has {sorted(local)})"
+            )
+        pkey = list(parent.key_cols() or ())
+        if not pkey:
+            raise ValueError(
+                f"FK constraint {name!r}: the referenced table is keyless "
+                "— a FOREIGN KEY must reference a keyed table's identity"
+            )
+        ref_cols = list(ref_cols) if ref_cols is not None else pkey
+        pbucket = list(parent.bucket_cols() or pkey)
+        if ref_cols != pkey and ref_cols != pbucket:
+            raise ValueError(
+                f"FK constraint {name!r}: ref_cols {ref_cols} must be "
+                f"exactly the parent's key columns {pkey} or its bucket "
+                f"columns {pbucket} — anything else loses bucket pruning "
+                "and the check would scan the whole parent per epoch"
+            )
+        if len(cols) != len(ref_cols):
+            raise ValueError(
+                f"FK constraint {name!r}: {len(cols)} local column(s) vs "
+                f"{len(ref_cols)} referenced column(s)"
+            )
+        ptypes = {f.name: f.dataType for f in parent.logical_schema().fields}
+        for c, rc in zip(cols, ref_cols):
+            if local[c] != ptypes[rc]:
+                raise ValueError(
+                    f"FK constraint {name!r}: type mismatch {c} "
+                    f"{local[c].simpleString()} vs {rc} "
+                    f"{ptypes[rc].simpleString()} — the bucket hash is "
+                    "type-sensitive, so FK columns must match exactly"
+                )
+        spec = {
+            "fk": {
+                "cols": cols,
+                "ref_cols": ref_cols,
+                "ref_root": parent.root,
+                "ref_name": ref_name,
+            },
+            "on_violation": on_violation,
+            "refs": sorted(set(cols)),
+        }
+        if validate and (snap.get("buckets") or {}):
+            from cnpj_data_pipeline_spark.lake.constraints import (
+                _fk_missing,
+            )
+
+            state = self.read(spark)
+            miss = _fk_missing(spark, spec, state)
+            bad = (
+                state.join(miss, cols, "left_semi").count()
+                if miss is not None
+                else 0
+            )
+            if bad:
+                raise ValueError(
+                    f"cannot add FK constraint {name!r}: {bad} existing "
+                    "live row(s) reference no parent row (fix the data or "
+                    "declare with validate=False)"
+                )
+        return self.commit(
+            op="set-props",
+            epoch=None,
+            bucket_updates={},
+            props={CONSTRAINT_PREFIX + name: json.dumps(spec)},
+            expected_parent=snap["snapshot_id"],
+        )
+
     def drop_constraint(self, name: str) -> int:
         """Remove a declared CHECK constraint (props-only commit; the
         column-evolution guards it held are released)."""
