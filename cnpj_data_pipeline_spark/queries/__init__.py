@@ -187,6 +187,10 @@ _EXTRA_NAMES = (
     # epoch-day bucket computed at ingest (hidden-partitioning shape:
     # sort order clusters on it); oracle recomputes it from the winners
     "q_cdc_replay_generated",
+    # round 5: FOREIGN KEY constraints — referential DROP against a
+    # conversations parent table via the bucket-pruned batch lookup;
+    # final state folds only the referencing events
+    "q_fk_enforced_ingest",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

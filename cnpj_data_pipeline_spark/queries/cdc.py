@@ -1043,6 +1043,58 @@ def q_constrained_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(spark)
 
 
+def q_fk_enforced_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN KEY constraints under replay (add_fk_constraint — the
+    reference's init-db/postgres.sql REFERENCES contract enforced per
+    change batch): a conversations parent table registers every conv of
+    the derived stream EXCEPT those whose number ends in 7 (a rule that
+    bites at every sf), the transcript table declares ``FOREIGN KEY
+    (conv_id) REFERENCES convs ON VIOLATION DROP``, and the full WAL
+    replays — every event of an unregistered conversation is dropped
+    pre-merge by the bucket-pruned O(batch) parent anti-join, so the
+    final state is the LWW fold of only the referencing events."""
+    from pyspark.sql import types as _T
+
+    wal = _staged_wal(spark, sf_dir)
+    cfg = EngineConfig(n_buckets=16, salt_factor=2)
+    scratch = _mk_scratch("cdc_fk_")
+    psch = _T.StructType(
+        [
+            _T.StructField("conv_id", _T.StringType(), False),
+            _T.StructField("title", _T.StringType(), True),
+        ]
+    )
+    parent = LakeTable.create(
+        os.path.join(scratch, "convs"), psch, ["conv_id"], 8
+    )
+    apply_changes(
+        spark,
+        parent,
+        spark.createDataFrame(
+            [
+                (f"c{i:08d}", f"conv {i}", "I", i, 0)
+                for i in range(200)
+                if i % 10 != 7
+            ],
+            "conv_id string, title string, op string, lsn long, epoch int",
+        ),
+        epoch=0,
+        cfg=EngineConfig(n_buckets=8),
+    )
+    table = LakeTable.create(
+        os.path.join(scratch, "lake"),
+        TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], cfg.n_buckets
+    )
+    table.add_fk_constraint(
+        spark, "fk_conv", ["conv_id"], parent, on_violation="drop",
+        ref_name="convs",
+    )
+    for e in range(N_EPOCHS):
+        batch = spark.read.parquet(os.path.join(wal, f"epoch={e}"))
+        apply_changes(spark, table, batch, epoch=e, cfg=cfg)
+    return table.read(spark)
+
+
 # the generated column the replay declares: the session-tz-independent
 # day bucket (the same epoch-day arithmetic q_rollup_timebucket uses),
 # derived ONCE at ingest instead of in every downstream consumer
@@ -1469,6 +1521,7 @@ QUERIES = {
     "q_agg_table_counters": q_agg_table_counters,
     "q_constrained_ingest": q_constrained_ingest,
     "q_cdc_replay_generated": q_cdc_replay_generated,
+    "q_fk_enforced_ingest": q_fk_enforced_ingest,
 }
 
 # pre/post winner state for the typed-feed oracle: pre = LWW fold of epochs
@@ -1681,6 +1734,18 @@ WHERE op <> 'D' AND turn_idx % 3 = 0
         FROM winners WHERE op <> 'D'
     """,
     "q_constrained_ingest": _CONSTRAINED_SQL,
+    # FK drop-mode admits only registered conversations (every conv
+    # number NOT ending in 7); deletes exempt
+    "q_fk_enforced_ingest": f"""
+        WITH {CHANGES_CTE.strip()},
+        admitted AS (
+          SELECT * FROM changes
+          WHERE op = 'D' OR CAST(substr(conv_id, 2) AS INTEGER) % 10 <> 7
+        ),
+        {WINNERS_CTE.strip().replace("FROM changes", "FROM admitted")}
+        SELECT conv_id, turn_idx, role, text, tool, ts
+        FROM winners WHERE op <> 'D'
+    """,
     # the generated column recomputed from the winners (DuckDB's
     # tz-independent epoch-day form of GENERATED_DAY_EXPR)
     "q_cdc_replay_generated": f"""
