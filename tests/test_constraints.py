@@ -353,3 +353,71 @@ def test_describe_carries_constraints(spark, tmp_path):
     }
     t.drop_constraint("tool_named")
     assert t.describe()["constraints"] == {}
+
+
+def test_constraints_compose_with_wap_staging(spark, tmp_path):
+    """Constraint enforcement runs BEFORE write-audit-publish staging: a
+    fail-mode violation aborts ahead of any staged files; a drop-mode
+    filter stages only the admitted events."""
+    from cnpj_data_pipeline_spark.plans.wap import WapIngestJob, max_null_rate
+
+    cfg = EngineConfig(n_buckets=4, write_mode="mor")
+    t = _table(tmp_path / "t")
+    t.add_constraint(spark, "tool_named", EXPR, on_violation="fail")
+    job = WapIngestJob(str(tmp_path / "t"), [max_null_rate("role", 0.9)],
+                       cfg=cfg)
+    with pytest.raises(ConstraintViolationError):
+        job.apply(spark, _batch(spark, ROWS0), epoch=0)
+    assert t.list_staged() == []  # nothing staged, nothing visible
+    t.drop_constraint("tool_named")
+    t.add_constraint(spark, "tool_named", EXPR, on_violation="drop")
+    m = job.apply(spark, _batch(spark, ROWS0), epoch=0)
+    assert m["published"] and m["rows_applied"] == 3
+
+
+def test_rollback_reverts_constraint_declarations(spark, tmp_path):
+    """Constraints live in snapshot props, so RESTORE/rollback reverts the
+    declaration set with the data — a constraint added after the restore
+    point stops enforcing."""
+    t = _table(tmp_path / "t")
+    pre = t.current_snapshot_id()
+    t.add_constraint(spark, "tool_named", EXPR, on_violation="fail")
+    with pytest.raises(ConstraintViolationError):
+        apply_changes(
+            spark, t, _batch(spark, ROWS0), epoch=0,
+            cfg=EngineConfig(n_buckets=4),
+        )
+    t.rollback(pre)
+    assert t.constraints() == {}
+    m = apply_changes(
+        spark, t, _batch(spark, ROWS0), epoch=0, cfg=EngineConfig(n_buckets=4)
+    )
+    assert m["rows_applied"] == 4  # unconstrained again
+
+
+def test_streaming_micro_batches_enforce_constraints(spark, tmp_path):
+    """The Structured-Streaming ingest (foreachBatch -> apply_changes)
+    inherits enforcement: drop-mode filters inside every micro-batch."""
+    from cnpj_data_pipeline_spark.streaming.stream_job import stream_ingest
+
+    wal = str(tmp_path / "wal")
+    n_epochs = 2
+    ch = gen_changes(spark, n_events=800, n_convs=30, n_epochs=n_epochs)
+    for e, b in epoch_batches(ch, n_epochs):
+        b.write.mode("append").parquet(wal)  # flat file-source layout
+    lake = str(tmp_path / "lake")
+    t = LakeTable.create(
+        lake, TRANSCRIPT_SCHEMA, ["conv_id", "turn_idx"], 4
+    )
+    t.add_constraint(
+        spark, "no_delta", "text IS NULL OR text NOT LIKE '%delta%'",
+        on_violation="drop",
+    )
+    q = stream_ingest(
+        spark, wal, t, str(tmp_path / "ckpt"), CHANGE_SCHEMA,
+        cfg=EngineConfig(n_buckets=4),
+    )
+    q.awaitTermination(120)
+    got = t.read(spark)
+    assert got.count() > 0
+    assert got.filter("text LIKE '%delta%'").count() == 0
