@@ -138,9 +138,26 @@ def main() -> None:
                    help="skip the existing-data scan (forward-only "
                         "enforcement)")
 
+    p = sub.add_parser("add-fk-constraint",
+                       help="declare a FOREIGN KEY constraint: batch FK "
+                            "keys must reference live rows of the parent "
+                            "table (bucket-pruned O(batch) check)")
+    p.add_argument("--name", required=True)
+    p.add_argument("--columns", required=True,
+                   help="comma-separated local FK columns")
+    p.add_argument("--references", required=True, dest="ref",
+                   help="parent lake table root path")
+    p.add_argument("--ref-columns", default=None,
+                   help="comma-separated parent columns (default: the "
+                        "parent's key)")
+    p.add_argument("--on-violation", default="fail",
+                   choices=["fail", "drop", "dlq"])
+    p.add_argument("--no-validate", action="store_true")
+
     p = sub.add_parser("drop-constraint",
-                       help="remove a declared CHECK constraint "
-                            "(metadata-only; releases its column guards)")
+                       help="remove a declared CHECK or FOREIGN KEY "
+                            "constraint (metadata-only; releases its "
+                            "column guards)")
     p.add_argument("--name", required=True)
 
     p = sub.add_parser("add-generated-column",
@@ -272,6 +289,20 @@ def main() -> None:
                           "generated": sorted(table.generated_columns())}))
         return
     spark = get_spark(master=args.master) if args.master else get_spark()
+    if args.op == "add-fk-constraint":
+        sid = table.add_fk_constraint(
+            spark, args.name,
+            [c.strip() for c in args.columns.split(",")],
+            args.ref,
+            [c.strip() for c in args.ref_columns.split(",")]
+            if args.ref_columns else None,
+            on_violation=args.on_violation,
+            validate=not args.no_validate,
+        )
+        print(json.dumps({"op": "add-fk-constraint", "snapshot_id": sid,
+                          "name": args.name,
+                          "constraint": table.constraints()[args.name]}))
+        return
     if args.op == "add-generated-column":
         from pyspark.sql import types as T
 
