@@ -1,7 +1,7 @@
 """Maintenance-chaos model test: seeded random interleavings of EVERY
 mutating surface the table format exposes — ingest epochs, rename / widen /
 add / drop column evolution, compaction, tombstone vacuum, snapshot expiry,
-rollback — checked against a plain-Python reference model after every single
+rollback, CHECK-constraint declare/drop (drop-mode, actively filtering) — checked against a plain-Python reference model after every single
 operation. The targeted tests each pin one sequence; this one walks many, so
 an interaction bug between any two surfaces (e.g. compact after rename, or
 rollback across a widen) has no fixed-order blind spot to hide in.
@@ -31,15 +31,19 @@ class Model:
     def __init__(self):
         self.rows: dict[int, dict] = {}
         self.cols: list[str] = ["a", "b"]  # payload (key col: id)
-        self.by_sid: dict[int, tuple[dict, list]] = {}
+        self.cons_col: str | None = None  # active drop-mode CHECK target
+        self.by_sid: dict[int, tuple[dict, list, str | None]] = {}
 
     def record(self, sid: int):
-        self.by_sid[sid] = (copy.deepcopy(self.rows), list(self.cols))
+        self.by_sid[sid] = (
+            copy.deepcopy(self.rows), list(self.cols), self.cons_col,
+        )
 
     def restore(self, sid: int):
-        rows, cols = self.by_sid[sid]
+        rows, cols, cons_col = self.by_sid[sid]
         self.rows = copy.deepcopy(rows)
         self.cols = list(cols)
+        self.cons_col = cons_col
 
     def state(self) -> set:
         return {
@@ -56,7 +60,7 @@ def _read_state(spark, t: LakeTable, model: Model) -> set:
     }
 
 
-@pytest.mark.parametrize("seed", [11, 23, 47])
+@pytest.mark.parametrize("seed", [11, 23, 47, 61])
 def test_random_maintenance_interleaving(spark, tmp_path, seed):
     rng = random.Random(seed)
     t = LakeTable.create(
@@ -97,11 +101,13 @@ def test_random_maintenance_interleaving(spark, tmp_path, seed):
                 vals = {}
                 for c in model.cols:
                     typ = sch[c].dataType
-                    vals[c] = (
-                        f"v{lsn}"
-                        if isinstance(typ, T.StringType)
-                        else lsn % 1000
-                    )
+                    if isinstance(typ, T.StringType):
+                        # some values trip the optional drop-mode CHECK
+                        vals[c] = (
+                            f"zz{lsn}" if rng.random() < 0.2 else f"v{lsn}"
+                        )
+                    else:
+                        vals[c] = lsn % 1000
                 rows.append({"id": k, "op": "U", "lsn": lsn} | vals)
                 seen.add((k, "U", lsn, tuple(sorted(vals.items()))))
         batch_schema = T.StructType(
@@ -123,16 +129,25 @@ def test_random_maintenance_interleaving(spark, tmp_path, seed):
             batch_schema,
         )
         apply_changes(spark, t, df, epoch=epoch)
-        # model fold: lsns increase within the list, last write wins per key
+        # model fold: lsns increase within the list, last write wins per
+        # key; an active drop-mode CHECK filters violating EVENTS first
+        # (the key's previous version survives), deletes exempt
         for r in rows:
             if r["op"] == "D":
                 model.rows.pop(r["id"], None)
-            else:
+            elif not (
+                model.cons_col
+                and str(r.get(model.cons_col) or "").startswith("zz")
+            ):
                 model.rows[r["id"]] = {c: r[c] for c in model.cols}
 
     def do_rename():
         nonlocal fresh
         old = rng.choice(model.cols)
+        if old == model.cons_col:  # guard: referenced by the CHECK
+            with pytest.raises(ValueError, match="referenced by CHECK"):
+                t.rename_column(old, "rguard")
+            return
         fresh += 1
         new = f"r{fresh}"
         t.rename_column(old, new)
@@ -154,6 +169,10 @@ def test_random_maintenance_interleaving(spark, tmp_path, seed):
         if len(model.cols) <= 1:
             return  # keep at least one payload column
         c = rng.choice(model.cols)
+        if c == model.cons_col:  # guard: referenced by the CHECK
+            with pytest.raises(ValueError, match="referenced by CHECK"):
+                t.drop_column(c)
+            return
         t.drop_column(c)
         model.cols.remove(c)
         for r in model.rows.values():
@@ -212,6 +231,35 @@ def test_random_maintenance_interleaving(spark, tmp_path, seed):
         t.rollback(sid)
         model.restore(sid)
 
+    def do_add_constraint():
+        if model.cons_col:
+            return
+        sch = t.logical_schema()
+        strings = [
+            c
+            for c in model.cols
+            if isinstance(sch[c].dataType, T.StringType)
+        ]
+        if not strings:
+            return
+        c = rng.choice(strings)
+        try:
+            t.add_constraint(
+                spark,
+                "no_zz",
+                f"{c} IS NULL OR {c} NOT LIKE 'zz%'",
+                on_violation="drop",
+            )
+        except ValueError:
+            return  # existing rows already violate -> declaration refused
+        model.cons_col = c
+
+    def do_drop_constraint():
+        if not model.cons_col:
+            return
+        t.drop_constraint("no_zz")
+        model.cons_col = None
+
     ops = [
         (do_apply, 8),
         (do_rename, 2),
@@ -224,6 +272,8 @@ def test_random_maintenance_interleaving(spark, tmp_path, seed):
         (do_vacuum, 1),
         (do_expire, 1),
         (do_rollback, 2),
+        (do_add_constraint, 2),
+        (do_drop_constraint, 1),
     ]
     weighted = [f for f, w in ops for _ in range(w)]
 
