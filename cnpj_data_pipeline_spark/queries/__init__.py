@@ -191,6 +191,11 @@ _EXTRA_NAMES = (
     # conversations parent table via the bucket-pruned batch lookup;
     # final state folds only the referencing events
     "q_fk_enforced_ingest",
+    # round 5: SCD Type 2 history (plans/scd2.py) — the DLT APPLY CHANGES
+    # ... STORED AS SCD TYPE 2 pattern maintained from the typed feed with
+    # no read-before-write; oracle re-derives the running-LWW-max version
+    # chain from scratch
+    "q_scd2_history",
 )
 EXTRA_QUERIES = {n: QUERIES.pop(n) for n in _EXTRA_NAMES}
 EXTRA_ORACLES = {n: ORACLES.pop(n) for n in _EXTRA_NAMES}

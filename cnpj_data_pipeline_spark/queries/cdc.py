@@ -1481,6 +1481,88 @@ FROM live GROUP BY conv_id, turn_idx
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2 history (plans/scd2.py): the flagship replay's table,
+    versioned — every (key, apply-commit) transition the table went through
+    becomes a [valid_from, valid_to) LSN interval row, maintained
+    incrementally from the typed change feed with no read of the history
+    table (pre-images carry both the open interval's valid_from and its
+    payload). The oracle re-derives the version chain from scratch in SQL:
+    per-epoch LWW winners, the running-LWW-max candidates (a candidate =
+    the table state actually changing), duplicate-LSN candidates collapsed
+    to the survivor the in-place upsert keeps, tombstone candidates closing
+    but never emitting. The live slice (valid_to IS NULL) must equal the
+    base table itself (asserted in tests/test_scd2.py)."""
+    from cnpj_data_pipeline_spark.plans.scd2 import SCD2SyncJob
+
+    base = _replayed_table(spark, sf_dir)
+    job = SCD2SyncJob(
+        base.root,
+        os.path.join(_mk_scratch("cdc_scd2_"), "hist"),
+        cfg=EngineConfig(n_buckets=16, salt_factor=2),
+    )
+    job.run_once(spark)
+    return job.read(spark).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "valid_from", "valid_to",
+    )
+
+
+# the from-scratch SCD2 derivation: per-epoch winners -> running-LWW-max
+# candidates (okey strictly above every earlier epoch's winner == the table
+# state changed at that commit) -> same-LSN candidate groups collapse to the
+# last non-tombstone (the engine's in-place upsert over the shared history
+# key (key, valid_from)) -> valid_to = the next group's LSN, or the group's
+# own LSN when its last candidate is a tombstone (a delete closes at the
+# tombstone's LSN; a same-LSN delete leaves a zero-width interval)
+# the chain over any `changes` relation (tests/test_scd2.py reuses it over
+# generated streams); q_scd2_history's oracle prepends the derived-WAL CTE
+SCD2_CHAIN_SQL = """
+per_epoch AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY conv_id, turn_idx, epoch
+        ORDER BY lsn DESC, ts DESC, op DESC, coalesce(text, '') DESC,
+                 coalesce(tool, '') DESC, coalesce(role, '') DESC
+    ) AS rn FROM changes
+  ) WHERE rn = 1
+),
+keyed AS (
+  SELECT *, row(lsn, ts, op, coalesce(text, ''), coalesce(tool, ''),
+                coalesce(role, '')) AS okey
+  FROM per_epoch
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, max(okey) OVER (
+        PARTITION BY conv_id, turn_idx ORDER BY epoch
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM keyed
+  ) WHERE prev_max IS NULL OR okey > prev_max
+),
+grp AS (
+  SELECT conv_id, turn_idx, lsn,
+         arg_max(op, epoch) AS last_op,
+         max(epoch) FILTER (WHERE op <> 'D') AS live_epoch
+  FROM cand GROUP BY 1, 2, 3
+),
+chain AS (
+  SELECT *, lead(lsn) OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn) AS next_lsn
+  FROM grp
+)
+SELECT c.conv_id, c.turn_idx, k.role, k.text, k.tool, k.ts,
+       CAST(c.lsn AS BIGINT) AS valid_from,
+       CAST(CASE WHEN c.last_op = 'D' THEN c.lsn ELSE c.next_lsn END
+            AS BIGINT) AS valid_to
+FROM chain c
+JOIN cand k ON k.conv_id = c.conv_id AND k.turn_idx = c.turn_idx
+           AND k.lsn = c.lsn AND k.epoch = c.live_epoch
+"""
+
+_SCD2_SQL = f"WITH {CHANGES_CTE.strip()},\n{SCD2_CHAIN_SQL.strip()}"
+
+
 QUERIES = {
     "q_changes_envelope": q_changes_envelope,
     "q_wap_audit": q_wap_audit,
@@ -1522,6 +1604,7 @@ QUERIES = {
     "q_constrained_ingest": q_constrained_ingest,
     "q_cdc_replay_generated": q_cdc_replay_generated,
     "q_fk_enforced_ingest": q_fk_enforced_ingest,
+    "q_scd2_history": q_scd2_history,
 }
 
 # pre/post winner state for the typed-feed oracle: pre = LWW fold of epochs
@@ -1873,4 +1956,5 @@ WHERE op <> 'D' AND turn_idx % 3 = 0
         LEFT JOIN early e USING (conv_id, turn_idx)
         WHERE e.conv_id IS NULL
     """,
+    "q_scd2_history": _SCD2_SQL,
 }
