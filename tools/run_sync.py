@@ -19,7 +19,10 @@ pass ``--eval-docs <parquet>`` — the frozen benchmark, columns
 (plans/ivf.py, pass ``--centroids <parquet>`` — the frozen codebook,
 columns (cell INT, cent ARRAY<DOUBLE>)); ``projection`` maintains a
 re-keyed secondary index from the TYPED feed (plans/projection.py, pass
-``--key-cols band,h1,h2,doc_id``). Progress checkpointing is the
+``--key-cols band,h1,h2,doc_id``); ``scd2`` maintains an SCD Type 2
+version-history table from the TYPED feed (plans/scd2.py — every
+(key, apply-commit) transition becomes a [valid_from, valid_to) LSN
+interval row). Progress checkpointing is the
 derived table's own applied-epochs set — no external offset store;
 re-running after a crash skips synced epochs at metadata cost. Prints one
 JSON line of consumer metrics.
@@ -48,6 +51,7 @@ def main() -> None:
             "decontam",
             "ivf",
             "projection",
+            "scd2",
         ],
         default="mirror",
     )
@@ -126,6 +130,12 @@ def main() -> None:
             emb_col=args.emb_col,
             cfg=cfg,
             n_buckets=args.n_buckets,
+        )
+    elif args.transform == "scd2":
+        from cnpj_data_pipeline_spark.plans.scd2 import SCD2SyncJob
+
+        job = SCD2SyncJob(
+            args.source, args.derived, cfg=cfg, n_buckets=args.n_buckets
         )
     elif args.transform == "projection":
         if not args.key_cols:
