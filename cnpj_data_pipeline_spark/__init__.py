@@ -67,3 +67,9 @@ from cnpj_data_pipeline_spark.plans.neardup import (  # noqa: F401
 from cnpj_data_pipeline_spark.plans.projection import (  # noqa: F401
     ProjectionSyncJob,
 )
+from cnpj_data_pipeline_spark.plans.scd2 import SCD2SyncJob  # noqa: F401
+from cnpj_data_pipeline_spark.lake.stats import (  # noqa: F401
+    analyze_table,
+    load_stats,
+    refresh_stats,
+)

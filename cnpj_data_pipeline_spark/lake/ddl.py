@@ -1114,6 +1114,27 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
         )
         for f in table.logical_schema().fields
     ]
+    from cnpj_data_pipeline_spark.lake.stats import load_stats
+
+    stats = load_stats(table) if extended else None
+    if stats:
+        rows = [
+            (
+                n,
+                t,
+                ", ".join(
+                    x
+                    for x in (
+                        notes,
+                        f"ndv≈{stats['columns'][n]['ndv']}"
+                        if n in stats["columns"]
+                        else "",
+                    )
+                    if x
+                ),
+            )
+            for n, t, notes in rows
+        ]
     if extended:
         rows += [
             ("", "", ""),
@@ -1155,6 +1176,16 @@ def _describe(spark: SparkSession, table: LakeTable, extended: bool):
                 "",
             ),
             ("Properties", json.dumps(table.props() or {}), ""),
+            (
+                "Column Stats",
+                (
+                    f"{stats['mode']} @ snapshot {stats['snapshot_id']} "
+                    f"({stats['commits_behind']} commit(s) behind)"
+                    if stats
+                    else "(never analyzed)"
+                ),
+                "",
+            ),
         ]
     return spark.createDataFrame(
         rows, "col_name string, data_type string, info string"
@@ -1807,6 +1838,49 @@ def execute_ddl(
         else:
             sid = table.resolve_tag(rm.group("tag"))
         return table.rollback(sid)
+    am = re.match(
+        r"^ANALYZE\s+TABLE\s+(?P<name>[\w.-]+)\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[\w\s,.-]+?)|\s+FOR\s+ALL\s+COLUMNS)?"
+        r"(?:\s+(?P<inc>INCREMENTAL))?\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if am:
+        from cnpj_data_pipeline_spark.lake.stats import (
+            analyze_table,
+            refresh_stats,
+        )
+
+        table = _lookup(am.group("name"))
+        if am.group("inc"):
+            if am.group("cols"):
+                raise ValueError(
+                    "ANALYZE ... INCREMENTAL refreshes every previously "
+                    "analyzed column (the stored sketches); FOR COLUMNS "
+                    "only applies to a full analyze"
+                )
+            rec = refresh_stats(spark, table)
+        else:
+            cols = (
+                [c.strip() for c in am.group("cols").split(",")]
+                if am.group("cols")
+                else None
+            )
+            rec = analyze_table(spark, table, columns=cols)
+        rows = [
+            (
+                c,
+                st["ndv"],
+                st["nulls"],
+                rec["mode"],
+                rec["snapshot_id"],
+            )
+            for c, st in sorted(rec["columns"].items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "col string, ndv long, nulls long, mode string, snapshot_id long",
+        )
     ssm = re.match(
         r"^SHOW\s+SNAPSHOTS\s+(?P<name>[\w.-]+)\s*;?\s*$",
         stmt,
@@ -1827,7 +1901,8 @@ def execute_ddl(
         "'CREATE MATERIALIZED VIEW <v> LOCATION ... AS SELECT ...', "
         "'REFRESH MATERIALIZED VIEW <v>', "
         "'SHOW CREATE TABLE <t>', 'SHOW SNAPSHOTS <t>', 'SHOW TAGS <t>', "
-        "'DESCRIBE [EXTENDED] <t>', 'OPTIMIZE <t>', 'VACUUM <t> ...' or "
-        "'RESTORE TABLE <t> TO ...', got: "
+        "'DESCRIBE [EXTENDED] <t>', 'OPTIMIZE <t>', 'VACUUM <t> ...', "
+        "'ANALYZE TABLE <t> COMPUTE STATISTICS [FOR COLUMNS ...] "
+        "[INCREMENTAL]' or 'RESTORE TABLE <t> TO ...', got: "
         f"{stmt[:80]!r}"
     )

@@ -192,6 +192,18 @@ def main() -> None:
                                     "files into its own storage and release "
                                     "the source pins")
 
+    p = sub.add_parser("analyze", help="compute per-column NDV (HLL sketch) "
+                                       "+ null-count statistics")
+    p.add_argument("--columns", default=None,
+                   help="comma-separated logical columns (default: all "
+                        "sketchable)")
+    p.add_argument("--incremental", action="store_true",
+                   help="union the stored sketches with the change window "
+                        "since the last analyze (O(changed data); NDV "
+                        "becomes an upper bound under updates/deletes)")
+    p.add_argument("--lg-k", type=int, default=None,
+                   help="HLL precision (default 14 ~ 0.8%% rel. error)")
+
     p = sub.add_parser("check", help="CHECK TABLE: verify physical files "
                                      "against the manifest")
     p.add_argument("--placement", action="store_true",
@@ -209,6 +221,25 @@ def main() -> None:
     # metadata-only ops never spin up a Spark session
     if args.op == "stats":
         print(json.dumps(table.describe()))
+        return
+    if args.op == "analyze":
+        from cnpj_data_pipeline_spark.lake.stats import (
+            analyze_table,
+            refresh_stats,
+        )
+
+        spark = get_spark(master=args.master) if args.master else get_spark()
+        if args.incremental:
+            rec = refresh_stats(spark, table)
+        else:
+            kw = {} if args.lg_k is None else {"lg_k": args.lg_k}
+            cols = (
+                [c.strip() for c in args.columns.split(",")]
+                if args.columns
+                else None
+            )
+            rec = analyze_table(spark, table, columns=cols, **kw)
+        print(json.dumps({"op": "analyze", **rec}))
         return
     if args.op == "list-staged":
         print(json.dumps({"op": "list-staged", "staged": table.list_staged()}))
