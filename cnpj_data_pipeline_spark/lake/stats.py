@@ -282,7 +282,17 @@ def refresh_stats(
     ren = table.renames(to_sid)
     logical = table.logical_schema(to_sid)
     inv = {l: p for p, l in ren.items()}
-    feed = table.read_changes(spark, from_sid, to_sid, include_meta=False)
+    try:
+        feed = table.read_changes(
+            spark, from_sid, to_sid, include_meta=False
+        )
+    except ValueError:
+        # a copy-on-write apply inside the window replaces bucket contents,
+        # so the window has no readable change feed — the honest refresh is
+        # a full re-analyze (same O(table) cost ANALYZE always has)
+        return analyze_table(
+            spark, table, lg_k=prev["lg_k"], snapshot_id=to_sid
+        )
     fields, phys_of = [], {}
     for f in logical.fields:
         phys = inv.get(f.name, f.name)

@@ -141,6 +141,11 @@ def test_random_maintenance_interleaving(spark, tmp_path, seed):
             ):
                 model.rows[r["id"]] = {c: r[c] for c in model.cols}
 
+    def _sort_cols() -> set:
+        # declared sort order under LOGICAL names (stored physically)
+        ren = t.renames()
+        return {ren.get(c, c) for c in (t.sort_order() or [])}
+
     def do_rename():
         nonlocal fresh
         old = rng.choice(model.cols)
@@ -171,6 +176,10 @@ def test_random_maintenance_interleaving(spark, tmp_path, seed):
         c = rng.choice(model.cols)
         if c == model.cons_col:  # guard: referenced by the CHECK
             with pytest.raises(ValueError, match="referenced by CHECK"):
+                t.drop_column(c)
+            return
+        if c in _sort_cols():  # guard: member of the declared sort order
+            with pytest.raises(ValueError, match="sort_order"):
                 t.drop_column(c)
             return
         t.drop_column(c)
@@ -260,8 +269,22 @@ def test_random_maintenance_interleaving(spark, tmp_path, seed):
         t.drop_constraint("no_zz")
         model.cons_col = None
 
+    def do_analyze():
+        # advisory sidecar only — must never perturb state, and must keep
+        # working whatever rename/drop/rollback churn preceded it
+        from cnpj_data_pipeline_spark.lake.stats import (
+            analyze_table,
+            refresh_stats,
+        )
+
+        if rng.random() < 0.5:
+            analyze_table(spark, t)
+        else:
+            refresh_stats(spark, t)
+
     ops = [
         (do_apply, 8),
+        (do_analyze, 1),
         (do_rename, 2),
         (do_add, 2),
         (do_drop, 1),

@@ -192,3 +192,28 @@ def test_analyze_incremental_sql_form(spark, tmp_path):
             "INCREMENTAL",
             tables,
         )
+
+
+def test_refresh_falls_back_to_full_on_cow_window(spark, tmp_path):
+    """A copy-on-write apply inside the refresh window has no readable
+    change feed (read_changes raises by design) — refresh_stats must fall
+    back to a full exact-state analyze instead of failing."""
+    cfg = EngineConfig(n_buckets=8, write_mode="cow")
+    changes = gen_changes(
+        spark, n_events=2_000, n_convs=100, turns_per_conv=8, n_epochs=4
+    )
+    path = str(tmp_path / "lake")
+    job = IngestJob(path, cfg)
+    batches = list(epoch_batches(changes, 4))
+    job.run_batches(spark, batches[:2])
+    table = LakeTable.load(path)
+    analyze_table(spark, table)
+    job.run_batches(spark, batches[2:])
+    table = LakeTable.load(path)
+    rec = refresh_stats(spark, table)
+    assert rec["mode"] == "exact-state"
+    assert rec["snapshot_id"] == table.current_snapshot_id()
+    exact = _exact(spark, table, "conv_id")
+    assert abs(rec["columns"]["conv_id"]["ndv"] - exact["ndv"]) <= max(
+        2, TOL * exact["ndv"]
+    )
