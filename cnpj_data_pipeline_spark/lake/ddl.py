@@ -94,10 +94,20 @@ Supported grammar (case-insensitive keywords; one statement per call):
                                          O(changed data), idempotent
     SHOW CREATE INDEX <name>          -> the CREATE statement (side clause
                                          points at the frozen copy)
+    CREATE HISTORY TABLE <name> [IF NOT EXISTS] ON <table>
+        LOCATION '<path>'             -> SCD Type 2 version history
+                                         (plans/scd2.py) as a declared
+                                         object: _history.json sidecar,
+                                         initial sync at CREATE; the table
+                                         registers under <name> for
+                                         DESCRIBE/SELECT/point-in-time
+    REFRESH HISTORY TABLE <name>      -> version every pending apply
+                                         commit, idempotent
+    SHOW CREATE HISTORY TABLE <name>  -> the CREATE statement
     SHOW CONSUMERS                    -> DataFrame: every registered
-                                         declared consumer (index / mview)
-                                         with its epochs_behind lag —
-                                         metadata-only
+                                         declared consumer (index / mview /
+                                         SCD2 history) with its
+                                         epochs_behind lag — metadata-only
     SHOW CREATE TABLE <name>          -> the CREATE statement (round-trips)
     SHOW SNAPSHOTS <name>             -> DataFrame: commit history + tags
     SHOW TAGS <name>                  -> DataFrame: tag -> snapshot id
@@ -1655,6 +1665,99 @@ def _index_refresh(spark: SparkSession, m: re.Match, tables: dict) -> dict:
     return _index_job(spark, load_index_spec(root)).run_once(spark)
 
 
+_HISTORY_SPEC_FILE = "_history.json"
+_HISTORY_HEAD = re.compile(
+    r"^\s*CREATE\s+HISTORY\s+TABLE\s+(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<name>[\w.-]+)\s+ON\s+(?P<src>[\w.-]+)\s+LOCATION\s+"
+    r"'(?P<loc>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+_HISTORY_REFRESH_HEAD = re.compile(
+    r"^\s*REFRESH\s+HISTORY\s+TABLE\s+(?P<name>[\w.-]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _history_stmt(spark: SparkSession, m: re.Match, tables: dict):
+    """CREATE HISTORY TABLE: declare an SCD Type 2 version-history consumer
+    (``plans/scd2.py``) in SQL — the DLT ``APPLY CHANGES ... STORED AS SCD
+    TYPE 2`` declaration for this engine. The definition persists as a
+    sidecar ``_history.json`` under the history root (the mview/index
+    pattern) and the initial sync runs at CREATE; ``REFRESH HISTORY TABLE``
+    catches up one apply-commit window at a time (version granularity is
+    the commit — see the job's module doc), idempotent under the history
+    table's own epoch ledger. The created table registers under its SQL
+    name, so DESCRIBE / SELECT / point-in-time filters work on it like any
+    other table."""
+    import os
+
+    name, loc, ine = m.group("name"), m.group("loc"), m.group("ine")
+    spec_path = os.path.join(loc, _HISTORY_SPEC_FILE)
+    if os.path.exists(spec_path):
+        if not ine:
+            raise ValueError(
+                f"history table already exists at {loc!r} "
+                "(use CREATE HISTORY TABLE IF NOT EXISTS to re-register)"
+            )
+        tables[name] = loc
+        return LakeTable.load(loc)
+    src = m.group("src")
+    if src not in tables:
+        raise ValueError(
+            f"unknown source table {src!r} (registered: {sorted(tables)})"
+        )
+    t = tables[src]
+    source_root = t.root if isinstance(t, LakeTable) else t
+    spec = {
+        "kind": "SCD2",
+        "source": src,
+        "source_root": source_root,
+        "index_root": loc,  # consumer-listing key (SHOW CONSUMERS)
+    }
+    os.makedirs(loc, exist_ok=True)
+    tmp = spec_path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(spec, f, indent=1)
+    os.replace(tmp, spec_path)
+    from cnpj_data_pipeline_spark.plans.scd2 import SCD2SyncJob
+
+    SCD2SyncJob(source_root, loc).run_once(spark)
+    tables[name] = loc
+    return LakeTable.load(loc)
+
+
+def show_create_history(hist_root: str, name: str = "h") -> str:
+    import os
+
+    with open(
+        os.path.join(hist_root, _HISTORY_SPEC_FILE), encoding="utf-8"
+    ) as f:
+        spec = json.load(f)
+    return (
+        f"CREATE HISTORY TABLE {name} ON {spec['source']} "
+        f"LOCATION '{hist_root}'"
+    )
+
+
+def _history_refresh(spark: SparkSession, m: re.Match, tables: dict) -> dict:
+    import os
+
+    name = m.group("name")
+    if name not in tables:
+        raise ValueError(
+            f"unknown history table {name!r} (registered: {sorted(tables)})"
+        )
+    t = tables[name]
+    root = t.root if isinstance(t, LakeTable) else t
+    with open(
+        os.path.join(root, _HISTORY_SPEC_FILE), encoding="utf-8"
+    ) as f:
+        spec = json.load(f)
+    from cnpj_data_pipeline_spark.plans.scd2 import SCD2SyncJob
+
+    return SCD2SyncJob(spec["source_root"], root).run_once(spark)
+
+
 def _show_consumers(spark: SparkSession, tables: dict):
     """SHOW CONSUMERS: one row per registered DECLARED consumer (index or
     materialized view) with its lag — ``epochs_behind`` is the count of
@@ -1671,6 +1774,7 @@ def _show_consumers(spark: SparkSession, tables: dict):
         for spec_file, default_kind in (
             (_INDEX_SPEC_FILE, None),
             (_MVIEW_SPEC_FILE, "MVIEW"),
+            (_HISTORY_SPEC_FILE, "SCD2"),
         ):
             p = os.path.join(root, spec_file)
             if not os.path.exists(p):
@@ -1741,6 +1845,27 @@ def execute_ddl(
     irm = _INDEX_REFRESH_HEAD.match(stmt)
     if irm:
         return _index_refresh(spark, irm, tables)
+    hm = _HISTORY_HEAD.match(stmt)
+    if hm:
+        return _history_stmt(spark, hm, tables)
+    hrm = _HISTORY_REFRESH_HEAD.match(stmt)
+    if hrm:
+        return _history_refresh(spark, hrm, tables)
+    shm = re.match(
+        r"^SHOW\s+CREATE\s+HISTORY\s+TABLE\s+(?P<name>[\w.-]+)\s*;?\s*$",
+        stmt,
+        re.IGNORECASE,
+    )
+    if shm:
+        n = shm.group("name")
+        if n not in tables:
+            raise ValueError(
+                f"unknown history table {n!r} (registered: {sorted(tables)})"
+            )
+        t = tables[n]
+        return show_create_history(
+            t.root if isinstance(t, LakeTable) else t, n
+        )
     sim = re.match(
         r"^SHOW\s+CREATE\s+INDEX\s+(?P<name>[\w.-]+)\s*;?\s*$",
         stmt,

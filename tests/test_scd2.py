@@ -201,3 +201,52 @@ def test_scd2_requires_keyed_lww_source(spark, tmp_path):
     job = SCD2SyncJob(keyless.root, str(tmp_path / "hist"))
     with pytest.raises(ValueError, match="keyed"):
         job.run_once(spark)
+
+
+def test_scd2_sql_surface(spark, tmp_path):
+    """The SQL twin: CREATE HISTORY TABLE runs the initial sync, REFRESH
+    catches up, SHOW CREATE round-trips through execute_ddl (IF NOT EXISTS
+    re-registers against the sidecar), and SHOW CONSUMERS lists the
+    history with its lag."""
+    from cnpj_data_pipeline_spark.lake.ddl import execute_ddl
+
+    cfg = EngineConfig(n_buckets=8, salt_factor=2)
+    changes = gen_changes(
+        spark, n_events=3_000, n_convs=120, turns_per_conv=8, n_epochs=4,
+        dup_ratio=0.05, late_ratio=0.05,
+    )
+    path = str(tmp_path / "base")
+    ingest = IngestJob(path, cfg)
+    batches = list(epoch_batches(changes, 4))
+    ingest.run_batches(spark, batches[:2])
+    tables = {"t": LakeTable.load(path)}
+    loc = str(tmp_path / "hist")
+    execute_ddl(
+        spark, f"CREATE HISTORY TABLE h ON t LOCATION '{loc}'", tables
+    )
+    assert "h" in tables
+    ingest.run_batches(spark, batches[2:])
+    cons = execute_ddl(spark, "SHOW CONSUMERS", tables).collect()
+    lag = {r["name"]: (r["kind"], r["epochs_behind"]) for r in cons}
+    assert lag["h"] == ("SCD2", 2)
+    m = execute_ddl(spark, "REFRESH HISTORY TABLE h", tables)
+    assert m["epochs_synced"] == [2, 3]
+    # full history equals a from-scratch job over the same base
+    ref = SCD2SyncJob(path, str(tmp_path / "hist_ref"), cfg=cfg)
+    ref.run_once(spark)
+    got = _norm(LakeTable.load(loc).read(spark).toPandas())
+    want = _hist_df(spark, ref)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # SHOW CREATE round-trips; IF NOT EXISTS re-registers a fresh dict
+    stmt = execute_ddl(spark, "SHOW CREATE HISTORY TABLE h", tables)
+    assert stmt == f"CREATE HISTORY TABLE h ON t LOCATION '{loc}'"
+    fresh = {"t": LakeTable.load(path)}
+    execute_ddl(
+        spark,
+        stmt.replace("CREATE HISTORY TABLE h",
+                     "CREATE HISTORY TABLE IF NOT EXISTS h"),
+        fresh,
+    )
+    assert "h" in fresh
+    with pytest.raises(ValueError, match="already exists"):
+        execute_ddl(spark, stmt, fresh)
