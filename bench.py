@@ -393,14 +393,26 @@ def _alu_probe(lo: int, hi: int, n: int = 6_000_000) -> float:
     optional stopping on the measured quantity."""
     import multiprocessing as mp
 
-    def _run(procs: int) -> float:
+    def _run(procs: int, warm: bool = False) -> float:
+        if warm:
+            # decay turbo boost FIRST: a cold wide burst runs at boosted
+            # clocks for its first ~1-2 s, which over-reads the hi-core
+            # rate by up to ~25% (measured on this VM: cold probes 0.98,
+            # sustained 0.77). The engine's hi-core phases run 10-30 s, so
+            # the SUSTAINED rate is the covariate that predicts them.
+            # ~4 s of saturating load — the decay horizon measured here is
+            # ~5 s, so a shorter warm-up still reads partially boosted
+            with mp.Pool(
+                procs, initializer=_probe_pin, initargs=(procs,)
+            ) as p:
+                p.map(_probe_burn, [n] * (procs * 6))
         t0 = time.perf_counter()
         with mp.Pool(procs, initializer=_probe_pin, initargs=(procs,)) as p:
             p.map(_probe_burn, [n] * (procs * 2))
         return procs * 2 * n / (time.perf_counter() - t0)
 
     e_lo = _run(lo)
-    e_hi = _run(hi)
+    e_hi = _run(hi, warm=True)
     return round((e_hi / e_lo) / (hi / lo), 3)
 
 
@@ -566,7 +578,7 @@ def run_scaling(
             os.environ.get("SPARK_GRAFT_SCALING_QUIET_EFF", "0.85")
         )
         quiet_budget = 0 if light else int(
-            os.environ.get("SPARK_GRAFT_SCALING_QUIET_RETRIES", "2")
+            os.environ.get("SPARK_GRAFT_SCALING_QUIET_RETRIES", "3")
         )
         quiet_used = 0
         while (
@@ -587,11 +599,27 @@ def run_scaling(
                 )
             quiet_used += 1
             best, clean, eff_clean, eff_best, eff_median = _stats()
+        # the machine's own sustained lo->hi scaling ceiling during this
+        # section (median of the per-pair probes): pure-ALU independent
+        # processes cannot beat it, so neither can any engine — a raw
+        # efficiency reading is only interpretable NEXT TO it. The
+        # ceiling-adjusted figure divides the raw headline by the ceiling
+        # (capped at 1.0): "of the scaling the machine offered this
+        # window, how much did the engine capture". Both are reported;
+        # the raw number stays the headline.
+        ceiling = _median(probe_effs) if probe_effs else None
+        eff_adj = (
+            round(eff_best / min(ceiling, 1.0), 3)
+            if ceiling and ceiling > 0
+            else eff_best
+        )
         return {
             "mode": mode,
             "noise_retries_used": noise_used,
             "quiet_retries_used": quiet_used,
             "window_probe_effs": probe_effs,
+            "alu_sustained_ceiling": ceiling,
+            "scaling_efficiency_ceiling_adj": eff_adj,
             "quiet_window_observed": bool(
                 probe_effs and max(probe_effs) >= quiet_thresh
             ),
@@ -713,6 +741,10 @@ def main() -> None:
         hi_key = [k for k in scaling if k.startswith("local")][-1]
         compact["change_events_per_sec"] = scaling[hi_key]["events_per_sec"]
         compact["scaling_efficiency"] = scaling["scaling_efficiency"]
+        compact["alu_ceiling"] = scaling.get("alu_sustained_ceiling")
+        compact["scaling_efficiency_ceiling_adj"] = scaling.get(
+            "scaling_efficiency_ceiling_adj"
+        )
     if shuffle_scaling:
         hi_key = [k for k in shuffle_scaling if k.startswith("local")][-1]
         compact["shuffle_events_per_sec"] = (

@@ -63,6 +63,14 @@ DDL_R5 = [
     "REFRESH INDEX ix1",
     "SHOW CREATE INDEX ix1",
     "SHOW CONSUMERS",
+    # SCD2 history + ANALYZE (late round 5). The CREATE targets an unknown
+    # source so even an unmutated survivor refuses instead of launching a
+    # sync mid-fuzz; REFRESH/SHOW target a never-registered name.
+    "CREATE HISTORY TABLE h1 ON no_such LOCATION '{ix}'",
+    "REFRESH HISTORY TABLE h1",
+    "SHOW CREATE HISTORY TABLE h1",
+    "ANALYZE TABLE t1 COMPUTE STATISTICS FOR COLUMNS conv_id",
+    "ANALYZE TABLE t1 COMPUTE STATISTICS INCREMENTAL",
 ]
 
 DML = [
